@@ -1,0 +1,223 @@
+"""Host-side sparse-convolution kernel maps (numpy).
+
+This module replaces the MinkowskiEngine coordinate manager (external C++/CUDA
+dep of the reference; used via ``ME.SparseTensor`` at
+reference model/query3d_unified.py:152 and the sparse convs of
+modules/third_party/mask3d/res16unet.py).  TPU-native design:
+
+* All maps are built **on the host inside the input pipeline**, per scene,
+  and padded to static sizes -> jitted device graphs never recompile.
+* Convolutions become gather->GEMM on device: for output voxel ``j`` and
+  kernel offset ``k``, ``nbr[j, k]`` is the index of the contributing input
+  voxel (or ``-1``).  ``out[j] = sum_k x[nbr[j,k]] @ W[k]``.
+* Stride-2 down-convs use per-coarse-voxel child maps (K=8, exact, no waste);
+  transpose convs / pooling-transposes use parent index + offset-id gathers.
+
+The full U-Net needs one :class:`SparseHierarchy` per scene, holding the
+coordinate pyramid (stride 1, 2, 4, 8, 16) and every map the network uses.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+NUM_LEVELS = 5  # stride 1, 2, 4, 8, 16 (ref: res16unet.py forward ladder)
+
+
+def _keys_for(coords: np.ndarray, base: np.ndarray, dims: np.ndarray) -> np.ndarray:
+    """Injective int64 key for integer coords within [base, base+dims)."""
+    shifted = (coords - base).astype(np.int64)
+    key = shifted[:, 0]
+    for d in range(1, coords.shape[1]):
+        key = key * np.int64(dims[d]) + shifted[:, d]
+    return key
+
+
+def _lookup(query_coords: np.ndarray, table_coords: np.ndarray) -> np.ndarray:
+    """For each query coord, index into table_coords (or -1). Vectorized."""
+    if len(table_coords) == 0:
+        return np.full(len(query_coords), -1, dtype=np.int32)
+    lo = np.minimum(table_coords.min(0), query_coords.min(0) if len(query_coords) else table_coords.min(0))
+    hi = np.maximum(table_coords.max(0), query_coords.max(0) if len(query_coords) else table_coords.max(0))
+    dims = (hi - lo + 1).astype(np.int64)
+    tkeys = _keys_for(table_coords, lo, dims)
+    order = np.argsort(tkeys, kind="stable")
+    sorted_keys = tkeys[order]
+    qkeys = _keys_for(query_coords, lo, dims)
+    pos = np.searchsorted(sorted_keys, qkeys)
+    pos_c = np.minimum(pos, len(sorted_keys) - 1)
+    hit = sorted_keys[pos_c] == qkeys
+    out = np.where(hit, order[pos_c], -1).astype(np.int32)
+    return out
+
+
+def kernel_offsets(kernel_size: int, ndim: int = 3) -> np.ndarray:
+    """Integer offsets of a hypercubic kernel, ME ordering convention
+    (range centered at 0 for odd sizes, [0, k) for even sizes)."""
+    if kernel_size % 2 == 1:
+        r = np.arange(-(kernel_size // 2), kernel_size // 2 + 1)
+    else:
+        r = np.arange(kernel_size)
+    grids = np.meshgrid(*([r] * ndim), indexing="ij")
+    return np.stack([g.ravel() for g in grids], axis=1).astype(np.int32)  # (k^ndim, ndim)
+
+
+def build_neighbor_map(coords: np.ndarray, kernel_size: int) -> np.ndarray:
+    """Stride-1 conv map on one coordinate set: (N, K) indices, -1 = missing."""
+    offs = kernel_offsets(kernel_size)
+    n = len(coords)
+    nbr = np.empty((n, len(offs)), dtype=np.int32)
+    for k, off in enumerate(offs):
+        nbr[:, k] = _lookup(coords + off[None, :], coords)
+    return nbr
+
+
+def downsample_coords(coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Stride-2 coordinate downsampling.
+
+    Returns ``(coarse_coords, parent_idx, offset_id)`` where
+    ``coarse_coords[parent_idx[i]] * 2 + offset(offset_id[i]) == coords[i]``.
+    Coarse coords use floor division (matches ME stride-2 pooling of
+    non-negative quantized coords; floor keeps it correct for negatives too).
+    """
+    coarse_all = np.floor_divide(coords, 2)
+    # unique rows
+    lo = coarse_all.min(0) if len(coarse_all) else np.zeros(coords.shape[1], np.int32)
+    hi = coarse_all.max(0) if len(coarse_all) else np.zeros(coords.shape[1], np.int32)
+    dims = (hi - lo + 1).astype(np.int64)
+    keys = _keys_for(coarse_all, lo, dims)
+    order = np.argsort(keys, kind="stable")
+    sk = keys[order]
+    first = np.ones(len(keys), dtype=bool)
+    if len(keys):
+        first[1:] = sk[1:] != sk[:-1]
+    coarse = coarse_all[order[first]]
+    group = np.cumsum(first) - 1
+    parent = np.empty(len(keys), dtype=np.int32)
+    parent[order] = group.astype(np.int32)
+    rem = coords - coarse_all * 2  # in {0,1}^3 per spatial dim (batch dim rem=0)
+    # offset id over the spatial dims only (last 3 columns)
+    off_id = (rem[:, -3] * 4 + rem[:, -2] * 2 + rem[:, -1]).astype(np.int32)
+    return coarse.astype(np.int32), parent, off_id
+
+
+def build_child_map(parent_idx: np.ndarray, offset_id: np.ndarray,
+                    num_coarse: int) -> np.ndarray:
+    """Invert (parent, offset) -> (num_coarse, 8) fine indices, -1 = missing."""
+    child = np.full((num_coarse, 8), -1, dtype=np.int32)
+    child[parent_idx, offset_id] = np.arange(len(parent_idx), dtype=np.int32)
+    return child
+
+
+def pad_rows(a: np.ndarray, n: int, fill=0) -> np.ndarray:
+    """Pad (or verify) leading dim of ``a`` to exactly ``n`` rows."""
+    if len(a) > n:
+        raise ValueError(f"cannot pad {len(a)} rows into {n}")
+    if len(a) == n:
+        return a
+    pad_shape = (n - len(a),) + a.shape[1:]
+    return np.concatenate([a, np.full(pad_shape, fill, dtype=a.dtype)], axis=0)
+
+
+@dataclass
+class SparseHierarchy:
+    """Per-scene static-shape sparse-conv plan (host-built, device-consumed).
+
+    All index arrays use -1 for "missing"; device code clips to 0 for the
+    gather and masks the contribution out.
+    """
+    # per level: padded voxel counts and validity
+    num_voxels: List[int]                 # true counts
+    pad_sizes: List[int]                  # static padded sizes
+    coords: List[np.ndarray]              # (P_l, 3) int32, padded (spatial only)
+    valid: List[np.ndarray]               # (P_l,) bool
+    # stride-1 conv maps
+    nbr3: List[np.ndarray]                # level l: (P_l, 27) int32
+    nbr5_l0: Optional[np.ndarray]         # (P_0, 125) int32 (conv0 5x5x5)
+    # stride-2 down / up plumbing between level l and l+1
+    child: List[np.ndarray]               # l -> (P_{l+1}, 8) fine idx
+    parent: List[np.ndarray]              # l -> (P_l,) coarse idx (-1 pad)
+    parent_off: List[np.ndarray]          # l -> (P_l,) offset id in [0,8)
+    # ancestor of each level-0 voxel at every level (for FPN upsampling,
+    # replaces chained MinkowskiPoolingTranspose; ref pcd_mask3d_encoder.py:131-137)
+    ancestor: np.ndarray = field(default=None)  # (NUM_LEVELS, P_0) int32
+
+    def device_arrays(self) -> Dict[str, np.ndarray]:
+        """Flatten into a dict of arrays to ship to the device."""
+        out: Dict[str, np.ndarray] = {}
+        for l in range(NUM_LEVELS):
+            out[f"valid_{l}"] = self.valid[l]
+            out[f"nbr3_{l}"] = self.nbr3[l]
+        out["nbr5_0"] = self.nbr5_l0
+        for l in range(NUM_LEVELS - 1):
+            out[f"child_{l}"] = self.child[l]
+            out[f"parent_{l}"] = self.parent[l]
+            out[f"parent_off_{l}"] = self.parent_off[l]
+        out["ancestor"] = self.ancestor
+        return out
+
+
+def bucket_pad_sizes(counts: List[int], bucket: int = 4096,
+                     caps: Optional[List[int]] = None) -> List[int]:
+    """Static pad size per level: round each actual count up to a bucket
+    multiple (recompile only when a level crosses a bucket boundary)."""
+    sizes = [max(bucket, int(np.ceil(n / bucket)) * bucket) for n in counts]
+    if caps:
+        sizes = [min(s, c) if c else s for s, c in zip(sizes, caps)]
+    return sizes
+
+
+def build_hierarchy(coords0: np.ndarray, pad_sizes: Optional[List[int]] = None,
+                    conv0_kernel: int = 5) -> SparseHierarchy:
+    """Build the full coordinate pyramid + all kernel maps for one scene.
+
+    ``coords0``: (N, 3) int32 quantized voxel coords (single scene, no batch
+    column — batching is an outer array dimension on device).
+    """
+    levels = [coords0.astype(np.int32)]
+    parents, offs = [], []
+    for l in range(NUM_LEVELS - 1):
+        coarse, parent, off = downsample_coords(levels[-1])
+        levels.append(coarse)
+        parents.append(parent)
+        offs.append(off)
+
+    num_voxels = [len(c) for c in levels]
+    if pad_sizes is None:
+        pad_sizes = bucket_pad_sizes(num_voxels)
+    for l in range(NUM_LEVELS):
+        if num_voxels[l] > pad_sizes[l]:
+            raise ValueError(
+                f"level {l} has {num_voxels[l]} voxels > pad {pad_sizes[l]}")
+
+    nbr3 = [build_neighbor_map(levels[l], 3) for l in range(NUM_LEVELS)]
+    nbr5 = build_neighbor_map(levels[0], conv0_kernel)
+    child = [build_child_map(parents[l], offs[l], num_voxels[l + 1])
+             for l in range(NUM_LEVELS - 1)]
+
+    # ancestors of every level-0 voxel at each level
+    anc = np.zeros((NUM_LEVELS, pad_sizes[0]), dtype=np.int32)
+    cur = np.arange(num_voxels[0], dtype=np.int32)
+    anc[0, :num_voxels[0]] = cur
+    for l in range(NUM_LEVELS - 1):
+        cur = parents[l][cur]
+        anc[l + 1, :num_voxels[0]] = cur
+
+    return SparseHierarchy(
+        num_voxels=num_voxels,
+        pad_sizes=list(pad_sizes),
+        coords=[pad_rows(levels[l], pad_sizes[l]) for l in range(NUM_LEVELS)],
+        valid=[pad_rows(np.ones(num_voxels[l], dtype=bool), pad_sizes[l], False)
+               for l in range(NUM_LEVELS)],
+        nbr3=[pad_rows(nbr3[l], pad_sizes[l], -1) for l in range(NUM_LEVELS)],
+        nbr5_l0=pad_rows(nbr5, pad_sizes[0], -1),
+        child=[pad_rows(child[l], pad_sizes[l + 1], -1)
+               for l in range(NUM_LEVELS - 1)],
+        parent=[pad_rows(parents[l].astype(np.int32), pad_sizes[l], -1)
+                for l in range(NUM_LEVELS - 1)],
+        parent_off=[pad_rows(offs[l], pad_sizes[l], 0)
+                    for l in range(NUM_LEVELS - 1)],
+        ancestor=anc,
+    )

@@ -1,0 +1,148 @@
+"""Point sampling / grouping ops (PointNet++ substrate).
+
+TPU-native replacements for the reference's CUDA kernels
+(reference: modules/third_party/pointnet2/_ext_src/src/{sampling,ball_query,
+group_points,interpolate}_gpu.cu; Python wrappers pointnet2_utils.py:48-419).
+
+Device functions are single-cloud; callers ``jax.vmap`` over batch/object
+dims.  All shapes static; ragged neighborhoods are handled by first-hit
+filling exactly like the CUDA ball-query kernel.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Furthest point sampling
+# ---------------------------------------------------------------------------
+
+def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
+                          valid: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Iterative FPS on one cloud.  (N, 3) -> (npoint,) int32 indices.
+
+    Matches the CUDA kernel's semantics (start at index 0, greedy farthest;
+    ref sampling_gpu.cu:69-173).  ``valid`` masks padded points out of the
+    selection.  The min-distance array stays in registers/VMEM across the
+    sequential scan — the op is bandwidth-trivial (N floats per step).
+    """
+    n = xyz.shape[0]
+    big = jnp.asarray(jnp.inf, xyz.dtype)
+    mind = jnp.full((n,), big, xyz.dtype)
+    if valid is not None:
+        mind = jnp.where(valid, mind, -big)
+
+    def body(carry, _):
+        mind, last = carry
+        d = jnp.sum((xyz - xyz[last]) ** 2, axis=-1)
+        if valid is not None:
+            d = jnp.where(valid, d, -big)
+        mind = jnp.minimum(mind, d)
+        nxt = jnp.argmax(mind).astype(jnp.int32)
+        return (mind, nxt), last
+
+    first = jnp.asarray(0, jnp.int32)
+    if valid is not None:
+        # start from the first valid point
+        first = jnp.argmax(valid).astype(jnp.int32)
+    (_, _), picks = jax.lax.scan(body, (mind, first), None, length=npoint)
+    return picks
+
+
+def fps_numpy(points: np.ndarray, npoint: int, start: int = 0) -> np.ndarray:
+    """Host-side FPS for query initialization in the input pipeline
+    (replaces the reference's fpsample Rust dep;
+    ref data/datasets/sceneverse_instseg.py:122)."""
+    n = len(points)
+    if n == 0:
+        return np.zeros(npoint, dtype=np.int64)
+    picks = np.empty(npoint, dtype=np.int64)
+    mind = np.full(n, np.inf)
+    last = start % n
+    for i in range(npoint):
+        picks[i] = last
+        d = np.sum((points - points[last]) ** 2, axis=-1)
+        np.minimum(mind, d, out=mind)
+        last = int(np.argmax(mind))
+    return picks
+
+
+# ---------------------------------------------------------------------------
+# Ball query + grouping
+# ---------------------------------------------------------------------------
+
+def ball_query(xyz: jnp.ndarray, centers: jnp.ndarray, radius: float,
+               nsample: int) -> jnp.ndarray:
+    """First ``nsample`` points within ``radius`` of each center.
+
+    (N, 3), (M, 3) -> (M, nsample) int32.  Semantics match the CUDA kernel
+    (ref ball_query_gpu.cu:9-53): candidates in index order, remaining slots
+    filled with the first hit; 0 if no hit.
+    """
+    n = xyz.shape[0]
+    d2 = jnp.sum((centers[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+    ok = d2 < radius * radius
+    key = jnp.where(ok, jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1), n)
+    # smallest `nsample` keys per center == first hits in index order
+    neg_top, _ = jax.lax.top_k(-key, nsample)
+    idx = -neg_top  # ascending
+    hit = idx < n
+    first = idx[:, :1]
+    idx = jnp.where(hit, idx, first)
+    idx = jnp.where(first < n, idx, 0)
+    return idx.astype(jnp.int32)
+
+
+def group_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather (N, C) features by (M, S) indices -> (M, S, C)
+    (ref group_points_gpu.cu:8-75; backward is XLA's native gather VJP)."""
+    return jnp.take(feats, idx, axis=0)
+
+
+def query_and_group(xyz: jnp.ndarray, centers: jnp.ndarray,
+                    feats: jnp.ndarray | None, radius: float, nsample: int,
+                    use_xyz: bool = True) -> jnp.ndarray:
+    """Fused ball query + grouping + center-relative xyz concat
+    (ref pointnet2_utils.py QueryAndGroup :291-373). -> (M, nsample, C')"""
+    idx = ball_query(xyz, centers, radius, nsample)
+    grouped_xyz = jnp.take(xyz, idx, axis=0) - centers[:, None, :]
+    if feats is None:
+        return grouped_xyz
+    grouped = jnp.take(feats, idx, axis=0)
+    if use_xyz:
+        grouped = jnp.concatenate([grouped_xyz, grouped], axis=-1)
+    return grouped
+
+
+# ---------------------------------------------------------------------------
+# Three-NN interpolation
+# ---------------------------------------------------------------------------
+
+def three_nn(unknown: jnp.ndarray, known: jnp.ndarray):
+    """3 nearest neighbors of each unknown point among known points.
+
+    (n, 3), (m, 3) -> (dist (n, 3), idx (n, 3)); brute force via top_k
+    (ref interpolate_gpu.cu:9-154).
+    """
+    d2 = jnp.sum((unknown[:, None, :] - known[None, :, :]) ** 2, axis=-1)
+    neg, idx = jax.lax.top_k(-d2, 3)
+    return jnp.sqrt(jnp.maximum(-neg, 1e-10)), idx.astype(jnp.int32)
+
+
+def three_interpolate(feats: jnp.ndarray, idx: jnp.ndarray,
+                      weight: jnp.ndarray) -> jnp.ndarray:
+    """Weighted sum of 3-NN features: (m, C), (n, 3), (n, 3) -> (n, C)."""
+    gathered = jnp.take(feats, idx, axis=0)  # (n, 3, C)
+    return jnp.einsum("nk,nkc->nc", weight, gathered)
+
+
+def three_interpolate_weights(unknown: jnp.ndarray, known: jnp.ndarray):
+    """Inverse-distance weights over the 3 NN (ref pointnet2_modules.py:356-416)."""
+    dist, idx = three_nn(unknown, known)
+    inv = 1.0 / jnp.maximum(dist, 1e-8)
+    w = inv / jnp.sum(inv, axis=-1, keepdims=True)
+    return idx, w

@@ -1,0 +1,109 @@
+"""Device-side sparse convolution: gather -> GEMM -> accumulate.
+
+TPU-native replacement for MinkowskiEngine's kernel-map gather-GEMM-scatter
+convolutions (reference external dep; used by
+modules/third_party/mask3d/res16unet.py via common.py:128-198).
+
+Formulation: every conv is a **gather** over a host-built neighbor map
+(:mod:`pq3d_tpu.ops.kernel_maps`).  For output voxel ``j`` and kernel offset
+``k``, ``nbr[j, k]`` indexes the contributing input voxel (-1 = missing):
+
+    out[j] = sum_k  valid(nbr[j,k]) * x[nbr[j,k]] @ W[k]
+
+This maps onto the TPU as K skinny GEMMs on the MXU with XLA gathers, no
+atomics, no scatter in the backward pass (the VJP of gather is a scatter-add
+XLA handles natively).  Functions are single-scene; callers ``jax.vmap`` over
+the batch dimension.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
+                bias: Optional[jnp.ndarray] = None,
+                out_valid: Optional[jnp.ndarray] = None,
+                accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Sparse convolution via gather->GEMM.
+
+    Args:
+      x:    (N_in, Cin) voxel features (padded rows must be zero).
+      nbr:  (N_out, K) int32 neighbor map, -1 for missing.
+      w:    (K, Cin, Cout) kernel weights.
+      bias: optional (Cout,).
+      out_valid: optional (N_out,) bool mask zeroing padded outputs.
+    Returns: (N_out, Cout).
+    """
+    k_total = nbr.shape[1]
+
+    def body(acc, inputs):
+        idx, wk = inputs  # idx: (N_out,), wk: (Cin, Cout)
+        m = (idx >= 0)
+        xi = jnp.take(x, jnp.maximum(idx, 0), axis=0)
+        xi = jnp.where(m[:, None], xi, 0)
+        acc = acc + jnp.dot(xi, wk, preferred_element_type=accum_dtype)
+        return acc, None
+
+    init = jnp.zeros((nbr.shape[0], w.shape[-1]), dtype=accum_dtype)
+    acc, _ = jax.lax.scan(body, init, (nbr.T, w), length=k_total)
+    if bias is not None:
+        acc = acc + bias
+    if out_valid is not None:
+        acc = jnp.where(out_valid[:, None], acc, 0)
+    return acc.astype(x.dtype)
+
+
+def sparse_conv_transpose(x: jnp.ndarray, parent: jnp.ndarray,
+                          parent_off: jnp.ndarray, w: jnp.ndarray,
+                          out_valid: Optional[jnp.ndarray] = None,
+                          accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Stride-2 transposed (upsampling) convolution, kernel 2^3.
+
+    Each fine voxel has exactly one coarse parent and a kernel offset id, so
+    the transpose conv is: precompute the 8 GEMMs on the (small) coarse level,
+    then one gather per fine voxel — FLOPs equal to the matching down-conv
+    (ref conv_tr in res16unet.py:138-219).
+
+    Args:
+      x:          (N_coarse, Cin) coarse features.
+      parent:     (N_fine,) int32 coarse parent index, -1 for padded rows.
+      parent_off: (N_fine,) int32 kernel offset id in [0, 8).
+      w:          (8, Cin, Cout).
+    Returns: (N_fine, Cout).
+    """
+    n_coarse = x.shape[0]
+    y = jnp.einsum("nc,kcd->knd", x, w,
+                   preferred_element_type=accum_dtype)  # (8, Nc, Cout)
+    y = y.reshape(8 * n_coarse, -1)
+    flat = parent_off * n_coarse + jnp.maximum(parent, 0)
+    out = jnp.take(y, flat, axis=0)
+    out = jnp.where((parent >= 0)[:, None], out, 0)
+    if out_valid is not None:
+        out = jnp.where(out_valid[:, None], out, 0)
+    return out.astype(x.dtype)
+
+
+def pool_transpose(x_coarse: jnp.ndarray, ancestor: jnp.ndarray,
+                   valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Broadcast coarse features to fine voxels by ancestor index.
+
+    Replaces chained ``MinkowskiPoolingTranspose`` upsampling
+    (ref: modules/vision/pcd_mask3d_encoder.py:131-137): each level-0 voxel
+    takes the feature of its ancestor at the coarse level.
+    """
+    out = jnp.take(x_coarse, jnp.maximum(ancestor, 0), axis=0)
+    if valid is not None:
+        out = jnp.where(valid[:, None], out, 0)
+    return out
+
+
+def avg_pool_stride2(x: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
+    """Average-pool fine features into coarse voxels via the child map."""
+    m = (child >= 0)
+    xi = jnp.take(x, jnp.maximum(child, 0), axis=0)  # (Nc, 8, C)
+    xi = jnp.where(m[..., None], xi, 0)
+    cnt = jnp.maximum(m.sum(axis=1, keepdims=True), 1)
+    return xi.sum(axis=1) / cnt
