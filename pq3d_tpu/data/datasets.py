@@ -1,0 +1,143 @@
+"""Datasets: scene sources for the host pipeline.
+
+Mirrors the reference's dataset layer (reference: data/datasets/
+sceneverse_base.py, sceneverse_instseg.py) with a registry of scene sources.
+``SceneVerseInstSeg`` reads the real SceneVerse layout (torch .pth scans +
+segment jsons) when data is on disk; ``SyntheticInstSeg`` generates
+procedural scenes for development, tests, and benchmarks.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from pq3d_tpu.data import synthetic
+from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig, collate,
+                                            process_scene)
+from pq3d_tpu.registry import DATASET_REGISTRY
+
+
+@DATASET_REGISTRY.register(name="SyntheticInstSeg")
+class SyntheticInstSeg:
+    """Procedural scenes, deterministic per (split, index)."""
+
+    def __init__(self, cfg, split: str):
+        data_cfg = cfg.data.get("synthetic", {}) or {}
+        n = {"train": 32, "val": 8, "test": 8}[split]
+        if cfg.get("debug", {}) and cfg.debug.get("flag"):
+            n = min(n, int(cfg.debug.get("debug_size", 4)))
+        self.num_scenes = int(data_cfg.get(f"num_{split}", n))
+        self.n_points = int(data_cfg.get("n_points", 4000))
+        self.n_instances = int(data_cfg.get("n_instances", 8))
+        self.n_segments = int(data_cfg.get("n_segments", 64))
+        self.split = split
+        self.seed = {"train": 0, "val": 10_000, "test": 20_000}[split]
+
+    def __len__(self):
+        return self.num_scenes
+
+    def get_scene(self, idx: int) -> Dict[str, np.ndarray]:
+        rng = np.random.default_rng(self.seed + idx)
+        s = synthetic.make_scene(rng, n_points=self.n_points,
+                                 n_instances=self.n_instances,
+                                 n_segments=self.n_segments)
+        s["inst_labels"] = np.minimum(s["inst_labels"], 199)
+        s["scan_id"] = f"{self.split}_{idx:05d}"
+        return s
+
+
+@DATASET_REGISTRY.register(name="ScanNetInstSegSceneVerse")
+class SceneVerseInstSeg:
+    """Real SceneVerse ScanNet scans (ref data/datasets/sceneverse_base.py:
+    106-134, sceneverse_instseg.py:64-118).  Requires
+    ``cfg.data.scene_verse_base`` on disk; raises otherwise."""
+
+    def __init__(self, cfg, split: str):
+        import torch  # cpu torch for .pth scan payloads
+        base = cfg.data.get("scene_verse_base")
+        if not base or not os.path.isdir(str(base)):
+            raise FileNotFoundError(
+                f"SceneVerse base dir not found: {base!r} — use the "
+                f"SyntheticInstSeg dataset when no data is mounted")
+        self.base = str(base)
+        self.split = split
+        split_file = os.path.join(
+            self.base, "ScanNet", "annotations", "splits",
+            f"scannetv2_{'val' if split != 'train' else 'train'}.txt")
+        with open(split_file) as f:
+            self.scan_ids = [l.strip() for l in f if l.strip()]
+        if cfg.get("debug", {}) and cfg.debug.get("flag"):
+            self.scan_ids = self.scan_ids[:int(cfg.debug.get("debug_size", 4))]
+        self._torch = torch
+
+    def __len__(self):
+        return len(self.scan_ids)
+
+    def get_scene(self, idx: int) -> Dict[str, np.ndarray]:
+        torch = self._torch
+        scan_id = self.scan_ids[idx]
+        pcd_path = os.path.join(self.base, "ScanNet", "scan_data",
+                                "pcd_with_global_alignment", f"{scan_id}.pth")
+        pcds, colors, _, instance_labels = torch.load(
+            pcd_path, map_location="cpu", weights_only=False)
+        seg_path = os.path.join(self.base, "ScanNet", "scan_data",
+                                "segment_id", f"{scan_id}.pth")
+        segment_id = torch.load(seg_path, map_location="cpu",
+                                weights_only=False)
+        inst_ids = np.unique(instance_labels)
+        inst_ids = inst_ids[inst_ids >= 0]
+        remap = {int(v): i for i, v in enumerate(inst_ids)}
+        inst = np.vectorize(lambda x: remap.get(int(x), -1))(instance_labels)
+        return {
+            "points": np.asarray(pcds, np.float32),
+            "colors": np.asarray(colors, np.float32),
+            "instance_labels": inst.astype(np.int64),
+            "segment_id": np.asarray(segment_id, np.int64),
+            "inst_labels": np.zeros(len(inst_ids), np.int64),  # sem labels TODO
+            "scan_id": scan_id,
+        }
+
+
+class InstSegLoader:
+    """Batch iterator: dataset scenes -> host pipeline -> fixed batches.
+    Callable(epoch) so the trainer can reshuffle per epoch."""
+
+    def __init__(self, dataset, pipe_cfg: InstSegPipelineConfig,
+                 batch_size: int, train: bool, seed: int = 0,
+                 extra_features: Optional[Dict[str, int]] = None):
+        self.dataset = dataset
+        self.pipe_cfg = pipe_cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        # offline per-segment features (mv/pc) are random-projected synthetics
+        # when real feature files are absent
+        self.extra_features = extra_features or {"mv": 768, "pc": 768}
+
+    def __call__(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + epoch)
+        order = rng.permutation(len(self.dataset)) if self.train \
+            else np.arange(len(self.dataset))
+        bs = self.batch_size
+        for start in range(0, len(order) - bs + 1, bs):
+            idxs = order[start:start + bs]
+            scenes = [self.dataset.get_scene(int(i)) for i in idxs]
+            processed = [process_scene(s, self.pipe_cfg, rng, self.train)
+                         for s in scenes]
+            batch = collate(processed, self.pipe_cfg)
+            S = self.pipe_cfg.max_segments
+            for name, dim in self.extra_features.items():
+                key = f"{name}_seg_fts"
+                feats = [s.get(key) for s in scenes]
+                if feats[0] is None:
+                    srng = np.random.default_rng(int(idxs[0]))
+                    batch[key] = srng.standard_normal(
+                        (bs, S, dim)).astype(np.float32)
+                else:
+                    batch[key] = np.stack([
+                        np.pad(f[:S], ((0, max(0, S - len(f))), (0, 0)))
+                        for f in feats])
+                batch[f"{name}_seg_pad_masks"] = batch["seg_pad_masks"]
+            yield batch

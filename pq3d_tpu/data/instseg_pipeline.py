@@ -1,0 +1,229 @@
+"""Instance-segmentation host pipeline: scene dict -> fixed-shape batch.
+
+Performs what the reference splits across ``SceneVerseInstSeg.get_scene``,
+``InstSegDatasetWrapper.collate_fn`` and MinkowskiEngine
+(reference: data/datasets/sceneverse_instseg.py:120-236,
+data/datasets/instseg_wrapper.py:27-81): augmentation, color normalization,
+voxelization, FPS query sampling, sparse kernel-map building, and padding —
+all in numpy, producing arrays the jitted model consumes without
+recompilation.
+
+Intentional deviations from the reference (documented, not accidental):
+- FPS query locations are the representative points of the sampled voxels;
+  the reference indexes the *full* point cloud with voxel indices
+  (sceneverse_instseg.py:123), which mixes index spaces.
+- Colors come from the color channels; the reference's ``pcds[:, :3:]``
+  slice feeds scaled xyz into the color normalizer.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from pq3d_tpu.ops import kernel_maps, sampling, voxelize
+
+COLOR_MEAN = np.array([0.47793125906962, 0.4303257521323044, 0.3749598901421883], np.float32)
+COLOR_STD = np.array([0.2834475483823543, 0.27566157565723015, 0.27018971370874995], np.float32)
+
+
+@dataclasses.dataclass
+class InstSegPipelineConfig:
+    voxel_size: float = 0.02
+    num_queries: int = 120
+    query_sample_strategy: str = "fps"      # 'fps' | 'gt'
+    max_segments: int = 512
+    max_instances: int = 120
+    use_aug: bool = True
+    voxel_bucket: int = 4096
+    # optional hard caps per level (static shapes across every batch)
+    level_caps: Optional[Sequence[int]] = None
+    filter_out_classes: Sequence[int] = (0, 2)
+    ignore_label: int = -100
+
+
+def _augment(points, colors, rng: np.random.Generator):
+    """Train-time augmentation: mean-center + random shift, x/y flips,
+    z-rotation, slight scale, color jitter (replaces the reference's
+    volumentations/albumentations queue, sceneverse_instseg.py:139-167)."""
+    points = points - points.mean(0)
+    points = points + rng.uniform(points.min(0), points.max(0)) / 2
+    for i in (0, 1):
+        if rng.random() < 0.5:
+            points[:, i] = points[:, i].max() - points[:, i]
+    theta = rng.uniform(0, 2 * np.pi)
+    c, s = np.cos(theta), np.sin(theta)
+    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+    points = points @ rot.T
+    points = points * rng.uniform(0.9, 1.1)
+    colors = np.clip(colors + rng.normal(0, 0.05, colors.shape), -1, 1)
+    return points.astype(np.float32), colors.astype(np.float32)
+
+
+def _segment_centers(points, segment_id, num_segments):
+    sums = np.zeros((num_segments, 3), np.float64)
+    np.add.at(sums, segment_id, points)
+    cnt = np.bincount(segment_id, minlength=num_segments)[:, None]
+    return (sums / np.maximum(cnt, 1)).astype(np.float32)
+
+
+def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
+                  rng: np.random.Generator, train: bool = True
+                  ) -> Dict[str, np.ndarray]:
+    """One scene -> unpadded host arrays + sparse hierarchy."""
+    points = scene["points"].astype(np.float32).copy()
+    colors = scene["colors"].astype(np.float32).copy()
+    segment_id = scene["segment_id"]
+    inst_point = scene["instance_labels"]
+    inst_labels = scene["inst_labels"]
+
+    if train and cfg.use_aug:
+        points, colors = _augment(points, colors, rng)
+
+    # normalize color ((x+1)/2 maps [-1,1] -> [0,1] like the /255 path)
+    color_n = ((colors + 1) / 2 - COLOR_MEAN) / COLOR_STD
+
+    n_seg = int(segment_id.max()) + 1
+    seg_center = _segment_centers(points, segment_id, n_seg)
+
+    n_inst = len(inst_labels)
+    obj_center = np.zeros((n_inst, 3), np.float32)
+    segment_masks = np.zeros((n_inst, n_seg), bool)
+    for i in range(n_inst):
+        m = inst_point == i
+        if m.any():
+            obj_center[i] = points[m].mean(0)
+            segment_masks[i, np.unique(segment_id[m])] = True
+
+    # voxelize
+    vox_coords, unique_map, inverse_map = voxelize.quantize(points, cfg.voxel_size)
+    voxel_feats = color_n[unique_map]
+    voxel2segment = segment_id[unique_map].astype(np.int32)
+
+    # queries
+    if cfg.query_sample_strategy == "fps":
+        fps_idx = sampling.fps_numpy(vox_coords.astype(np.float32), cfg.num_queries)
+        query_locs = points[unique_map][fps_idx]
+        query_valid = np.ones(cfg.num_queries, bool)
+    elif cfg.query_sample_strategy == "gt":
+        query_locs = obj_center
+        query_valid = np.ones(len(obj_center), bool)
+    else:
+        raise NotImplementedError(cfg.query_sample_strategy)
+
+    hierarchy = kernel_maps.build_hierarchy(
+        vox_coords,
+        pad_sizes=list(cfg.level_caps) if cfg.level_caps else None,
+        bucket=cfg.voxel_bucket)
+
+    return {
+        "points": points,
+        "voxel_feats": voxel_feats,
+        "voxel2segment": voxel2segment,
+        "voxel_to_full": inverse_map.astype(np.int32),
+        "segment_to_full": segment_id.astype(np.int32),
+        "hierarchy": hierarchy,
+        "seg_center": seg_center,
+        "obj_center": obj_center,
+        "query_locs": query_locs.astype(np.float32),
+        "query_valid": query_valid,
+        "coord_min": points.min(0),
+        "coord_max": points.max(0),
+        "instance_labels": inst_labels.astype(np.int32),
+        "segment_masks": segment_masks,
+    }
+
+
+def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
+            ) -> Dict[str, np.ndarray]:
+    """Stack processed scenes into one fixed-shape batch.
+
+    Per-level pad sizes must agree across the batch: we re-pad every scene's
+    hierarchy to the per-level max (bucketed), then stack.
+    """
+    b = len(scenes)
+    n_levels = kernel_maps.NUM_LEVELS
+    if cfg.level_caps:
+        pad = list(cfg.level_caps)
+    else:
+        pad = [max(s["hierarchy"].pad_sizes[l] for s in scenes)
+               for l in range(n_levels)]
+    S, M, Q = cfg.max_segments, cfg.max_instances, cfg.num_queries
+
+    maps: Dict[str, List[np.ndarray]] = {}
+    batch: Dict[str, List[np.ndarray]] = {k: [] for k in [
+        "voxel_feats", "voxel2segment", "seg_center", "seg_pad_masks",
+        "query_locs", "query_pad_masks", "coord_min", "coord_max",
+        "instance_labels", "segment_masks", "instance_valid",
+        "obj_center", "obj_pad_masks",
+    ]}
+
+    for s in scenes:
+        h: kernel_maps.SparseHierarchy = s["hierarchy"]
+        h = _repad_hierarchy(h, pad)
+        for k, v in h.device_arrays().items():
+            maps.setdefault(k, []).append(v)
+        n0 = h.num_voxels[0]
+        batch["voxel_feats"].append(kernel_maps.pad_rows(s["voxel_feats"], pad[0]))
+        v2s = kernel_maps.pad_rows(s["voxel2segment"], pad[0], S)
+        v2s[n0:] = S  # trash bucket
+        batch["voxel2segment"].append(np.minimum(v2s, S))
+        ns = len(s["seg_center"])
+        batch["seg_center"].append(kernel_maps.pad_rows(s["seg_center"][:S], S))
+        batch["seg_pad_masks"].append(
+            kernel_maps.pad_rows(np.ones(min(ns, S), bool), S, False))
+        nq = len(s["query_locs"])
+        batch["query_locs"].append(kernel_maps.pad_rows(s["query_locs"][:Q], Q))
+        qv = kernel_maps.pad_rows(s["query_valid"][:Q], Q, False)
+        batch["query_pad_masks"].append(qv)
+        batch["coord_min"].append(s["coord_min"])
+        batch["coord_max"].append(s["coord_max"])
+        m = len(s["instance_labels"])
+        batch["instance_labels"].append(
+            kernel_maps.pad_rows(s["instance_labels"][:M], M, 0))
+        sm = s["segment_masks"][:M, :S]
+        sm = np.pad(sm, ((0, M - sm.shape[0]), (0, S - sm.shape[1])))
+        batch["segment_masks"].append(sm)
+        batch["instance_valid"].append(
+            kernel_maps.pad_rows(np.ones(min(m, M), bool), M, False))
+        no = len(s["obj_center"])
+        batch["obj_center"].append(kernel_maps.pad_rows(s["obj_center"][:M], M))
+        batch["obj_pad_masks"].append(
+            kernel_maps.pad_rows(np.ones(min(no, M), bool), M, False))
+
+    out = {k: np.stack(v) for k, v in batch.items()}
+    out["maps"] = {k: np.stack(v) for k, v in maps.items()}
+    return out
+
+
+def _repad_hierarchy(h: kernel_maps.SparseHierarchy, pad: List[int]
+                     ) -> kernel_maps.SparseHierarchy:
+    if h.pad_sizes == pad:
+        return h
+    # only grow (pads are per-level maxima over the batch)
+    assert all(p >= q for p, q in zip(pad, h.pad_sizes)), \
+        "cannot shrink hierarchy pads"
+    anc = np.zeros((kernel_maps.NUM_LEVELS, pad[0]), h.ancestor.dtype)
+    anc[:, :h.ancestor.shape[1]] = h.ancestor
+    return kernel_maps.SparseHierarchy(
+        num_voxels=h.num_voxels,
+        pad_sizes=pad,
+        coords=[kernel_maps.pad_rows(c, p) for c, p in zip(h.coords, pad)],
+        valid=[kernel_maps.pad_rows(v, p, False) for v, p in zip(h.valid, pad)],
+        nbr3=[kernel_maps.pad_rows(n, p, -1) for n, p in zip(h.nbr3, pad)],
+        nbr5_l0=kernel_maps.pad_rows(h.nbr5_l0, pad[0], -1),
+        child=[kernel_maps.pad_rows(c, pad[l + 1], -1)
+               for l, c in enumerate(h.child)],
+        parent=[kernel_maps.pad_rows(p_, pad[l], -1)
+                for l, p_ in enumerate(h.parent)],
+        parent_off=[kernel_maps.pad_rows(o, pad[l], 0)
+                    for l, o in enumerate(h.parent_off)],
+        ancestor=anc,
+    )
+
+
+def make_batch(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
+               rng: np.random.Generator, train: bool = True
+               ) -> Dict[str, np.ndarray]:
+    return collate([process_scene(s, cfg, rng, train) for s in scenes], cfg)

@@ -1,0 +1,182 @@
+"""Instance segmentation evaluation: ScanNet-style mask AP.
+
+Re-implementation of the reference's instseg evaluation flow (reference:
+evaluator/instseg_eval.py:100-304 + the standard ScanNet benchmark protocol
+in common/eval_instseg.py): per-query (class, score) ranking of
+class-probability x mask-score, thresholded masks, and per-class AP at IoU
+0.25 / 0.5 / [0.5:0.95].
+
+Round-1 scope notes (documented deviations):
+- masks are scored at **segment level** with segment-size weighting; the
+  reference reconstructs full-resolution point masks (instseg_eval.py:272-281)
+  — full-res reconstruction is wired in when real scan data with
+  voxel_to_full maps is mounted.
+- AP uses exact greedy confidence-ordered matching with the standard
+  precision envelope (trapezoid-free) integration.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from pq3d_tpu.eval.base import BaseEvaluator
+
+OVERLAPS = np.append(np.arange(0.5, 0.96, 0.05), [0.25])
+
+
+def mask_iou(pred: np.ndarray, gt: np.ndarray,
+             weights: Optional[np.ndarray] = None) -> float:
+    if weights is None:
+        inter = np.logical_and(pred, gt).sum()
+        union = np.logical_or(pred, gt).sum()
+    else:
+        inter = (np.logical_and(pred, gt) * weights).sum()
+        union = (np.logical_or(pred, gt) * weights).sum()
+    return float(inter) / max(float(union), 1e-9)
+
+
+def average_precision(scores: np.ndarray, is_tp: np.ndarray,
+                      n_gt: int) -> float:
+    """Confidence-ranked AP with monotone precision envelope."""
+    if n_gt == 0:
+        return float("nan")
+    if len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores)
+    tp = np.cumsum(is_tp[order])
+    fp = np.cumsum(~is_tp[order])
+    recall = tp / n_gt
+    precision = tp / np.maximum(tp + fp, 1)
+    # envelope
+    precision = np.maximum.accumulate(precision[::-1])[::-1]
+    r = np.concatenate([[0], recall, [recall[-1] if len(recall) else 0]])
+    p = np.concatenate([[precision[0] if len(precision) else 0], precision, [0]])
+    return float(np.sum((r[1:] - r[:-1]) * p[1:]))
+
+
+class InstSegEval(BaseEvaluator):
+    """Accumulates per-scene predictions; record() computes AP/AP50/AP25."""
+
+    def __init__(self, topk_per_scene: int = 100, num_classes: int = 200,
+                 score_threshold: float = 0.0, save_dir: Optional[str] = None):
+        super().__init__(save_dir)
+        self.topk = topk_per_scene
+        self.num_classes = num_classes
+        self.score_threshold = score_threshold
+        self.target_metric = "all_ap"
+        self._preds: List[Dict] = []
+        self._gts: List[Dict] = []
+
+    def reset(self):
+        super().reset()
+        self._preds, self._gts = [], []
+
+    def update(self, out: Dict[str, Any], batch: Dict[str, Any]) -> None:
+        cls_logits = np.asarray(out["predictions_class"][-1])   # (B,Q,C+1)
+        mask_logits = np.asarray(out["predictions_mask"][-1])   # (B,S,Q)
+        seg_valid = np.asarray(batch["seg_pad_masks"])
+        gt_masks = np.asarray(batch["segment_masks"]).astype(bool)
+        gt_labels = np.asarray(batch["instance_labels"])
+        gt_valid = np.asarray(batch["instance_valid"]).astype(bool)
+        seg_sizes = np.asarray(batch.get("segment_sizes",
+                                         np.ones(seg_valid.shape)))
+
+        b = cls_logits.shape[0]
+        for i in range(b):
+            self._update_scene(cls_logits[i], mask_logits[i], seg_valid[i],
+                               gt_masks[i], gt_labels[i], gt_valid[i],
+                               seg_sizes[i])
+
+    def _update_scene(self, cls_logits, mask_logits, seg_valid, gt_masks,
+                      gt_labels, gt_valid, seg_sizes):
+        """Per-query topk (class, score) ranking (ref get_mask_and_scores,
+        instseg_eval.py:283-304)."""
+        q = cls_logits.shape[0]
+        probs = _softmax(cls_logits)[:, :self.num_classes]  # drop no-object
+        mask_prob = _sigmoid(mask_logits) * seg_valid[:, None]
+        masks_bool = mask_prob > 0.5                         # (S, Q)
+
+        flat = probs.reshape(-1)
+        k = min(self.topk, len(flat))
+        top_idx = np.argpartition(-flat, k - 1)[:k]
+        preds = []
+        for idx in top_idx:
+            qi, ci = divmod(int(idx), self.num_classes)
+            m = masks_bool[:, qi]
+            denom = (mask_prob[:, qi] * m).size
+            mask_score = (mask_prob[m, qi].mean() if m.any() else 0.0)
+            score = float(flat[idx]) * float(mask_score)
+            if score <= self.score_threshold or not m.any():
+                continue
+            preds.append({"class": ci, "score": score, "mask": m})
+        self._preds.append(preds)
+        self._gts.append({
+            "masks": gt_masks[gt_valid] & seg_valid[None, :],
+            "labels": gt_labels[gt_valid],
+            "weights": seg_sizes,
+        })
+
+    def record(self) -> Dict[str, float]:
+        classes_present = sorted({int(l) for g in self._gts
+                                  for l in g["labels"]})
+        ap_table = np.full((len(OVERLAPS), max(len(classes_present), 1)),
+                           np.nan)
+        for ci, cls in enumerate(classes_present):
+            # gather predictions + matches across scenes
+            scores, ious, n_gt = [], [], 0
+            for scene_id, (preds, gt) in enumerate(zip(self._preds,
+                                                       self._gts)):
+                gt_idx = np.nonzero(gt["labels"] == cls)[0]
+                n_gt += len(gt_idx)
+                for p in preds:
+                    if p["class"] != cls:
+                        continue
+                    best = 0.0
+                    bi = -1
+                    for j, g in enumerate(gt_idx):
+                        iou = mask_iou(p["mask"], gt["masks"][g],
+                                       gt["weights"])
+                        if iou > best:
+                            best, bi = iou, j
+                    scores.append(p["score"])
+                    ious.append((scene_id, best, bi))
+            scores = np.asarray(scores)
+            best_ious = np.asarray([x[1] for x in ious]) if ious else \
+                np.zeros(0)
+            for oi, ov in enumerate(OVERLAPS):
+                # greedy: a pred is TP if best-IoU > ov and its gt unused
+                # (confidence order)
+                is_tp = np.zeros(len(scores), bool)
+                if len(scores):
+                    order = np.argsort(-scores)
+                    used = set()
+                    for r in order:
+                        scene_gt = ious[r]
+                        if best_ious[r] > ov and (scene_gt[0], scene_gt[2]) \
+                                not in used and scene_gt[2] >= 0:
+                            is_tp[r] = True
+                            used.add((scene_gt[0], scene_gt[2]))
+                ap_table[oi, ci] = average_precision(scores, is_tp, n_gt)
+
+        with np.errstate(invalid="ignore"):
+            all_ap = np.nanmean(ap_table[:-1, :])  # 0.5:0.95
+            ap50 = np.nanmean(ap_table[0, :])
+            ap25 = np.nanmean(ap_table[-1, :])
+        results = {
+            "all_ap": float(np.nan_to_num(all_ap)),
+            "all_ap_50%": float(np.nan_to_num(ap50)),
+            "all_ap_25%": float(np.nan_to_num(ap25)),
+            "target_metric": float(np.nan_to_num(all_ap)),
+        }
+        return results
+
+
+def _softmax(x):
+    x = x - x.max(-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(-1, keepdims=True)
+
+
+def _sigmoid(x):
+    return 1 / (1 + np.exp(-np.clip(x, -30, 30)))

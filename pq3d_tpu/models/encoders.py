@@ -1,0 +1,120 @@
+"""Vision / memory encoders (flax linen).
+
+Re-designs of the reference's encoders:
+- SegVoxelEncoder  <- PCDMask3DSegLevelEncoder (modules/vision/pcd_mask3d_encoder.py:115-154)
+- ObjectEncoder    <- modules/vision/object_encoder.py:14-79
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pq3d_tpu.ops import segment
+from pq3d_tpu.models.layers import dense_init
+from pq3d_tpu.models.sparse_unet import Res16UNet
+from pq3d_tpu.registry import VISION_REGISTRY
+
+
+class ProjectLN(nn.Module):
+    """Linear + LayerNorm (+ Dropout) projection block used all over the
+    reference (e.g. object_encoder.py:34, pcd_mask3d_encoder.py:125-130)."""
+    hidden_size: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_size, kernel_init=dense_init)(x)
+        x = nn.LayerNorm()(x)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
+
+
+@VISION_REGISTRY.register(name="PCDMask3DSegLevelEncoder")
+class SegVoxelEncoder(nn.Module):
+    """Voxel U-Net -> per-scale segment-pooled features.
+
+    For each hlevel the decoder feature map is broadcast to level-0 voxels
+    via the precomputed ancestor index (replacing chained
+    MinkowskiPoolingTranspose), mean-pooled onto segments, and projected
+    (ref pcd_mask3d_encoder.py:133-154).  Output: list over hlevels+[final]
+    of (B, max_seg, hidden).
+    """
+    hidden_size: int = 768
+    hlevels: Sequence[int] = (0, 1, 2, 3)
+    dropout: float = 0.1
+    freeze_backbone: bool = False
+    backbone_out_channels: int = 200
+    bn_momentum: float = 0.02
+    conv1_kernel_size: int = 5
+
+    @nn.compact
+    def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
+                 voxel2segment: jnp.ndarray, max_seg: int,
+                 train: bool = False, deterministic: bool = True
+                 ) -> List[jnp.ndarray]:
+        backbone = Res16UNet(out_channels=self.backbone_out_channels,
+                             bn_momentum=self.bn_momentum,
+                             conv1_kernel_size=self.conv1_kernel_size,
+                             name="backbone")
+        bb_train = train and not self.freeze_backbone
+        _, feature_maps = backbone(voxel_feats, maps, train=bb_train)
+        if self.freeze_backbone:
+            feature_maps = [jax.lax.stop_gradient(f) for f in feature_maps]
+
+        valid0 = maps["valid_0"]
+        ancestor = maps["ancestor"]  # (B, 5, P0)
+        out: List[jnp.ndarray] = []
+        for i, hlevel in enumerate(list(self.hlevels) + [4]):
+            feat = feature_maps[hlevel]          # (B, P_{4-hlevel}, C)
+            lvl = 4 - hlevel
+            if lvl > 0:
+                anc = ancestor[:, lvl, :]
+                feat = jax.vmap(lambda f, a: jnp.take(f, jnp.maximum(a, 0), axis=0)
+                                )(feat, anc)
+                feat = jnp.where(valid0[..., None], feat, 0)
+            seg_feat = jax.vmap(segment.segment_mean, in_axes=(0, 0, None))(
+                feat, voxel2segment, max_seg)   # (B, max_seg, C)
+            seg_feat = ProjectLN(self.hidden_size, self.dropout,
+                                 name=f"feat_proj_{i}")(seg_feat, deterministic)
+            out.append(seg_feat)
+        return out
+
+
+@VISION_REGISTRY.register(name="ObjectEncoder")
+class ObjectEncoder(nn.Module):
+    """Per-object/segment feature projection, optional PointNet++ backbone
+    (ref object_encoder.py:14-79)."""
+    hidden_size: int = 768
+    input_feat_size: int = 768
+    use_projection: bool = True
+    dropout: float = 0.1
+    backbone: str = "none"          # 'none' | 'pointnet++'
+    freeze_backbone: bool = False
+    use_cls_head: bool = False
+    tgt_cls_num: int = 607
+
+    @nn.compact
+    def __call__(self, obj_feats: jnp.ndarray, deterministic: bool = True):
+        if self.backbone == "pointnet++":
+            from pq3d_tpu.models.pointnet import PointNetPP
+            b, o = obj_feats.shape[:2]
+            pts = obj_feats.reshape((b * o,) + obj_feats.shape[2:])
+            feats = PointNetPP(name="backbone")(pts, deterministic=deterministic)
+            if self.freeze_backbone:
+                feats = jax.lax.stop_gradient(feats)
+            obj_feats = feats.reshape(b, o, -1)
+        out = obj_feats
+        if self.use_projection:
+            out = nn.Dense(self.hidden_size, kernel_init=dense_init,
+                           name="input_feat_proj")(out)
+            out = nn.LayerNorm()(out)
+        if self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        if self.use_cls_head:
+            from pq3d_tpu.models.layers import MLPHead
+            logits = MLPHead(self.input_feat_size // 2, self.tgt_cls_num,
+                             dropout=0.3, name="cls_head")(obj_feats, deterministic)
+            return out, logits
+        return out

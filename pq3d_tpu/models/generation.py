@@ -1,0 +1,67 @@
+"""T5 generation head: query embeddings -> caption/answer tokens.
+
+Re-design of the reference's T5 head (reference:
+modules/heads/generation_head.py:8-30): projected query embeddings act as
+the encoder states; teacher-forced logits in training, greedy decode at
+eval.  The greedy loop is a fixed-length ``lax.scan`` (static shapes; 50
+tokens over <=120 queries is tiny).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pq3d_tpu.models.layers import dense_init
+from pq3d_tpu.models.t5 import T5Decoder, T5_PAD_ID, T5_EOS_ID
+from pq3d_tpu.registry import HEADS_REGISTRY
+
+
+@HEADS_REGISTRY.register(name="T5")
+class T5GenerationHead(nn.Module):
+    cfg: "GenerationHeadCfg" = None  # pq3d_tpu.models.query3d.GenerationHeadCfg
+
+    @nn.compact
+    def __call__(self, query_embeds: jnp.ndarray, query_valid: jnp.ndarray,
+                 labels: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        c = self.cfg
+        enc = query_embeds
+        if c.use_projection:
+            enc = nn.Dense(c.d_model, kernel_init=dense_init,
+                           name="input_proj")(enc)
+            enc = nn.LayerNorm()(enc)
+        decoder = T5Decoder(vocab_size=c.vocab_size, d_model=c.d_model,
+                            d_kv=c.d_kv, d_ff=c.d_ff,
+                            num_layers=c.num_layers, heads=c.num_heads,
+                            name="decoder")
+
+        if labels is not None:
+            # teacher forcing: shift-right with the decoder start (=pad) token
+            dec_in = jnp.pad(labels[:, :-1], ((0, 0), (1, 0)),
+                             constant_values=T5_PAD_ID)
+            dec_valid = jnp.pad(labels[:, :-1] != T5_PAD_ID, ((0, 0), (1, 0)),
+                                constant_values=True)
+            return decoder(dec_in, enc, query_valid, dec_valid,
+                           deterministic=deterministic)
+
+        # greedy decode, fixed max_new_tokens
+        b = enc.shape[0]
+        L = c.max_new_tokens
+
+        def step(tokens, t):
+            logits = decoder(tokens, enc, query_valid, None,
+                             deterministic=True)
+            nxt = jnp.argmax(logits[:, t, :], axis=-1).astype(jnp.int32)
+            # freeze after EOS
+            finished = (tokens == T5_EOS_ID).any(axis=1)
+            nxt = jnp.where(finished, T5_PAD_ID, nxt)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, nxt[:, None], (0, t + 1))
+            return tokens, None
+
+        tokens0 = jnp.full((b, L + 1), T5_PAD_ID, jnp.int32)
+        tokens, _ = jax.lax.scan(step, tokens0, jnp.arange(L))
+        return tokens[:, 1:]  # strip the decoder start token (ref :29)

@@ -1,0 +1,159 @@
+"""Sparse residual U-Net over host-built kernel maps (flax linen).
+
+TPU-native re-design of the Minkowski ``Res16UNet34C`` backbone the reference
+uses for voxels (reference: modules/third_party/mask3d/res16unet.py:9-314,
+390-391; resnet_block.py BasicBlock).  Identical topology — conv0 (5^3) ->
+4x stride-2 encoder ladder -> 4x transpose-conv decoder with skip concats ->
+final 1x1 conv — but every sparse conv is a gather->GEMM over precomputed
+neighbor maps (:mod:`pq3d_tpu.ops.kernel_maps`), batched with a leading
+scene dimension and masked batch norm (sync-BN under a sharded data axis).
+
+Inputs per scene are padded to static per-level sizes; the whole network is
+jit-compatible with zero recompilation across scenes.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pq3d_tpu.ops import sparse
+from pq3d_tpu.models.layers import MaskedBatchNorm
+
+conv_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def _vconv(x, nbr, w, valid):
+    return jax.vmap(sparse.sparse_conv, in_axes=(0, 0, None, None, 0))(
+        x, nbr, w, None, valid)
+
+
+def _vconv_tr(x, parent, parent_off, w, valid):
+    return jax.vmap(sparse.sparse_conv_transpose, in_axes=(0, 0, 0, None, 0))(
+        x, parent, parent_off, w, valid)
+
+
+class SparseConv(nn.Module):
+    """Kernel-map sparse conv layer; kernel volume inferred from the map."""
+    out_channels: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x, nbr, valid):
+        k = nbr.shape[-1]
+        w = self.param("kernel", conv_init, (k, x.shape[-1], self.out_channels))
+        y = _vconv(x, nbr, w, valid)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
+            y = jnp.where(valid[..., None], y + b, 0)
+        return y
+
+
+class SparseConvTranspose(nn.Module):
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, parent, parent_off, valid):
+        w = self.param("kernel", conv_init, (8, x.shape[-1], self.out_channels))
+        return _vconv_tr(x, parent, parent_off, w, valid)
+
+
+class BasicBlock(nn.Module):
+    """conv3 -> BN -> ReLU -> conv3 -> BN -> (+residual) -> ReLU
+    (ref resnet_block.py:7-70)."""
+    planes: int
+    bn_momentum: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, nbr, valid, train: bool):
+        residual = x
+        out = SparseConv(self.planes, name="conv1")(x, nbr, valid)
+        out = MaskedBatchNorm(self.bn_momentum, name="norm1")(out, valid, not train)
+        out = jax.nn.relu(out)
+        out = SparseConv(self.planes, name="conv2")(out, nbr, valid)
+        out = MaskedBatchNorm(self.bn_momentum, name="norm2")(out, valid, not train)
+        if x.shape[-1] != self.planes:
+            residual = nn.Dense(self.planes, use_bias=False, kernel_init=conv_init,
+                                name="downsample_conv")(x)
+            residual = MaskedBatchNorm(self.bn_momentum, name="downsample_norm")(
+                residual, valid, not train)
+        out = jax.nn.relu(out + residual)
+        return jnp.where(valid[..., None], out, 0)
+
+
+class ResStage(nn.Module):
+    planes: int
+    layers: int
+    bn_momentum: float = 0.02
+
+    @nn.compact
+    def __call__(self, x, nbr, valid, train: bool):
+        for i in range(self.layers):
+            x = BasicBlock(self.planes, self.bn_momentum, name=f"block{i}")(
+                x, nbr, valid, train)
+        return x
+
+
+class Res16UNet(nn.Module):
+    """Res16UNet34C-equivalent sparse U-Net.
+
+    ``maps`` is the batched output of
+    ``SparseHierarchy.device_arrays()`` (leading scene dim):
+      valid_{0..4}, nbr3_{0..4}, nbr5_0, child_{0..3}, parent_{0..3},
+      parent_off_{0..3}, ancestor.
+
+    Returns (out, feature_maps) with feature_maps = [L4, L3, L2, L1, L0]
+    like the reference's out_fpn path (res16unet.py:241-314).
+    """
+    out_channels: int = 200
+    init_dim: int = 32
+    planes: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)
+    layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
+    conv1_kernel_size: int = 5
+    bn_momentum: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, maps: Dict[str, jnp.ndarray],
+                 train: bool = False
+                 ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+        P = self.planes
+        v = [maps[f"valid_{l}"] for l in range(5)]
+        n = [maps[f"nbr3_{l}"] for l in range(5)]
+        bn = lambda name: MaskedBatchNorm(self.bn_momentum, name=name)
+
+        # stem (level 0)
+        out = SparseConv(self.init_dim, name="conv0")(x, maps["nbr5_0"], v[0])
+        out_p1 = jax.nn.relu(bn("bn0")(out, v[0], not train))
+
+        # encoder ladder: stride-2 conv then residual stage
+        skips = [out_p1]
+        out = out_p1
+        enc_planes = [P[0], P[1], P[2], P[3]]
+        for l in range(4):
+            out = SparseConv(out.shape[-1], name=f"conv{l+1}s2")(
+                out, maps[f"child_{l}"], v[l + 1])
+            out = jax.nn.relu(bn(f"bn{l+1}")(out, v[l + 1], not train))
+            out = ResStage(enc_planes[l], self.layers[l], self.bn_momentum,
+                           name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train)
+            skips.append(out)
+
+        feature_maps = [out]  # L4
+
+        # decoder ladder: transpose conv, concat skip, residual stage
+        dec_planes = [P[4], P[5], P[6], P[7]]
+        for i in range(4):
+            lvl = 3 - i  # output level of this upsample
+            out = SparseConvTranspose(dec_planes[i], name=f"convtr{i+4}")(
+                out, maps[f"parent_{lvl}"], maps[f"parent_off_{lvl}"], v[lvl])
+            out = jax.nn.relu(bn(f"bntr{i+4}")(out, v[lvl], not train))
+            out = jnp.concatenate([out, skips[lvl]], axis=-1)
+            out = ResStage(dec_planes[i], self.layers[i + 4], self.bn_momentum,
+                           name=f"stage{i+5}")(out, n[lvl], v[lvl], train)
+            feature_maps.append(out)
+
+        final = nn.Dense(self.out_channels, kernel_init=conv_init,
+                         name="final")(out)
+        final = jnp.where(v[0][..., None], final, 0)
+        return final, feature_maps

@@ -170,7 +170,8 @@ def bucket_pad_sizes(counts: List[int], bucket: int = 4096,
 
 
 def build_hierarchy(coords0: np.ndarray, pad_sizes: Optional[List[int]] = None,
-                    conv0_kernel: int = 5) -> SparseHierarchy:
+                    conv0_kernel: int = 5, bucket: int = 4096
+                    ) -> SparseHierarchy:
     """Build the full coordinate pyramid + all kernel maps for one scene.
 
     ``coords0``: (N, 3) int32 quantized voxel coords (single scene, no batch
@@ -186,7 +187,7 @@ def build_hierarchy(coords0: np.ndarray, pad_sizes: Optional[List[int]] = None,
 
     num_voxels = [len(c) for c in levels]
     if pad_sizes is None:
-        pad_sizes = bucket_pad_sizes(num_voxels)
+        pad_sizes = bucket_pad_sizes(num_voxels, bucket=bucket)
     for l in range(NUM_LEVELS):
         if num_voxels[l] > pad_sizes[l]:
             raise ValueError(

@@ -1,0 +1,195 @@
+"""Losses (pure functions over padded, fixed-shape arrays).
+
+Re-designs of the reference's criteria:
+- InstSegSetCriterion <- Mask3D SetCriterion + HungarianMatcher
+  (reference: modules/third_party/mask3d/criterion.py:95-270,
+  matcher.py:67-225, optim/loss/instseg_loss.py:9-51) — but the assignment
+  runs on device (:mod:`pq3d_tpu.ops.hungarian`), no host sync.
+- ground/generation/cls cross-entropies <- optim/loss/query3d_loss.py:8-26
+- direct (gt-matched) mask loss <- optim/loss/instseg_loss.py:54-133
+
+All target tensors are padded; validity masks make the math exact.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pq3d_tpu.ops import hungarian
+
+PAD_COST = 1e4  # constant cost for padded targets (preserves real matching)
+
+
+def _bce_logits(x, t):
+    """Elementwise binary cross entropy with logits (stable)."""
+    return jnp.maximum(x, 0) - x * t + jnp.log1p(jnp.exp(-jnp.abs(x)))
+
+
+def batch_class_cost(pred_logits: jnp.ndarray, labels: jnp.ndarray,
+                     ignore_label: int = -100) -> jnp.ndarray:
+    """-prob[target] matching cost; ignored targets cost a constant -1
+    (ref matcher.py:112-127). (B,Q,C), (B,M) -> (B,Q,M)."""
+    prob = jax.nn.softmax(pred_logits.astype(jnp.float32), axis=-1)
+    ignore = labels == ignore_label
+    safe = jnp.maximum(labels, 0)
+    cost = -jnp.take_along_axis(prob, safe[:, None, :], axis=-1)
+    return jnp.where(ignore[:, None, :], -1.0, cost)
+
+
+def batch_mask_cost(mask_logits: jnp.ndarray, tgt_masks: jnp.ndarray,
+                    seg_valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """BCE + dice matching costs over valid segments.
+
+    mask_logits (B,S,Q), tgt (B,M,S), seg_valid (B,S) ->
+    (cost_bce (B,Q,M), cost_dice (B,Q,M)).
+    (ref matcher.py:12-64, averaged over actual segment count.)
+    """
+    x = mask_logits.astype(jnp.float32)
+    t = tgt_masks.astype(jnp.float32)
+    w = seg_valid.astype(jnp.float32)
+    s_valid = jnp.maximum(w.sum(-1), 1.0)[:, None, None]
+
+    pos = _bce_logits(x, 1.0) * w[..., None]   # (B,S,Q)
+    neg = _bce_logits(x, 0.0) * w[..., None]
+    tw = t * w[:, None, :]                      # (B,M,S)
+    cost_bce = (jnp.einsum("bsq,bms->bqm", pos, tw) +
+                jnp.einsum("bsq,bms->bqm", neg, (1 - t) * w[:, None, :])) / s_valid
+
+    p = jax.nn.sigmoid(x) * w[..., None]
+    num = 2 * jnp.einsum("bsq,bms->bqm", p, tw)
+    den = p.sum(1)[:, :, None] + tw.sum(-1)[:, None, :]
+    cost_dice = 1 - (num + 1) / (den + 1)
+    return cost_bce, cost_dice
+
+
+@dataclasses.dataclass(frozen=True)
+class InstSegLossConfig:
+    cost_class: float = 2.0
+    cost_mask: float = 5.0
+    cost_dice: float = 2.0
+    num_classes: int = 200
+    ignore_label: int = -100
+
+
+def match_layer(pred_logits, mask_logits, labels, tgt_masks, inst_valid,
+                seg_valid, cfg: InstSegLossConfig) -> jnp.ndarray:
+    """Hungarian match of one prediction round -> (B, M) query index per
+    target (padded targets get arbitrary distinct queries)."""
+    c_cls = batch_class_cost(pred_logits, labels, cfg.ignore_label)
+    c_bce, c_dice = batch_mask_cost(mask_logits, tgt_masks, seg_valid)
+    cost = (cfg.cost_class * c_cls + cfg.cost_mask * c_bce +
+            cfg.cost_dice * c_dice)                      # (B, Q, M)
+    cost = jnp.where(inst_valid[:, None, :], cost, PAD_COST)
+    cost = jnp.swapaxes(cost, 1, 2)                      # (B, M, Q): rows=targets
+    return hungarian.solve_batch(jax.lax.stop_gradient(cost))
+
+
+def instseg_layer_loss(pred_logits, mask_logits, col4row, labels, tgt_masks,
+                       inst_valid, seg_valid, cfg: InstSegLossConfig
+                       ) -> Dict[str, jnp.ndarray]:
+    """CE + BCE + dice for one prediction round given an assignment
+    (ref criterion.py:136-196)."""
+    b, q, _ = pred_logits.shape
+
+    # ---- classification: scatter matched labels onto queries -------------
+    target_classes = jnp.full((b, q), cfg.num_classes, jnp.int32)
+    scatter_idx = jnp.where(inst_valid, col4row, q)  # q -> dropped
+    target_classes = jax.vmap(
+        lambda tc, idx, lab: tc.at[idx].set(lab, mode="drop"))(
+        target_classes, scatter_idx, labels.astype(jnp.int32))
+    logp = jax.nn.log_softmax(pred_logits.astype(jnp.float32), axis=-1)
+    not_ignored = target_classes != cfg.ignore_label
+    safe_t = jnp.where(not_ignored, jnp.minimum(target_classes, cfg.num_classes), 0)
+    nll = -jnp.take_along_axis(logp, safe_t[..., None], axis=-1)[..., 0]
+    loss_ce = (nll * not_ignored).sum() / jnp.maximum(not_ignored.sum(), 1)
+
+    # ---- masks: gather matched query masks per target ---------------------
+    # mask_logits (B,S,Q) -> matched (B,M,S)
+    matched = jnp.take_along_axis(
+        jnp.swapaxes(mask_logits, 1, 2),            # (B,Q,S)
+        jnp.minimum(col4row, q - 1)[..., None], axis=1)
+    t = tgt_masks.astype(jnp.float32)
+    w_seg = seg_valid.astype(jnp.float32)[:, None, :]
+    w_inst = inst_valid.astype(jnp.float32)
+    n_inst = jnp.maximum(w_inst.sum(-1), 1.0)
+
+    bce = _bce_logits(matched.astype(jnp.float32), t)
+    per_inst_bce = (bce * w_seg).sum(-1) / jnp.maximum(w_seg.sum(-1), 1.0)
+    loss_mask = ((per_inst_bce * w_inst).sum(-1) / n_inst).mean()
+
+    p = jax.nn.sigmoid(matched.astype(jnp.float32)) * w_seg
+    tw = t * w_seg
+    num = 2 * (p * tw).sum(-1)
+    den = p.sum(-1) + tw.sum(-1)
+    dice = 1 - (num + 1) / (den + 1)
+    loss_dice = ((dice * w_inst).sum(-1) / n_inst).mean()
+
+    return {"loss_ce": loss_ce, "loss_mask": loss_mask, "loss_dice": loss_dice}
+
+
+def instseg_set_loss(predictions_class: List[jnp.ndarray],
+                     predictions_mask: List[jnp.ndarray],
+                     batch: Dict[str, jnp.ndarray],
+                     cfg: InstSegLossConfig = InstSegLossConfig()
+                     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Full set-criterion over all prediction rounds (aux layers included,
+    ref criterion.py:219-270 + weight dict instseg_loss.py:22-30)."""
+    labels = batch["instance_labels"]
+    tgt_masks = batch["segment_masks"]
+    inst_valid = batch["instance_valid"]
+    seg_valid = batch["seg_pad_masks"]
+
+    losses: Dict[str, jnp.ndarray] = {}
+    total = 0.0
+    n = len(predictions_class)
+    for i in range(n):
+        cls_l, msk_l = predictions_class[i], predictions_mask[i]
+        col4row = match_layer(cls_l, msk_l, labels, tgt_masks, inst_valid,
+                              seg_valid, cfg)
+        ld = instseg_layer_loss(cls_l, msk_l, col4row, labels, tgt_masks,
+                                inst_valid, seg_valid, cfg)
+        suffix = "" if i == n - 1 else f"_{i}"
+        losses[f"loss_ce{suffix}"] = ld["loss_ce"] * cfg.cost_class
+        losses[f"loss_mask{suffix}"] = ld["loss_mask"] * cfg.cost_mask
+        losses[f"loss_dice{suffix}"] = ld["loss_dice"] * cfg.cost_dice
+        total = total + losses[f"loss_ce{suffix}"] + \
+            losses[f"loss_mask{suffix}"] + losses[f"loss_dice{suffix}"]
+    return total, losses
+
+
+# ---------------------------------------------------------------------------
+# generic head losses (ref optim/loss/query3d_loss.py:8-26)
+# ---------------------------------------------------------------------------
+
+def cross_entropy(logits: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """CE along the last dim; BCE when label has logits' shape
+    (ref query3d_loss.py:10-20, incl. the clamp at -100)."""
+    logits = jnp.clip(logits, -100, None).astype(jnp.float32)
+    if label.shape == logits.shape:
+        return _bce_logits(logits, label.astype(jnp.float32)).mean()
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot_nll = -jnp.take_along_axis(
+        logp.reshape(-1, logp.shape[-1]),
+        label.reshape(-1, 1).astype(jnp.int32), axis=-1)
+    return onehot_nll.mean()
+
+
+def ground_loss(out: Dict, batch: Dict) -> jnp.ndarray:
+    return cross_entropy(out["ground_logits"], batch["tgt_object_id"])
+
+
+def generation_loss(out: Dict, batch: Dict, pad_id: int = 0) -> jnp.ndarray:
+    """Teacher-forced seq CE ignoring pad (T5 labels use pad 0 -> masked
+    via response_valid)."""
+    logits = out["generation_logits"].astype(jnp.float32)
+    labels = batch["response"]
+    valid = batch.get("response_valid")
+    if valid is None:
+        valid = labels != pad_id
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32),
+                               axis=-1)[..., 0]
+    return (nll * valid).sum() / jnp.maximum(valid.sum(), 1)

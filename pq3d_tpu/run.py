@@ -1,0 +1,111 @@
+"""Experiment runner (CLI).
+
+Mirrors the reference's Hydra entry point (reference: run.py:12-57):
+
+  python -m pq3d_tpu.run --config-name instseg_synthetic.yaml \
+      solver.epochs=5 dataloader.batchsize=4
+
+Loads the YAML config (packaged or by path), applies dotted overrides,
+names the experiment dir, snapshots the resolved config, builds the
+trainer, runs train or test.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_instseg_trainer(cfg):
+    from pq3d_tpu.data.datasets import InstSegLoader
+    from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig
+    from pq3d_tpu.models.query3d import build_model
+    from pq3d_tpu.optim.losses import InstSegLossConfig, instseg_set_loss
+    from pq3d_tpu.registry import DATASET_REGISTRY, TRAINER_REGISTRY
+    import pq3d_tpu.train.trainer  # registers trainers
+    import pq3d_tpu.models  # registers model modules
+
+    iopt = cfg.data.instseg_options
+    pipe_cfg = InstSegPipelineConfig(
+        voxel_size=float(iopt.voxel_size),
+        num_queries=int(iopt.num_queries),
+        query_sample_strategy=iopt.get("query_sample_strategy", "fps"),
+        max_segments=int(iopt.get("max_segments", 512)),
+        max_instances=int(iopt.get("max_instances", 120)),
+        voxel_bucket=int(iopt.get("voxel_bucket", 4096)),
+        filter_out_classes=tuple(iopt.get("filter_out_classes", (0, 2))),
+        ignore_label=int(iopt.get("ignore_label", -100)))
+
+    def make_loader(split, train):
+        ds_name = cfg.data.get(split)[0]
+        ds = DATASET_REGISTRY.get(ds_name)(cfg, split)
+        bs = int(cfg.dataloader.batchsize if train
+                 else cfg.dataloader.get("batchsize_eval",
+                                         cfg.dataloader.batchsize))
+        return InstSegLoader(ds, pipe_cfg, bs, train,
+                             seed=int(cfg.get("rng_seed", 42))), len(ds) // bs
+
+    train_loader, steps_per_epoch = make_loader("train", True)
+    val_loader, _ = make_loader("val", False)
+
+    model = build_model(cfg)
+    m_loss = cfg.model.get("InstSegLoss", {}) or {}
+    matcher = m_loss.get("matcher", {}) or {}
+    loss_cfg = InstSegLossConfig(
+        cost_class=float(matcher.get("cost_class", 2.0)),
+        cost_mask=float(matcher.get("cost_mask", 5.0)),
+        cost_dice=float(matcher.get("cost_dice", 2.0)),
+        num_classes=int(cfg.data.instseg_options.num_labels),
+        ignore_label=int(iopt.get("ignore_label", -100)))
+
+    def loss_fn(out, batch):
+        return instseg_set_loss(out["predictions_class"],
+                                out["predictions_mask"], batch, loss_cfg)
+
+    evaluator = None
+    if cfg.get("eval") and cfg.eval.get("name") == "InstSegEval":
+        from pq3d_tpu.eval.instseg_eval import InstSegEval
+        evaluator = InstSegEval(
+            topk_per_scene=int(cfg.eval.get("topk_per_scene", 100)),
+            num_classes=int(cfg.data.instseg_options.num_labels))
+
+    trainer_cls = TRAINER_REGISTRY.get(cfg.get("trainer", "Query3DTrainer"))
+    total_steps = steps_per_epoch * int(cfg.solver.epochs)
+    return trainer_cls(cfg, model, loss_fn, train_loader, val_loader,
+                       evaluator, total_steps=total_steps)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("pq3d_tpu.run")
+    parser.add_argument("--config-name", required=True)
+    parser.add_argument("overrides", nargs="*")
+    args = parser.parse_args(argv)
+
+    from pq3d_tpu.config import load_config
+    cfg = load_config(args.config_name, overrides=args.overrides)
+
+    # experiment dir naming (ref run.py:25-42)
+    if not cfg.get("exp_dir"):
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        cfg.exp_dir = os.path.join(cfg.get("base_dir", "outputs"),
+                                   f"{cfg.get('name', 'exp')}-{stamp}")
+    os.makedirs(cfg.exp_dir, exist_ok=True)
+    with open(os.path.join(cfg.exp_dir, "config.yaml"), "w") as f:
+        f.write(cfg.to_yaml())
+
+    task = cfg.get("task", "InstSeg")
+    if task == "InstSeg":
+        trainer = build_instseg_trainer(cfg)
+    else:
+        raise NotImplementedError(f"task {task} runner lands with stage 2")
+
+    if cfg.get("mode", "train") == "train":
+        trainer.run()
+    else:
+        trainer.eval_epoch(0)
+
+
+if __name__ == "__main__":
+    main()
