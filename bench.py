@@ -68,16 +68,18 @@ def main():
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         batch, train=False)
 
-    fwd = jax.jit(lambda v, b: model.apply(v, b, train=False))
-    out = fwd(variables, batch)
-    jax.block_until_ready(out)
+    # reduce outputs to one scalar inside the jit and read it back per
+    # iteration: block_until_ready on the axon platform does not reliably
+    # block, so a host readback is the only trustworthy fence.
+    fwd = jax.jit(lambda v, b: sum(
+        jnp.sum(x) for x in jax.tree.leaves(model.apply(v, b, train=False))))
+    _ = float(fwd(variables, batch))
 
     # timed steady-state
-    n_iter = 10
+    n_iter = 5
     t0 = time.time()
     for _ in range(n_iter):
-        out = fwd(variables, batch)
-    jax.block_until_ready(out)
+        _ = float(fwd(variables, batch))
     dt = (time.time() - t0) / n_iter
     scenes_per_sec = batch_size / dt
 

@@ -1,0 +1,213 @@
+"""Unified-task (stage-2) host pipeline: object-centric batches for
+grounding / QA / captioning.
+
+Performs what the reference splits across ``SceneVerseBase.get_scene``,
+``ScanFamilyDatasetWrapper`` and ``UnifiedTaskDatasetWrapper`` (reference:
+data/datasets/sceneverse_base.py:287-407, scanfamily_wrapper.py:8-45,
+unifiedtask_wrapper.py:21-133): per-object point sampling + normalization,
+object crop prioritizing targets, prompt/response assembly, BCE label
+construction, fixed-shape padding.
+
+Task ids follow the reference (unifiedtask_wrapper.py:14-20):
+0 = refer, 1 = QA, 2 = caption.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from pq3d_tpu.models.query3d import PROMPT_LOC, PROMPT_TXT
+
+TASK_REFER, TASK_QA, TASK_CAPTION = 0, 1, 2
+
+
+@dataclasses.dataclass
+class UnifiedPipelineConfig:
+    max_obj_len: int = 80
+    num_points: int = 1024
+    prompt_len: int = 32
+    response_len: int = 32
+    rot_aug: bool = True
+    dim_loc: int = 6
+
+
+def build_rotate_mat(rng: np.random.Generator) -> Optional[np.ndarray]:
+    """Random z-rotation by multiples of 90 deg (ref data_utils.py:140-155)."""
+    theta = rng.integers(0, 4) * np.pi / 2
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def process_objects(obj_pcds: np.ndarray, rot: Optional[np.ndarray]):
+    """Per-object center/size + unit-ball normalization
+    (ref sceneverse_base.py:444-469 _obj_processing_post)."""
+    pcds = obj_pcds.copy()
+    if rot is not None:
+        pcds[:, :, :3] = pcds[:, :, :3] @ rot.T
+    xyz = pcds[:, :, :3]
+    center = xyz.mean(1)
+    mn, mx = xyz.min(1), xyz.max(1)
+    size = mx - mn
+    obj_locs = np.concatenate([center, size], axis=1)
+    obj_boxes = np.concatenate([(mn + mx) / 2, size], axis=1)
+    pcds[:, :, :3] -= xyz.mean(1, keepdims=True)
+    max_dist = np.maximum(
+        np.sqrt((pcds[:, :, :3] ** 2).sum(2)).max(1), 1e-6)
+    pcds[:, :, :3] /= max_dist[:, None, None]
+    return pcds.astype(np.float32), obj_locs.astype(np.float32), \
+        obj_boxes.astype(np.float32)
+
+
+def sample_object_points(scene: Dict[str, np.ndarray], num_points: int,
+                         rng: np.random.Generator) -> np.ndarray:
+    """(n_inst, num_points, 6) xyz+rgb per instance."""
+    n_inst = len(scene["inst_labels"])
+    out = np.zeros((n_inst, num_points, 6), np.float32)
+    for i in range(n_inst):
+        m = np.nonzero(scene["instance_labels"] == i)[0]
+        if len(m) == 0:
+            continue
+        pick = rng.choice(m, size=num_points, replace=len(m) < num_points)
+        out[i, :, :3] = scene["points"][pick]
+        out[i, :, 3:] = scene["colors"][pick]
+    return out
+
+
+def make_bce_label(indices: Sequence[int], num_classes: int) -> np.ndarray:
+    v = np.zeros(num_classes, np.float32)
+    for i in indices:
+        if 0 <= i < num_classes:
+            v[i] = 1.0
+    return v
+
+
+def process_item(scene: Dict[str, np.ndarray], lang: Dict,
+                 cfg: UnifiedPipelineConfig, rng: np.random.Generator,
+                 train: bool, feature_dims: Dict[str, int]) -> Dict:
+    """One (scene, language) item -> unpadded arrays.
+
+    ``lang``: {task_id, prompt_tokens (TXT) , tgt_object_ids (list[int]),
+               response_tokens, answers/captions metadata...}
+    """
+    O = cfg.max_obj_len
+    task_id = lang["task_id"]
+    tgt_ids = list(lang.get("tgt_object_ids", []))
+
+    obj_pcds = sample_object_points(scene, cfg.num_points, rng)
+    n_obj = len(obj_pcds)
+    # crop: targets first (ref sceneverse_base.py:334-363)
+    if n_obj > O:
+        keep = list(dict.fromkeys(tgt_ids))
+        rest = [i for i in range(n_obj) if i not in keep]
+        rng.shuffle(rest)
+        keep = (keep + rest)[:O]
+        remap = {old: new for new, old in enumerate(keep)}
+        obj_pcds = obj_pcds[keep]
+        tgt_ids = [remap[t] for t in tgt_ids if t in remap]
+        labels = scene["inst_labels"][keep]
+        n_obj = O
+    else:
+        labels = scene["inst_labels"]
+
+    rot = build_rotate_mat(rng) if (train and cfg.rot_aug) else None
+    obj_fts, obj_locs, obj_boxes = process_objects(obj_pcds, rot)
+
+    item = {
+        "obj_fts": obj_fts,
+        "obj_locs": obj_locs,
+        "obj_boxes": obj_boxes,
+        "obj_labels": labels.astype(np.int32),
+        "n_obj": n_obj,
+        "task_id": task_id,
+        "tgt_object_ids": tgt_ids,
+    }
+
+    # prompt (ref unifiedtask_wrapper.py:66-78)
+    if task_id == TASK_CAPTION:
+        prompt = np.zeros(cfg.prompt_len, np.float32)
+        tgt = tgt_ids[0] if tgt_ids else 0
+        prompt[:cfg.dim_loc] = obj_locs[tgt, :cfg.dim_loc]
+        prompt_valid = np.ones(cfg.prompt_len, bool)
+        item["prompt_type"] = PROMPT_LOC
+    else:
+        toks = np.asarray(lang["prompt_tokens"], np.float32)[:cfg.prompt_len]
+        prompt = np.zeros(cfg.prompt_len, np.float32)
+        prompt[:len(toks)] = toks
+        prompt_valid = np.zeros(cfg.prompt_len, bool)
+        prompt_valid[:len(toks)] = True
+        item["prompt_type"] = PROMPT_TXT
+    item["prompt"] = prompt
+    item["prompt_pad_masks"] = prompt_valid
+
+    resp = np.asarray(lang.get("response_tokens", []), np.int32)
+    resp = resp[:cfg.response_len]
+    response = np.zeros(cfg.response_len, np.int32)
+    response[:len(resp)] = resp
+    item["response"] = response
+    item["response_valid"] = response != 0
+
+    for k, v in lang.items():
+        if k.startswith("meta_"):
+            item[k] = v
+    return item
+
+
+def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
+                    feature_dims: Dict[str, int],
+                    feature_fn=None, train: bool = True
+                    ) -> Dict[str, np.ndarray]:
+    """Pad + stack items into the stage-2 batch.  Queries = objects;
+    seg_center = obj_locs (ref sceneverse_base.py:396-406)."""
+    b = len(items)
+    O, P = cfg.max_obj_len, cfg.num_points
+    batch: Dict[str, np.ndarray] = {
+        "obj_fts": np.zeros((b, O, P, 6), np.float32),
+        "query_locs": np.zeros((b, O, 6), np.float32),
+        "seg_center": np.zeros((b, O, 6), np.float32),
+        "query_pad_masks": np.zeros((b, O), bool),
+        "seg_pad_masks": np.zeros((b, O), bool),
+        "obj_boxes": np.zeros((b, O, 6), np.float32),
+        "obj_labels": np.full((b, O), -100, np.int32),
+        "coord_min": np.zeros((b, 3), np.float32),
+        "coord_max": np.zeros((b, 3), np.float32),
+        "prompt": np.stack([it["prompt"] for it in items]),
+        "prompt_pad_masks": np.stack([it["prompt_pad_masks"] for it in items]),
+        "prompt_type": np.array([it["prompt_type"] for it in items]),
+        "response": np.stack([it["response"] for it in items]),
+        "response_valid": np.stack([it["response_valid"] for it in items]),
+        "task_id": np.array([it["task_id"] for it in items]),
+        "tgt_object_id": np.zeros((b, O), np.float32),
+    }
+    tgt_int = np.zeros(b, np.int32)
+    for i, it in enumerate(items):
+        n = it["n_obj"]
+        batch["obj_fts"][i, :n] = it["obj_fts"]
+        batch["query_locs"][i, :n] = it["obj_locs"]
+        batch["seg_center"][i, :n] = it["obj_locs"]
+        batch["query_pad_masks"][i, :n] = True
+        batch["seg_pad_masks"][i, :n] = True
+        batch["obj_boxes"][i, :n] = it["obj_boxes"]
+        batch["obj_labels"][i, :n] = it["obj_labels"][:n]
+        batch["coord_min"][i] = it["obj_locs"][:, :3].min(0)
+        batch["coord_max"][i] = it["obj_locs"][:, :3].max(0)
+        batch["tgt_object_id"][i] = make_bce_label(it["tgt_object_ids"], O)
+        tgt_int[i] = it["tgt_object_ids"][0] if it["tgt_object_ids"] else 0
+    if not train:
+        batch["tgt_object_id_int"] = tgt_int
+    # memories: pc = raw object points (PointNet++ on device); mv/voxel =
+    # offline per-object features (ref sceneverse_base.py:385-394)
+    batch["pc_seg_fts"] = batch["obj_fts"]
+    batch["pc_seg_pad_masks"] = batch["seg_pad_masks"]
+    for name in ("mv", "voxel"):
+        dim = feature_dims.get(name, 0)
+        if dim:
+            if feature_fn is not None:
+                batch[f"{name}_seg_fts"] = feature_fn(name, items, O, dim)
+            else:
+                rng = np.random.default_rng(abs(hash(name)) % 2 ** 31)
+                batch[f"{name}_seg_fts"] = rng.standard_normal(
+                    (b, O, dim)).astype(np.float32)
+            batch[f"{name}_seg_pad_masks"] = batch["seg_pad_masks"]
+    return batch

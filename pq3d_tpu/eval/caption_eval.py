@@ -35,14 +35,19 @@ class Scan2CapEval(BaseEvaluator):
         boxes here)."""
         preds: List[str] = out["caption_pred"]
         keys: List[str] = batch["corpus_key"]
-        refs: List[List[str]] = batch["ref_captions"]
+        refs = batch.get("ref_captions")
+        if refs is None:  # single reference per object
+            refs = [[c] for c in batch["caption"]]
         if "iou" in batch:
             ious = np.asarray(batch["iou"])
-        else:
+        elif "pred_boxes" in batch and "gt_boxes" in batch:
             pred_boxes = np.asarray(batch["pred_boxes"])
             gt_boxes = np.asarray(batch["gt_boxes"])
             ious = np.array([aabb_iou(p, g)
                              for p, g in zip(pred_boxes, gt_boxes)])
+        else:
+            # GT-box (LOC-prompt) captioning: localization is given
+            ious = np.ones(len(preds))
         for i in range(len(preds)):
             self._items.append({"key": keys[i], "pred": preds[i],
                                 "refs": refs[i], "iou": float(ious[i])})

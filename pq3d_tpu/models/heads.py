@@ -101,6 +101,39 @@ class GroundHead(nn.Module):
         return logits
 
 
+@HEADS_REGISTRY.register(name="GroundHeadV1")
+class GroundHeadV1(nn.Module):
+    """Legacy grounding head with auxiliary txt/obj classification
+    (ref grounding_head.py:8-39)."""
+    input_size: int = 768
+    hidden_size: int = 768
+    sem_cls_size: int = 607
+    dropout: float = 0.3
+    detach_all_aux_loss: bool = False
+
+    @nn.compact
+    def __call__(self, txt_embeds, obj_embeds, obj_pre_embeds, obj_valid,
+                 deterministic: bool = True):
+        og3d = MLPHead(self.hidden_size, 1, dropout=self.dropout,
+                       name="og3d_head")(obj_embeds, deterministic)[..., 0]
+        og3d = jnp.where(obj_valid, og3d, NEG_INF)
+        if self.detach_all_aux_loss:
+            txt_embeds = jax.lax.stop_gradient(txt_embeds)
+            obj_embeds = jax.lax.stop_gradient(obj_embeds)
+            obj_pre_embeds = jax.lax.stop_gradient(obj_pre_embeds)
+        txt_cls = MLPHead(self.hidden_size, self.sem_cls_size,
+                          dropout=self.dropout, name="txt_clf_head")(
+            txt_embeds[:, 0], deterministic)
+        obj_cls = MLPHead(self.hidden_size, self.sem_cls_size,
+                          dropout=self.dropout, name="obj3d_clf_head")(
+            obj_embeds, deterministic)
+        obj_cls_pre = MLPHead(self.hidden_size, self.sem_cls_size,
+                              dropout=self.dropout,
+                              name="obj3d_clf_pre_head")(
+            obj_pre_embeds, deterministic)
+        return txt_cls, obj_cls, obj_cls_pre, og3d
+
+
 @HEADS_REGISTRY.register(name="ClsHead")
 class ClsHead(nn.Module):
     """Plain MLP classifier head (ref aux_head.py:8-18)."""

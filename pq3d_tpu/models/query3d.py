@@ -125,6 +125,7 @@ class Query3DUnified(nn.Module):
     ground_head_cfg: GroundHeadCfg = GroundHeadCfg()
     generation_head_cfg: GenerationHeadCfg = GenerationHeadCfg()
     txt_cfg: TxtEncoderCfg = TxtEncoderCfg()
+    qa_num_answers: int = 8864  # ScanQA answer vocab size
 
     def _loc_embed(self, locs, coord_min, coord_max, coord_encoder,
                    box_encoder):
@@ -288,6 +289,16 @@ class Query3DUnified(nn.Module):
                     name="ground_head")(query, query_valid, deterministic)
                 out["ground_logits"] = logits
                 out["og3d_logits"] = logits
+            elif head == "qa":
+                # classifier QA answer head (ref aux_head.py ClsHead +
+                # unifiedtask_wrapper.py:34-35 'qa' hook); pools valid queries
+                pooled = (query * query_valid[..., None]).sum(1) / \
+                    jnp.maximum(query_valid.sum(-1, keepdims=True), 1)
+                out["answer_scores"] = heads_lib.ClsHead(
+                    hidden_size=self.hidden_size,
+                    num_classes=self.qa_num_answers,
+                    name="qa_head")(pooled, deterministic)
+                out["qa_logits"] = out["answer_scores"]
             elif head == "generation":
                 from pq3d_tpu.models.generation import T5GenerationHead
                 gen = T5GenerationHead(cfg=self.generation_head_cfg,
@@ -408,15 +419,26 @@ def build_model(cfg) -> Query3DUnified:
     if m.get("generation_head") is not None:
         a = m.generation_head.args
         gen = GenerationHeadCfg(
+            vocab_size=a.get("vocab_size", 32128),
+            d_model=a.get("d_model", 512),
+            d_kv=a.get("d_kv", 64),
+            d_ff=a.get("d_ff", 2048),
+            num_layers=a.get("num_layers", 6),
+            num_heads=a.get("num_heads", 8),
             max_new_tokens=a.get("max_new_tokens", 50),
             use_projection=a.get("use_projection", True))
 
     txt_cfg = TxtEncoderCfg()
     if m.get("txt_encoder") is not None:
         ta = m.txt_encoder.get("args", {}) or {}
+        tower = m.get("txt_tower", {}) or {}
         kind = "bert" if "BERT" in m.txt_encoder.get("name", "") else "clip"
         txt_cfg = TxtEncoderCfg(
             kind=kind,
+            vocab_size=tower.get("vocab_size", 49408),
+            width=tower.get("width", 768),
+            layers=tower.get("layers", 12),
+            heads=tower.get("heads", 12),
             use_projection=ta.get("use_projection", True),
             projection_type=ta.get("projection_type", "mlp"),
             num_projection_layers=ta.get("num_projection_layers", 1),

@@ -53,6 +53,70 @@ def _lookup(query_coords: np.ndarray, table_coords: np.ndarray) -> np.ndarray:
     return out
 
 
+def morton_order(coords: np.ndarray, bits: int = 10) -> np.ndarray:
+    """Permutation sorting integer coords by Morton (z-order) code.
+
+    Spatially-near voxels become index-near, which concentrates sparse-conv
+    neighbor indices around the diagonal — the key enabler for windowed
+    (VMEM-resident) gather kernels and for fast XLA gathers.
+    """
+    c = (coords - coords.min(0)).astype(np.uint64)
+    c = np.minimum(c, (1 << bits) - 1)
+    code = np.zeros(len(c), dtype=np.uint64)
+    for b in range(bits):
+        for d in range(3):
+            code |= ((c[:, d] >> np.uint64(b)) & np.uint64(1)) << \
+                np.uint64(3 * b + d)
+    return np.argsort(code, kind="stable")
+
+
+def build_block_pack(coords: np.ndarray, block: int = 8
+                     ) -> Dict[str, np.ndarray]:
+    """Pack sparse voxels into dense ``block^3`` spatial blocks.
+
+    TPU-first alternative to per-voxel gather convolution: inside occupied
+    blocks the conv becomes a *dense* 3D convolution (pure MXU work, no
+    random gathers); blocks exchange halos via 26 whole-block gathers
+    (large contiguous reads).  Occupancy on scan surfaces is ~10-30%, a
+    FLOP overhead the MXU efficiency more than repays (cf. PointAcc /
+    TorchSparse literature on dense-tile dispatch).
+
+    Returns dict:
+      vox_slot   (N,)  flat dense-cell index (block_id * block^3 + cell)
+      nbr_blocks (n_blocks, 3, 3, 3) neighbor block ids (-1 outside)
+      n_blocks   scalar int
+    """
+    bcoord = np.floor_divide(coords, block)
+    lo = bcoord.min(0) if len(bcoord) else np.zeros(3, np.int64)
+    bshift = bcoord - lo
+    dims = bshift.max(0) + 1 if len(bshift) else np.ones(3, np.int64)
+    key = (bshift[:, 0].astype(np.int64) * dims[1] + bshift[:, 1]) * dims[2] \
+        + bshift[:, 2]
+    ukeys, binv = np.unique(key, return_inverse=True)
+    n_blocks = len(ukeys)
+    local = coords - bcoord * block
+    cell = (local[:, 0] * block + local[:, 1]) * block + local[:, 2]
+    vox_slot = (binv * block ** 3 + cell).astype(np.int32)
+
+    ub = np.stack([ukeys // (dims[1] * dims[2]),
+                   (ukeys // dims[2]) % dims[1],
+                   ukeys % dims[2]], axis=1)
+    sorted_keys = ukeys  # already sorted by np.unique
+    nbr_blocks = np.full((n_blocks, 3, 3, 3), -1, np.int32)
+    for dx in range(3):
+        for dy in range(3):
+            for dz in range(3):
+                q = ub + np.array([dx - 1, dy - 1, dz - 1])
+                inside = ((q >= 0) & (q < dims)).all(1)
+                qk = (q[:, 0] * dims[1] + q[:, 1]) * dims[2] + q[:, 2]
+                pos = np.searchsorted(sorted_keys, qk)
+                pos_c = np.minimum(pos, n_blocks - 1)
+                hit = (sorted_keys[pos_c] == qk) & inside
+                nbr_blocks[:, dx, dy, dz] = np.where(hit, pos_c, -1)
+    return {"vox_slot": vox_slot, "nbr_blocks": nbr_blocks,
+            "n_blocks": n_blocks}
+
+
 def kernel_offsets(kernel_size: int, ndim: int = 3) -> np.ndarray:
     """Integer offsets of a hypercubic kernel, ME ordering convention
     (range centered at 0 for odd sizes, [0, k) for even sizes)."""

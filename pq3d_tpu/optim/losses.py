@@ -161,6 +161,89 @@ def instseg_set_loss(predictions_class: List[jnp.ndarray],
 
 
 # ---------------------------------------------------------------------------
+# direct (GT-matched) criterion — no Hungarian
+# (ref optim/loss/instseg_loss.py:54-133 DirectCriterion + batch_{dice,mask}_loss)
+# ---------------------------------------------------------------------------
+
+def batch_mask_loss(logits, targets, padding_mask):
+    """Masked BCE per instance, averaged over valid instances
+    (ref instseg_loss.py:78-85).  logits/targets (B, M, S), padding (B, M, S)."""
+    w = padding_mask.astype(jnp.float32)
+    loss = _bce_logits(logits.astype(jnp.float32), targets.astype(jnp.float32))
+    per_inst = (loss * w).sum(-1) / (w.sum(-1) + 1e-6)
+    inst_ok = w.sum(-1) > 0
+    return (per_inst * inst_ok).sum() / jnp.maximum(inst_ok.sum(), 1)
+
+
+def batch_dice_loss(logits, targets, padding_mask):
+    """Masked dice per instance (ref instseg_loss.py:54-76)."""
+    w = padding_mask.astype(jnp.float32)
+    p = jax.nn.sigmoid(logits.astype(jnp.float32))
+    t = targets.astype(jnp.float32)
+    inter = (p * t * w).sum(-1)
+    union = ((p + t) * w).sum(-1)
+    dice = 1 - (2 * inter + 1e-6) / (union + 1e-6)
+    inst_ok = w.sum(-1) > 0
+    return (dice * inst_ok).sum() / jnp.maximum(inst_ok.sum(), 1)
+
+
+def instseg_direct_loss(predictions_class, predictions_mask, batch,
+                        ignore_label: int = -100):
+    """GT-matched criterion: query i supervises instance i directly
+    (ref DirectCriterion.forward, instseg_loss.py:120-133)."""
+    labels = batch["target_labels"] if "target_labels" in batch \
+        else batch["instance_labels"]
+    tgt = batch["target_masks"] if "target_masks" in batch \
+        else batch["segment_masks"]
+    pad = batch["target_masks_pad_masks"] if "target_masks_pad_masks" in batch \
+        else (batch["instance_valid"][..., None] &
+              batch["seg_pad_masks"][:, None, :])
+    losses = {}
+    total = 0.0
+    n = len(predictions_mask)
+    for i in range(n):
+        pred = jnp.swapaxes(predictions_mask[i], 1, 2)  # (B, M?, S) view
+        m = min(pred.shape[1], tgt.shape[1])
+        lm = batch_mask_loss(pred[:, :m], tgt[:, :m], pad[:, :m])
+        ld = batch_dice_loss(pred[:, :m], tgt[:, :m], pad[:, :m])
+        logits = predictions_class[i][:, :m]
+        valid = labels[:, :m] != ignore_label
+        logp = jax.nn.log_softmax(
+            jnp.clip(logits.astype(jnp.float32), -100, None), axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, jnp.maximum(labels[:, :m], 0)[..., None].astype(jnp.int32),
+            axis=-1)[..., 0]
+        lc = (nll * valid).sum() / jnp.maximum(valid.sum(), 1)
+        sfx = "" if i == n - 1 else f"_{i}"
+        losses[f"loss_mask{sfx}"] = lm
+        losses[f"loss_dice{sfx}"] = ld
+        losses[f"loss_ce{sfx}"] = lc
+        total = total + lm + ld + lc
+    return total, losses
+
+
+def query3d_mask_loss(predictions_mask, predictions_class, batch
+                      ) -> jnp.ndarray:
+    """Guided mask loss for the unified stage (ref query3d_loss.py:28-43):
+    BCE*5 + dice*2 over rounds + CE*2 on instance labels with obj masks."""
+    gt = batch["gt_attn_mask"].astype(jnp.float32)     # (B, Q, S) True=attend
+    labels = batch["instance_labels"]
+    obj_masks = batch["obj_masks"].astype(jnp.float32)
+    pad = batch["padding_mask"].astype(jnp.float32)
+    total = 0.0
+    for mask_pred, mask_cls in zip(predictions_mask, predictions_class):
+        pred = jnp.swapaxes(mask_pred, 1, 2)
+        total = total + batch_mask_loss(pred, gt, pad) * 5 \
+            + batch_dice_loss(pred, gt, pad) * 2
+        logp = jax.nn.log_softmax(mask_cls.astype(jnp.float32), axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, jnp.maximum(labels, 0)[..., None].astype(jnp.int32),
+            axis=-1)[..., 0]
+        total = total + (nll * obj_masks).sum() / (obj_masks.sum() + 1e-6) * 2
+    return total
+
+
+# ---------------------------------------------------------------------------
 # generic head losses (ref optim/loss/query3d_loss.py:8-26)
 # ---------------------------------------------------------------------------
 

@@ -77,6 +77,70 @@ def build_instseg_trainer(cfg):
                        evaluator, total_steps=total_steps)
 
 
+def build_multitask_trainer(cfg):
+    from pq3d_tpu.data.unified_datasets import detokenize
+    from pq3d_tpu.data.unified_loader import (MixedTaskLoader,
+                                              UnifiedTaskLoader)
+    from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
+    from pq3d_tpu.models.query3d import build_model
+    from pq3d_tpu.optim.losses import cross_entropy, generation_loss
+    from pq3d_tpu.registry import (DATASET_REGISTRY, EVALUATOR_REGISTRY,
+                                   TRAINER_REGISTRY)
+    import pq3d_tpu.train.trainer  # registers trainers
+    import pq3d_tpu.models  # registers model modules
+    import pq3d_tpu.eval.grounding_eval  # registers evaluators
+    import pq3d_tpu.eval.qa_eval
+    import pq3d_tpu.eval.caption_eval
+
+    uo = cfg.data.get("unified_options", {}) or {}
+    pipe_cfg = UnifiedPipelineConfig(
+        max_obj_len=int(uo.get("max_obj_len", 80)),
+        num_points=int(uo.get("num_points", 1024)),
+        prompt_len=int(uo.get("prompt_len", 32)),
+        response_len=int(uo.get("response_len", 32)),
+        dim_loc=int(cfg.model.obj_loc.dim_loc))
+
+    seed = int(cfg.get("rng_seed", 42))
+    bs = int(cfg.dataloader.batchsize)
+    bs_eval = int(cfg.dataloader.get("batchsize_eval", bs))
+    train_loaders, val_sets = [], []
+    steps_per_epoch = 0
+    for ds_name in cfg.data.train:
+        ds_cls = DATASET_REGISTRY.get(ds_name)
+        train_ds = ds_cls(cfg, "train")
+        train_loaders.append(UnifiedTaskLoader(train_ds, pipe_cfg, bs, True,
+                                               seed=seed))
+        steps_per_epoch += len(train_ds) // bs
+        val_ds = ds_cls(cfg, "val")
+        val_loader = UnifiedTaskLoader(val_ds, pipe_cfg, bs_eval, False,
+                                       seed=seed)
+        ev_name = getattr(train_ds, "evaluator", "ScanReferEval")
+        evaluator = EVALUATOR_REGISTRY.get(ev_name)()
+        val_sets.append((ds_name, val_loader, evaluator))
+    train_loader = MixedTaskLoader(train_loaders, seed=seed)
+
+    model = build_model(cfg)
+    weights = cfg.model.get("loss_weights", {}) or {}
+    w_ground = float(weights.get("ground_loss", 1.0))
+
+    def loss_fn(out, batch):
+        parts = {}
+        total = 0.0
+        if "ground_logits" in out:
+            parts["ground_loss"] = cross_entropy(out["ground_logits"],
+                                                 batch["tgt_object_id"])
+            total = total + w_ground * parts["ground_loss"]
+        if "generation_logits" in out:
+            parts["generation_loss"] = generation_loss(out, batch)
+            total = total + parts["generation_loss"]
+        return total, parts
+
+    trainer_cls = TRAINER_REGISTRY.get(cfg.get("trainer", "MultitaskTrainer"))
+    total_steps = steps_per_epoch * int(cfg.solver.epochs)
+    return trainer_cls(cfg, model, loss_fn, train_loader, val_sets=val_sets,
+                       detokenize=detokenize, total_steps=total_steps)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser("pq3d_tpu.run")
     parser.add_argument("--config-name", required=True)
@@ -98,8 +162,10 @@ def main(argv=None):
     task = cfg.get("task", "InstSeg")
     if task == "InstSeg":
         trainer = build_instseg_trainer(cfg)
+    elif task == "Query3D":
+        trainer = build_multitask_trainer(cfg)
     else:
-        raise NotImplementedError(f"task {task} runner lands with stage 2")
+        raise NotImplementedError(f"unknown task {task}")
 
     if cfg.get("mode", "train") == "train":
         trainer.run()

@@ -37,12 +37,16 @@ class CheckpointManager:
 
     def restore(self, name: str, state: TrainState
                 ) -> tuple[TrainState, Dict[str, Any]]:
-        target = {"state": state, "tracker": None}
+        target = {"state": state,
+                  "tracker": {"epoch": np.asarray(0),
+                              "best_result": np.asarray(-np.inf)}}
         path = self._path(name)
         try:
-            restored = self._ckptr.restore(path, target=target)
-        except TypeError:
             restored = self._ckptr.restore(path, target)
+        except ValueError:
+            # checkpoint without a tracker payload
+            restored = self._ckptr.restore(path, {"state": state})
+            restored["tracker"] = {}
         tracker = restored.get("tracker") or {}
         return restored["state"], {k: v.item() if hasattr(v, "item") else v
                                    for k, v in tracker.items()}

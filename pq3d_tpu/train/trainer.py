@@ -70,7 +70,15 @@ class Query3DTrainer:
         self.logger = MetricsLogger(self.exp_dir)
         self.tracker = ExpTracker()
         self.ckpt = CheckpointManager(os.path.join(self.exp_dir, "ckpt"))
-        self.mesh = make_mesh(mesh_cfg) if len(jax.devices()) > 1 else None
+        n_dev = len(jax.devices())
+        bs = int(cfg.dataloader.batchsize)
+        if n_dev > 1 and bs % n_dev == 0:
+            self.mesh = make_mesh(mesh_cfg)
+        else:
+            if n_dev > 1:
+                print(f"[trainer] batchsize {bs} not divisible by {n_dev} "
+                      f"devices — running single-device")
+            self.mesh = None
 
         # init model/optimizer lazily on the first batch
         self._state: Optional[TrainState] = None
@@ -110,6 +118,7 @@ class Query3DTrainer:
                 params=load_pretrain(self._state.params, state.params))
 
     def _put(self, batch):
+        batch = {k: v for k, v in batch.items() if not k.startswith("_")}
         batch = jax.tree.map(jnp.asarray, batch)
         if self.mesh is not None:
             batch = shard_batch(batch, self.mesh)
@@ -162,6 +171,80 @@ class Query3DTrainer:
                 results = self.eval_epoch(epoch)
                 target = results.get("target_metric", 0.0)
                 if self.tracker.is_better(target):
+                    self.ckpt.save("best", self._state,
+                                   self.tracker.state_dict())
+            self.ckpt.save("latest", self._state, self.tracker.state_dict())
+        return self._state
+
+
+@TRAINER_REGISTRY.register(name="MultitaskTrainer")
+class MultitaskTrainer(Query3DTrainer):
+    """Stage-2 trainer: list of per-dataset val loaders + evaluators,
+    T5-token decode into answer/caption predictions, target metric summed
+    across datasets (ref trainer/multitask_trainer.py:72-145)."""
+
+    def __init__(self, cfg: Config, model, loss_fn, train_data,
+                 val_sets=None, detokenize=None,
+                 total_steps: Optional[int] = None,
+                 mesh_cfg: MeshConfig = MeshConfig()):
+        super().__init__(cfg, model, loss_fn, train_data, None, None,
+                         total_steps=total_steps, mesh_cfg=mesh_cfg)
+        self.val_sets = val_sets or []   # list of (name, loader, evaluator)
+        self.detokenize = detokenize or (lambda toks: "")
+
+    def postprocess_for_eval(self, out, batch) -> Dict[str, Any]:
+        """Decode generation tokens into text predictions
+        (ref multitask_trainer.py:138-145)."""
+        host_out: Dict[str, Any] = {
+            k: np.asarray(v) for k, v in out.items()
+            if k in ("og3d_logits", "ground_logits", "generation_logits")}
+        if "generation_tokens" in out:
+            toks = np.asarray(out["generation_tokens"])
+            texts = [self.detokenize(t) for t in toks]
+            task_ids = np.asarray(batch["task_id"])
+            host_out["answer_pred"] = texts
+            host_out["caption_pred"] = texts
+            host_out["task_id"] = task_ids
+        return host_out
+
+    def eval_epoch(self, epoch: int) -> Dict[str, float]:
+        all_results: Dict[str, float] = {}
+        target = 0.0
+        for name, loader, evaluator in self.val_sets:
+            evaluator.reset()
+            for batch in loader(epoch):
+                meta = batch.get("_meta", {})
+                dev_batch = self._put(batch)
+                out = self._eval_step(self._state, dev_batch)
+                host_out = self.postprocess_for_eval(out, batch)
+                eval_batch = {k: np.asarray(v) for k, v in batch.items()
+                              if not k.startswith("_")}
+                eval_batch.update(meta)
+                # grounding evaluators expect integer targets at eval
+                if "tgt_object_id_int" in eval_batch:
+                    eval_batch["tgt_object_id"] = eval_batch["tgt_object_id_int"]
+                evaluator.update(host_out, eval_batch)
+            results = evaluator.record()
+            for k, v in results.items():
+                all_results[f"{name}/{k}"] = v
+            target += results.get("target_metric", 0.0)
+            self.logger.log(results, int(self._state.step),
+                            prefix=f"val-{name}")
+        all_results["target_metric"] = target
+        return all_results
+
+    def run(self):
+        for epoch in range(self.tracker.epoch, self.epochs):
+            metrics = self.train_epoch(epoch)
+            print(f"[epoch {epoch}] loss={metrics.get('loss', float('nan')):.4f} "
+                  f"({metrics.get('batches', 0)} steps, "
+                  f"{metrics.get('epoch_time_s', 0):.1f}s)")
+            self.tracker.epoch = epoch + 1
+            if self.epochs_per_eval and (epoch + 1) % self.epochs_per_eval == 0:
+                results = self.eval_epoch(epoch)
+                print(f"[epoch {epoch}] target_metric="
+                      f"{results.get('target_metric', 0):.4f}")
+                if self.tracker.is_better(results.get("target_metric", 0.0)):
                     self.ckpt.save("best", self._state,
                                    self.tracker.state_dict())
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
