@@ -13,6 +13,7 @@ scenes/sec/chip (BASELINE.json — the reference publishes no absolute
 throughput numbers, SURVEY.md §6).
 """
 import json
+import os
 import sys
 import time
 
@@ -22,6 +23,10 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+    # persistent compile cache: repeated bench runs skip the slow first jit
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pq3d_tpu.data import synthetic
     from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig,

@@ -54,28 +54,38 @@ class SegVoxelEncoder(nn.Module):
                  voxel2segment: jnp.ndarray, max_seg: int,
                  train: bool = False, deterministic: bool = True
                  ) -> List[jnp.ndarray]:
+        from pq3d_tpu.models.sparse_unet import flatten_maps
+        from pq3d_tpu.ops.sparse import pool_transpose
+
         backbone = Res16UNet(out_channels=self.backbone_out_channels,
                              bn_momentum=self.bn_momentum,
                              conv1_kernel_size=self.conv1_kernel_size,
                              name="backbone")
         bb_train = train and not self.freeze_backbone
+        # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]
         _, feature_maps = backbone(voxel_feats, maps, train=bb_train)
         if self.freeze_backbone:
             feature_maps = [jax.lax.stop_gradient(f) for f in feature_maps]
 
-        valid0 = maps["valid_0"]
-        ancestor = maps["ancestor"]  # (B, 5, P0)
+        fm = flatten_maps(maps)  # XLA dedups with the backbone's copy
+        b, p0 = maps["valid_0"].shape
+        valid0 = fm["valid_0"]
+        # flat per-scene segment ids: b*S + seg (trash bucket -> B*S)
+        scene = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p0)
+        v2s = voxel2segment.reshape(-1)
+        flat_seg = jnp.where(v2s < max_seg, scene * max_seg + v2s,
+                             b * max_seg)
+
         out: List[jnp.ndarray] = []
         for i, hlevel in enumerate(list(self.hlevels) + [4]):
-            feat = feature_maps[hlevel]          # (B, P_{4-hlevel}, C)
+            feat = feature_maps[hlevel]          # (B*P_{4-hlevel}, C)
             lvl = 4 - hlevel
             if lvl > 0:
-                anc = ancestor[:, lvl, :]
-                feat = jax.vmap(lambda f, a: jnp.take(f, jnp.maximum(a, 0), axis=0)
-                                )(feat, anc)
-                feat = jnp.where(valid0[..., None], feat, 0)
-            seg_feat = jax.vmap(segment.segment_mean, in_axes=(0, 0, None))(
-                feat, voxel2segment, max_seg)   # (B, max_seg, C)
+                anc = fm[f"ancestor_{lvl}"]
+                feat = pool_transpose(feat, jnp.maximum(anc, 0))
+                feat = jnp.where(valid0[:, None], feat, 0)
+            seg_feat = segment.segment_mean(feat, flat_seg, b * max_seg)
+            seg_feat = seg_feat.reshape(b, max_seg, -1)
             seg_feat = ProjectLN(self.hidden_size, self.dropout,
                                  name=f"feat_proj_{i}")(seg_feat, deterministic)
             out.append(seg_feat)

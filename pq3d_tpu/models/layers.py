@@ -292,6 +292,7 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, valid, use_running_average: bool = False):
         c = x.shape[-1]
+        reduce_axes = tuple(range(x.ndim - 1))
         ra_mean = self.variable("batch_stats", "mean",
                                 lambda: jnp.zeros(c, jnp.float32))
         ra_var = self.variable("batch_stats", "var",
@@ -305,8 +306,8 @@ class MaskedBatchNorm(nn.Module):
             w = valid[..., None].astype(jnp.float32)
             cnt = jnp.maximum(w.sum(), 1.0)
             xf = x.astype(jnp.float32)
-            mean = (xf * w).sum(axis=(0, 1)) / cnt
-            var = (jnp.square(xf - mean) * w).sum(axis=(0, 1)) / cnt
+            mean = (xf * w).sum(axis=reduce_axes) / cnt
+            var = (jnp.square(xf - mean) * w).sum(axis=reduce_axes) / cnt
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean

@@ -5,11 +5,14 @@ uses for voxels (reference: modules/third_party/mask3d/res16unet.py:9-314,
 390-391; resnet_block.py BasicBlock).  Identical topology — conv0 (5^3) ->
 4x stride-2 encoder ladder -> 4x transpose-conv decoder with skip concats ->
 final 1x1 conv — but every sparse conv is a gather->GEMM over precomputed
-neighbor maps (:mod:`pq3d_tpu.ops.kernel_maps`), batched with a leading
-scene dimension and masked batch norm (sync-BN under a sharded data axis).
+neighbor maps (:mod:`pq3d_tpu.ops.kernel_maps`).
 
-Inputs per scene are padded to static per-level sizes; the whole network is
-jit-compatible with zero recompilation across scenes.
+Performance-critical layout decision: the batch of scenes is **flattened**
+into one (B*P_l, C) array per level, with neighbor indices offset per scene
+on device.  A single large 2D gather stays on the TPU fast-gather path;
+vmapping the conv over scenes instead produces batched-gather HLO that is
+~3x slower (measured on v5e).  Batch norm and segment pooling operate on
+the flat layout directly.
 """
 from __future__ import annotations
 
@@ -25,14 +28,38 @@ from pq3d_tpu.models.layers import MaskedBatchNorm
 conv_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
-def _vconv(x, nbr, w, valid):
-    return jax.vmap(sparse.sparse_conv, in_axes=(0, 0, None, None, 0))(
-        x, nbr, w, None, valid)
+def flatten_maps(maps: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """(B, P_l, ...) index maps -> flat maps over B*P_l rows.
 
+    Neighbor/child/parent indices get a per-scene offset; -1 stays -1.
+    The ancestor table becomes absolute flat indices per level.
+    """
+    out: Dict[str, jnp.ndarray] = {}
+    b = maps["valid_0"].shape[0]
 
-def _vconv_tr(x, parent, parent_off, w, valid):
-    return jax.vmap(sparse.sparse_conv_transpose, in_axes=(0, 0, 0, None, 0))(
-        x, parent, parent_off, w, valid)
+    def off(idx: jnp.ndarray, target_p: int) -> jnp.ndarray:
+        # idx (B, P, ...) indices into a per-scene array of size target_p
+        shift = (jnp.arange(b, dtype=jnp.int32) * target_p).reshape(
+            (b,) + (1,) * (idx.ndim - 1))
+        return jnp.where(idx >= 0, idx + shift, -1).reshape(
+            (-1,) + idx.shape[2:])
+
+    for l in range(5):
+        p_l = maps[f"valid_{l}"].shape[1]
+        out[f"valid_{l}"] = maps[f"valid_{l}"].reshape(-1)
+        out[f"nbr3_{l}"] = off(maps[f"nbr3_{l}"], p_l)
+    out["nbr5_0"] = off(maps["nbr5_0"], maps["valid_0"].shape[1])
+    for l in range(4):
+        p_l = maps[f"valid_{l}"].shape[1]
+        p_next = maps[f"valid_{l+1}"].shape[1]
+        out[f"child_{l}"] = off(maps[f"child_{l}"], p_l)
+        out[f"parent_{l}"] = off(maps[f"parent_{l}"], p_next)
+        out[f"parent_off_{l}"] = maps[f"parent_off_{l}"].reshape(-1)
+    # ancestor: (B, 5, P0) -> per level (B*P0,) flat absolute index
+    for l in range(5):
+        p_l = maps[f"valid_{l}"].shape[1]
+        out[f"ancestor_{l}"] = off(maps["ancestor"][:, l, :], p_l)
+    return out
 
 
 class SparseConv(nn.Module):
@@ -44,7 +71,7 @@ class SparseConv(nn.Module):
     def __call__(self, x, nbr, valid):
         k = nbr.shape[-1]
         w = self.param("kernel", conv_init, (k, x.shape[-1], self.out_channels))
-        y = _vconv(x, nbr, w, valid)
+        y = sparse.sparse_conv(x, nbr, w, None, valid)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = jnp.where(valid[..., None], y + b, 0)
@@ -57,7 +84,7 @@ class SparseConvTranspose(nn.Module):
     @nn.compact
     def __call__(self, x, parent, parent_off, valid):
         w = self.param("kernel", conv_init, (8, x.shape[-1], self.out_channels))
-        return _vconv_tr(x, parent, parent_off, w, valid)
+        return sparse.sparse_conv_transpose(x, parent, parent_off, w, valid)
 
 
 class BasicBlock(nn.Module):
@@ -97,15 +124,13 @@ class ResStage(nn.Module):
 
 
 class Res16UNet(nn.Module):
-    """Res16UNet34C-equivalent sparse U-Net.
+    """Res16UNet34C-equivalent sparse U-Net (flat-batch layout).
 
-    ``maps`` is the batched output of
-    ``SparseHierarchy.device_arrays()`` (leading scene dim):
-      valid_{0..4}, nbr3_{0..4}, nbr5_0, child_{0..3}, parent_{0..3},
-      parent_off_{0..3}, ancestor.
-
-    Returns (out, feature_maps) with feature_maps = [L4, L3, L2, L1, L0]
-    like the reference's out_fpn path (res16unet.py:241-314).
+    Input ``x`` is (B, P0, Cin) with the batched ``maps`` dict from
+    ``SparseHierarchy.device_arrays()``; internally everything runs on
+    (B*P_l, C) arrays.  Returns (out (B, P0, Cout), feature_maps) with
+    feature_maps = flat [L4, L3, L2, L1, L0] arrays like the reference's
+    out_fpn path (res16unet.py:241-314).
     """
     out_channels: int = 200
     init_dim: int = 32
@@ -119,12 +144,15 @@ class Res16UNet(nn.Module):
                  train: bool = False
                  ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         P = self.planes
-        v = [maps[f"valid_{l}"] for l in range(5)]
-        n = [maps[f"nbr3_{l}"] for l in range(5)]
+        b, p0, cin = x.shape
+        fm = flatten_maps(maps)
+        v = [fm[f"valid_{l}"] for l in range(5)]
+        n = [fm[f"nbr3_{l}"] for l in range(5)]
+        x = x.reshape(b * p0, cin)
         bn = lambda name: MaskedBatchNorm(self.bn_momentum, name=name)
 
         # stem (level 0)
-        out = SparseConv(self.init_dim, name="conv0")(x, maps["nbr5_0"], v[0])
+        out = SparseConv(self.init_dim, name="conv0")(x, fm["nbr5_0"], v[0])
         out_p1 = jax.nn.relu(bn("bn0")(out, v[0], not train))
 
         # encoder ladder: stride-2 conv then residual stage
@@ -133,20 +161,20 @@ class Res16UNet(nn.Module):
         enc_planes = [P[0], P[1], P[2], P[3]]
         for l in range(4):
             out = SparseConv(out.shape[-1], name=f"conv{l+1}s2")(
-                out, maps[f"child_{l}"], v[l + 1])
+                out, fm[f"child_{l}"], v[l + 1])
             out = jax.nn.relu(bn(f"bn{l+1}")(out, v[l + 1], not train))
             out = ResStage(enc_planes[l], self.layers[l], self.bn_momentum,
                            name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train)
             skips.append(out)
 
-        feature_maps = [out]  # L4
+        feature_maps = [out]  # L4 (flat)
 
         # decoder ladder: transpose conv, concat skip, residual stage
         dec_planes = [P[4], P[5], P[6], P[7]]
         for i in range(4):
             lvl = 3 - i  # output level of this upsample
             out = SparseConvTranspose(dec_planes[i], name=f"convtr{i+4}")(
-                out, maps[f"parent_{lvl}"], maps[f"parent_off_{lvl}"], v[lvl])
+                out, fm[f"parent_{lvl}"], fm[f"parent_off_{lvl}"], v[lvl])
             out = jax.nn.relu(bn(f"bntr{i+4}")(out, v[lvl], not train))
             out = jnp.concatenate([out, skips[lvl]], axis=-1)
             out = ResStage(dec_planes[i], self.layers[i + 4], self.bn_momentum,
@@ -156,4 +184,4 @@ class Res16UNet(nn.Module):
         final = nn.Dense(self.out_channels, kernel_init=conv_init,
                          name="final")(out)
         final = jnp.where(v[0][..., None], final, 0)
-        return final, feature_maps
+        return final.reshape(b, p0, self.out_channels), feature_maps

@@ -35,22 +35,56 @@ def _keys_for(coords: np.ndarray, base: np.ndarray, dims: np.ndarray) -> np.ndar
     return key
 
 
+class CoordTable:
+    """Coord -> index lookup reusable across all kernel offsets.
+
+    Uses a dense int32 grid when the bounding volume is small (O(1) fancy-
+    indexed lookups; scan scenes at 0.02 m are ~300^3 cells), falling back
+    to one shared sorted-key table otherwise."""
+
+    DENSE_LIMIT = 80_000_000  # cells (~320 MB int32)
+
+    def __init__(self, coords: np.ndarray, margin: int = 1):
+        self.n = len(coords)
+        if self.n == 0:
+            self.lo = np.zeros(3, np.int64)
+            self.dims = np.ones(3, np.int64)
+            self.grid = None
+            self.sorted_keys = np.zeros(0, np.int64)
+            self.order = np.zeros(0, np.int64)
+            return
+        self.lo = coords.min(0).astype(np.int64) - margin
+        self.dims = (coords.max(0).astype(np.int64) - self.lo + 1 + margin)
+        volume = int(np.prod(self.dims))
+        if volume <= self.DENSE_LIMIT:
+            self.grid = np.full(volume, -1, np.int32)
+            self.grid[_keys_for(coords, self.lo, self.dims)] = \
+                np.arange(self.n, dtype=np.int32)
+        else:
+            self.grid = None
+            keys = _keys_for(coords, self.lo, self.dims)
+            self.order = np.argsort(keys, kind="stable")
+            self.sorted_keys = keys[self.order]
+
+    def lookup(self, query_coords: np.ndarray) -> np.ndarray:
+        if self.n == 0 or len(query_coords) == 0:
+            return np.full(len(query_coords), -1, dtype=np.int32)
+        shifted = query_coords.astype(np.int64) - self.lo
+        inside = ((shifted >= 0) & (shifted < self.dims)).all(1)
+        key = (shifted[:, 0] * self.dims[1] + shifted[:, 1]) * self.dims[2] \
+            + shifted[:, 2]
+        key = np.where(inside, key, 0)
+        if self.grid is not None:
+            return np.where(inside, self.grid[key], -1).astype(np.int32)
+        pos = np.searchsorted(self.sorted_keys, key)
+        pos_c = np.minimum(pos, self.n - 1)
+        hit = (self.sorted_keys[pos_c] == key) & inside
+        return np.where(hit, self.order[pos_c], -1).astype(np.int32)
+
+
 def _lookup(query_coords: np.ndarray, table_coords: np.ndarray) -> np.ndarray:
     """For each query coord, index into table_coords (or -1). Vectorized."""
-    if len(table_coords) == 0:
-        return np.full(len(query_coords), -1, dtype=np.int32)
-    lo = np.minimum(table_coords.min(0), query_coords.min(0) if len(query_coords) else table_coords.min(0))
-    hi = np.maximum(table_coords.max(0), query_coords.max(0) if len(query_coords) else table_coords.max(0))
-    dims = (hi - lo + 1).astype(np.int64)
-    tkeys = _keys_for(table_coords, lo, dims)
-    order = np.argsort(tkeys, kind="stable")
-    sorted_keys = tkeys[order]
-    qkeys = _keys_for(query_coords, lo, dims)
-    pos = np.searchsorted(sorted_keys, qkeys)
-    pos_c = np.minimum(pos, len(sorted_keys) - 1)
-    hit = sorted_keys[pos_c] == qkeys
-    out = np.where(hit, order[pos_c], -1).astype(np.int32)
-    return out
+    return CoordTable(table_coords).lookup(query_coords)
 
 
 def morton_order(coords: np.ndarray, bits: int = 10) -> np.ndarray:
@@ -128,14 +162,16 @@ def kernel_offsets(kernel_size: int, ndim: int = 3) -> np.ndarray:
     return np.stack([g.ravel() for g in grids], axis=1).astype(np.int32)  # (k^ndim, ndim)
 
 
-def build_neighbor_map(coords: np.ndarray, kernel_size: int) -> np.ndarray:
+def build_neighbor_map(coords: np.ndarray, kernel_size: int,
+                       table: Optional["CoordTable"] = None) -> np.ndarray:
     """Stride-1 conv map on one coordinate set: (N, K) indices, -1 = missing."""
     offs = kernel_offsets(kernel_size)
     n = len(coords)
-    nbr = np.empty((n, len(offs)), dtype=np.int32)
-    for k, off in enumerate(offs):
-        nbr[:, k] = _lookup(coords + off[None, :], coords)
-    return nbr
+    if table is None:
+        table = CoordTable(coords)
+    # one batched lookup over all offsets (fewer numpy passes)
+    queries = (coords[None, :, :] + offs[:, None, :]).reshape(-1, 3)
+    return table.lookup(queries).reshape(len(offs), n).T.copy()
 
 
 def downsample_coords(coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -257,8 +293,10 @@ def build_hierarchy(coords0: np.ndarray, pad_sizes: Optional[List[int]] = None,
             raise ValueError(
                 f"level {l} has {num_voxels[l]} voxels > pad {pad_sizes[l]}")
 
-    nbr3 = [build_neighbor_map(levels[l], 3) for l in range(NUM_LEVELS)]
-    nbr5 = build_neighbor_map(levels[0], conv0_kernel)
+    tables = [CoordTable(levels[l]) for l in range(NUM_LEVELS)]
+    nbr3 = [build_neighbor_map(levels[l], 3, tables[l])
+            for l in range(NUM_LEVELS)]
+    nbr5 = build_neighbor_map(levels[0], conv0_kernel, tables[0])
     child = [build_child_map(parents[l], offs[l], num_voxels[l + 1])
              for l in range(NUM_LEVELS - 1)]
 

@@ -10,10 +10,15 @@ Formulation: every conv is a **gather** over a host-built neighbor map
 
     out[j] = sum_k  valid(nbr[j,k]) * x[nbr[j,k]] @ W[k]
 
-This maps onto the TPU as K skinny GEMMs on the MXU with XLA gathers, no
-atomics, no scatter in the backward pass (the VJP of gather is a scatter-add
-XLA handles natively).  Functions are single-scene; callers ``jax.vmap`` over
-the batch dimension.
+Performance notes (measured on v5e):
+* Row gathers MUST use ``lax.gather`` with ``PROMISE_IN_BOUNDS`` — the
+  default jnp.take clip/fill mode falls off the fast path and is ~10x
+  slower (~60 GB/s vs ~500 GB/s).  Indices are pre-clamped to [0, N).
+* Matmuls run in bf16 on the MXU with f32 accumulation.
+* No scatter in the backward pass: the VJP of gather is a scatter-add XLA
+  handles natively.
+
+Functions are single-scene; callers ``jax.vmap`` over the batch dimension.
 """
 from __future__ import annotations
 
@@ -22,10 +27,25 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+_GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
+    offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))
+
+
+def fast_row_gather(x: jnp.ndarray, idx: jnp.ndarray,
+                    indices_are_sorted: bool = False) -> jnp.ndarray:
+    """Gather rows of (N, C) by pre-clamped in-bounds indices on the TPU
+    fast path (PROMISE_IN_BOUNDS)."""
+    return jax.lax.gather(
+        x, idx[:, None].astype(jnp.int32), _GATHER_DNUMS,
+        slice_sizes=(1, x.shape[1]),
+        indices_are_sorted=indices_are_sorted, unique_indices=False,
+        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
 
 def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None,
                 out_valid: Optional[jnp.ndarray] = None,
+                compute_dtype=jnp.bfloat16,
                 accum_dtype=jnp.float32) -> jnp.ndarray:
     """Sparse convolution via gather->GEMM.
 
@@ -35,20 +55,22 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
       w:    (K, Cin, Cout) kernel weights.
       bias: optional (Cout,).
       out_valid: optional (N_out,) bool mask zeroing padded outputs.
-    Returns: (N_out, Cout).
+    Returns: (N_out, Cout) in x.dtype.
     """
     k_total = nbr.shape[1]
+    xb = x.astype(compute_dtype)
+    wb = w.astype(compute_dtype)
 
     def body(acc, inputs):
         idx, wk = inputs  # idx: (N_out,), wk: (Cin, Cout)
-        m = (idx >= 0)
-        xi = jnp.take(x, jnp.maximum(idx, 0), axis=0)
+        m = idx >= 0
+        xi = fast_row_gather(xb, jnp.maximum(idx, 0))
         xi = jnp.where(m[:, None], xi, 0)
         acc = acc + jnp.dot(xi, wk, preferred_element_type=accum_dtype)
         return acc, None
 
     init = jnp.zeros((nbr.shape[0], w.shape[-1]), dtype=accum_dtype)
-    acc, _ = jax.lax.scan(body, init, (nbr.T, w), length=k_total)
+    acc, _ = jax.lax.scan(body, init, (nbr.T, wb), length=k_total)
     if bias is not None:
         acc = acc + bias
     if out_valid is not None:
@@ -59,6 +81,7 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
 def sparse_conv_transpose(x: jnp.ndarray, parent: jnp.ndarray,
                           parent_off: jnp.ndarray, w: jnp.ndarray,
                           out_valid: Optional[jnp.ndarray] = None,
+                          compute_dtype=jnp.bfloat16,
                           accum_dtype=jnp.float32) -> jnp.ndarray:
     """Stride-2 transposed (upsampling) convolution, kernel 2^3.
 
@@ -75,11 +98,12 @@ def sparse_conv_transpose(x: jnp.ndarray, parent: jnp.ndarray,
     Returns: (N_fine, Cout).
     """
     n_coarse = x.shape[0]
-    y = jnp.einsum("nc,kcd->knd", x, w,
+    y = jnp.einsum("nc,kcd->knd", x.astype(compute_dtype),
+                   w.astype(compute_dtype),
                    preferred_element_type=accum_dtype)  # (8, Nc, Cout)
     y = y.reshape(8 * n_coarse, -1)
     flat = parent_off * n_coarse + jnp.maximum(parent, 0)
-    out = jnp.take(y, flat, axis=0)
+    out = fast_row_gather(y, flat)
     out = jnp.where((parent >= 0)[:, None], out, 0)
     if out_valid is not None:
         out = jnp.where(out_valid[:, None], out, 0)
@@ -94,7 +118,7 @@ def pool_transpose(x_coarse: jnp.ndarray, ancestor: jnp.ndarray,
     (ref: modules/vision/pcd_mask3d_encoder.py:131-137): each level-0 voxel
     takes the feature of its ancestor at the coarse level.
     """
-    out = jnp.take(x_coarse, jnp.maximum(ancestor, 0), axis=0)
+    out = fast_row_gather(x_coarse, jnp.maximum(ancestor, 0))
     if valid is not None:
         out = jnp.where(valid[:, None], out, 0)
     return out
@@ -102,8 +126,10 @@ def pool_transpose(x_coarse: jnp.ndarray, ancestor: jnp.ndarray,
 
 def avg_pool_stride2(x: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
     """Average-pool fine features into coarse voxels via the child map."""
-    m = (child >= 0)
-    xi = jnp.take(x, jnp.maximum(child, 0), axis=0)  # (Nc, 8, C)
+    m = child >= 0
+    n_coarse, k = child.shape
+    flat = fast_row_gather(x, jnp.maximum(child, 0).reshape(-1))
+    xi = flat.reshape(n_coarse, k, -1)
     xi = jnp.where(m[..., None], xi, 0)
     cnt = jnp.maximum(m.sum(axis=1, keepdims=True), 1)
     return xi.sum(axis=1) / cnt

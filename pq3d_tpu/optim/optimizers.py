@@ -72,7 +72,8 @@ def build_optimizer(params, name: str = "AdamW", lr: float = 1e-4,
                     sched_name: str = "warmup_cosine",
                     betas=(0.9, 0.98), weight_decay: float = 0.01,
                     grad_norm: Optional[float] = None,
-                    module_lrs: Optional[Dict[str, float]] = None
+                    module_lrs: Optional[Dict[str, float]] = None,
+                    accumulation_steps: int = 1
                     ) -> optax.GradientTransformation:
     schedule = make_schedule(sched_name, lr, total_steps, warmup_steps)
     mask = no_decay_mask(params)
@@ -101,7 +102,12 @@ def build_optimizer(params, name: str = "AdamW", lr: float = 1e-4,
             return jax.tree.map(lambda u, s: u * s, updates, scales), state
         chain.append(optax.GradientTransformation(
             lambda _: optax.EmptyState(), update_fn))
-    return optax.chain(*chain), schedule
+    tx = optax.chain(*chain)
+    if accumulation_steps and accumulation_steps > 1:
+        # gradient accumulation (ref trainer/build.py:71 Accelerator(...)
+        # gradient_accumulation_steps + default_trainer.py:31)
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulation_steps)
+    return tx, schedule
 
 
 def build_from_config(cfg, params, total_steps: int):
@@ -126,4 +132,5 @@ def build_from_config(cfg, params, total_steps: int):
         sched_name=solver.sched.get("name", "warmup_cosine"),
         betas=tuple(solver.optim.args.get("betas", [0.9, 0.98])),
         grad_norm=float(solver.get("grad_norm", 0) or 0) or None,
-        module_lrs=module_lrs or None)
+        module_lrs=module_lrs or None,
+        accumulation_steps=int(solver.get("gradient_accumulation_steps", 1)))

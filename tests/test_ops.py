@@ -53,7 +53,8 @@ def test_sparse_conv_matches_dense(rng):
     x_p = kernel_maps.pad_rows(x, pad)
     valid = kernel_maps.pad_rows(np.ones(n, bool), pad, False)
     out = sparse.sparse_conv(jnp.array(x_p), jnp.array(nbr_p), jnp.array(w),
-                             out_valid=jnp.array(valid))
+                             out_valid=jnp.array(valid),
+                             compute_dtype=jnp.float32)
     offsets = kernel_maps.kernel_offsets(3)
     vol = {tuple(c): x[i] for i, c in enumerate(coords)}
     ref = _dense_conv3d(vol, w, offsets)
@@ -61,6 +62,11 @@ def test_sparse_conv_matches_dense(rng):
         np.testing.assert_allclose(np.asarray(out[i]), ref[tuple(c)],
                                    rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out[n:]), 0)
+    # default bf16 compute path stays within bf16 tolerance
+    out_bf = sparse.sparse_conv(jnp.array(x_p), jnp.array(nbr_p),
+                                jnp.array(w), out_valid=jnp.array(valid))
+    np.testing.assert_allclose(np.asarray(out_bf[:n]),
+                               np.asarray(out[:n]), rtol=0.1, atol=0.05)
 
 
 def test_downsample_and_child_map(rng):
@@ -86,7 +92,8 @@ def test_stride2_conv_and_transpose_roundtrip(rng):
     x = rng.standard_normal((n, cin)).astype(np.float32)
     w = rng.standard_normal((8, cin, cout)).astype(np.float32)
 
-    down = sparse.sparse_conv(jnp.array(x), jnp.array(child), jnp.array(w))
+    down = sparse.sparse_conv(jnp.array(x), jnp.array(child), jnp.array(w),
+                              compute_dtype=jnp.float32)
     # reference: out[c] = sum over children f of x[f] @ w[off(f)]
     ref = np.zeros((nc, cout), np.float32)
     for f in range(n):
@@ -96,7 +103,8 @@ def test_stride2_conv_and_transpose_roundtrip(rng):
     # transpose: fine[f] = coarse[parent(f)] @ w[off(f)]
     xc = rng.standard_normal((nc, cin)).astype(np.float32)
     up = sparse.sparse_conv_transpose(jnp.array(xc), jnp.array(parent),
-                                      jnp.array(off), jnp.array(w))
+                                      jnp.array(off), jnp.array(w),
+                                      compute_dtype=jnp.float32)
     ref_up = np.stack([xc[parent[f]] @ w[off[f]] for f in range(n)])
     np.testing.assert_allclose(np.asarray(up), ref_up, rtol=1e-4, atol=1e-4)
 

@@ -1,0 +1,74 @@
+"""Optimizer construction: wd masks, per-module LR, schedules, accumulation."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pq3d_tpu.optim.optimizers import (build_optimizer, make_schedule,
+                                       no_decay_mask, lr_scale_mask)
+
+
+def fake_params():
+    return {
+        "ground_head": {"dense": {"kernel": jnp.ones((4, 4)),
+                                  "bias": jnp.zeros(4)}},
+        "encoder": {"norm": {"scale": jnp.ones(4), "bias": jnp.zeros(4)},
+                    "proj": {"kernel": jnp.ones((4, 4))}},
+    }
+
+
+def test_no_decay_mask():
+    m = no_decay_mask(fake_params())
+    assert m["ground_head"]["dense"]["kernel"] is True
+    assert m["ground_head"]["dense"]["bias"] is False
+    assert m["encoder"]["norm"]["scale"] is False
+
+
+def test_lr_scale_mask():
+    s = lr_scale_mask(fake_params(), {"ground_head": 1e-5}, 1e-4)
+    assert s["ground_head"]["dense"]["kernel"] == pytest.approx(0.1)
+    assert s["encoder"]["proj"]["kernel"] == 1.0
+
+
+def test_schedules():
+    s = make_schedule("warmup_cosine", 1e-4, 100, warmup_steps=10)
+    assert float(s(0)) == pytest.approx(0.0)
+    assert float(s(10)) == pytest.approx(1e-4)
+    assert float(s(100)) < 1e-5
+    c = make_schedule("constant", 3e-4, 100)
+    assert float(c(50)) == pytest.approx(3e-4)
+
+
+def test_per_module_lr_updates():
+    params = fake_params()
+    tx, _ = build_optimizer(params, lr=1.0, sched_name="constant",
+                            total_steps=10, module_lrs={"ground_head": 0.1})
+    state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, state, params)
+    head = float(jnp.abs(updates["ground_head"]["dense"]["kernel"]).mean())
+    enc = float(jnp.abs(updates["encoder"]["proj"]["kernel"]).mean())
+    assert head == pytest.approx(enc * 0.1, rel=1e-3)
+
+
+def test_gradient_accumulation():
+    params = {"w": jnp.zeros(3)}
+    tx, _ = build_optimizer(params, name="sgd", lr=1.0, sched_name="constant",
+                            total_steps=10, accumulation_steps=2)
+    state = tx.init(params)
+    g = {"w": jnp.ones(3)}
+    up1, state = tx.update(g, state, params)
+    assert float(jnp.abs(up1["w"]).max()) == 0  # accumulated, not applied
+    up2, state = tx.update(g, state, params)
+    assert float(jnp.abs(up2["w"]).max()) > 0
+
+
+def test_grad_clip():
+    params = {"w": jnp.zeros(4)}
+    tx, _ = build_optimizer(params, name="sgd", lr=1.0, sched_name="constant",
+                            total_steps=10, grad_norm=1.0)
+    state = tx.init(params)
+    g = {"w": jnp.full(4, 100.0)}
+    up, _ = tx.update(g, state, params)
+    import optax
+    assert float(optax.global_norm(up)) <= 1.0 + 1e-5
