@@ -117,12 +117,20 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
         pad_sizes=list(cfg.level_caps) if cfg.level_caps else None,
         bucket=cfg.voxel_bucket)
 
+    full_instance_masks = None
+    if not train:
+        full_instance_masks = np.stack(
+            [inst_point == i for i in range(n_inst)]) if n_inst else \
+            np.zeros((0, len(points)), bool)
+
     return {
         "points": points,
         "voxel_feats": voxel_feats,
         "voxel2segment": voxel2segment,
         "voxel_to_full": inverse_map.astype(np.int32),
         "segment_to_full": segment_id.astype(np.int32),
+        "full_instance_masks": full_instance_masks,
+        "scan_id": scene.get("scan_id", ""),
         "hierarchy": hierarchy,
         "seg_center": seg_center,
         "obj_center": obj_center,
@@ -194,6 +202,14 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
 
     out = {k: np.stack(v) for k, v in batch.items()}
     out["maps"] = {k: np.stack(v) for k, v in maps.items()}
+    # host-only eval side channel: full-resolution reconstruction maps
+    # (ref instseg_wrapper.py:55 list-collated voxel_to_full/segment_to_full)
+    out["_meta"] = {
+        "segment_to_full": [s["segment_to_full"] for s in scenes],
+        "full_instance_masks": [s.get("full_instance_masks")
+                                for s in scenes],
+        "scan_id": [s.get("scan_id", "") for s in scenes],
+    }
     return out
 
 

@@ -59,11 +59,16 @@ class InstSegEval(BaseEvaluator):
     """Accumulates per-scene predictions; record() computes AP/AP50/AP25."""
 
     def __init__(self, topk_per_scene: int = 100, num_classes: int = 200,
-                 score_threshold: float = 0.0, save_dir: Optional[str] = None):
+                 score_threshold: float = 0.0, save_dir: Optional[str] = None,
+                 full_resolution: bool = False, use_dbscan: bool = False,
+                 dbscan_eps: float = 0.95):
         super().__init__(save_dir)
         self.topk = topk_per_scene
         self.num_classes = num_classes
         self.score_threshold = score_threshold
+        self.full_resolution = full_resolution
+        self.use_dbscan = use_dbscan
+        self.dbscan_eps = dbscan_eps
         self.target_metric = "all_ap"
         self._preds: List[Dict] = []
         self._gts: List[Dict] = []
@@ -82,16 +87,28 @@ class InstSegEval(BaseEvaluator):
         seg_sizes = np.asarray(batch.get("segment_sizes",
                                          np.ones(seg_valid.shape)))
 
+        meta = batch.get("_meta", {}) if isinstance(batch.get("_meta"), dict) \
+            else {}
+        seg_to_full = meta.get("segment_to_full")
+        full_gt = meta.get("full_instance_masks")
+
         b = cls_logits.shape[0]
         for i in range(b):
+            s2f = seg_to_full[i] if (self.full_resolution and seg_to_full
+                                     and seg_to_full[i] is not None) else None
+            fgt = full_gt[i] if (self.full_resolution and full_gt
+                                 and full_gt[i] is not None) else None
             self._update_scene(cls_logits[i], mask_logits[i], seg_valid[i],
                                gt_masks[i], gt_labels[i], gt_valid[i],
-                               seg_sizes[i])
+                               seg_sizes[i], seg_to_full=s2f,
+                               full_gt_masks=fgt)
 
     def _update_scene(self, cls_logits, mask_logits, seg_valid, gt_masks,
-                      gt_labels, gt_valid, seg_sizes):
+                      gt_labels, gt_valid, seg_sizes, seg_to_full=None,
+                      full_gt_masks=None):
         """Per-query topk (class, score) ranking (ref get_mask_and_scores,
-        instseg_eval.py:283-304)."""
+        instseg_eval.py:283-304); optional full-resolution reconstruction
+        (ref get_full_res_mask, instseg_eval.py:272-281)."""
         q = cls_logits.shape[0]
         probs = _softmax(cls_logits)[:, :self.num_classes]  # drop no-object
         mask_prob = _sigmoid(mask_logits) * seg_valid[:, None]
@@ -104,18 +121,26 @@ class InstSegEval(BaseEvaluator):
         for idx in top_idx:
             qi, ci = divmod(int(idx), self.num_classes)
             m = masks_bool[:, qi]
-            denom = (mask_prob[:, qi] * m).size
             mask_score = (mask_prob[m, qi].mean() if m.any() else 0.0)
             score = float(flat[idx]) * float(mask_score)
             if score <= self.score_threshold or not m.any():
                 continue
+            if seg_to_full is not None:
+                # segment mask -> per-point mask
+                m = m[np.minimum(seg_to_full, len(m) - 1)]
             preds.append({"class": ci, "score": score, "mask": m})
         self._preds.append(preds)
-        self._gts.append({
-            "masks": gt_masks[gt_valid] & seg_valid[None, :],
-            "labels": gt_labels[gt_valid],
-            "weights": seg_sizes,
-        })
+        if seg_to_full is not None and full_gt_masks is not None:
+            self._gts.append({"masks": full_gt_masks[gt_valid[:len(full_gt_masks)]]
+                              if len(full_gt_masks) else full_gt_masks,
+                              "labels": gt_labels[gt_valid][:len(full_gt_masks)],
+                              "weights": None})
+        else:
+            self._gts.append({
+                "masks": gt_masks[gt_valid] & seg_valid[None, :],
+                "labels": gt_labels[gt_valid],
+                "weights": seg_sizes,
+            })
 
     def record(self) -> Dict[str, float]:
         classes_present = sorted({int(l) for g in self._gts

@@ -44,7 +44,8 @@ class CoordTable:
 
     DENSE_LIMIT = 80_000_000  # cells (~320 MB int32)
 
-    def __init__(self, coords: np.ndarray, margin: int = 1):
+    def __init__(self, coords: np.ndarray, margin: int = 3):
+        self._margin = margin
         self.n = len(coords)
         if self.n == 0:
             self.lo = np.zeros(3, np.int64)
@@ -80,6 +81,30 @@ class CoordTable:
         pos_c = np.minimum(pos, self.n - 1)
         hit = (self.sorted_keys[pos_c] == key) & inside
         return np.where(hit, self.order[pos_c], -1).astype(np.int32)
+
+    def lookup_offsets(self, coords: np.ndarray, offsets: np.ndarray
+                       ) -> np.ndarray:
+        """(N, 3) coords x (K, 3) offsets -> (N, K) neighbor indices.
+
+        Uses key(coords + off) = key(coords) + const(off): one base-key pass
+        then K scalar-shifted fancy-index lookups — the host pipeline's hot
+        loop.  Requires the dense grid with margin >= max|offset| so shifted
+        keys never leave the (border = -1) grid."""
+        max_off = int(np.abs(offsets).max())
+        if self.grid is None or max_off > self._margin:
+            out = np.empty((len(coords), len(offsets)), np.int32)
+            for k, off in enumerate(offsets):
+                out[:, k] = self.lookup(coords + off[None, :])
+            return out
+        shifted = coords.astype(np.int64) - self.lo
+        base = (shifted[:, 0] * self.dims[1] + shifted[:, 1]) * self.dims[2] \
+            + shifted[:, 2]
+        deltas = (offsets[:, 0].astype(np.int64) * self.dims[1]
+                  + offsets[:, 1]) * self.dims[2] + offsets[:, 2]
+        out = np.empty((len(coords), len(offsets)), np.int32)
+        for k in range(len(offsets)):
+            out[:, k] = self.grid[base + deltas[k]]
+        return out
 
 
 def _lookup(query_coords: np.ndarray, table_coords: np.ndarray) -> np.ndarray:
@@ -166,12 +191,9 @@ def build_neighbor_map(coords: np.ndarray, kernel_size: int,
                        table: Optional["CoordTable"] = None) -> np.ndarray:
     """Stride-1 conv map on one coordinate set: (N, K) indices, -1 = missing."""
     offs = kernel_offsets(kernel_size)
-    n = len(coords)
     if table is None:
-        table = CoordTable(coords)
-    # one batched lookup over all offsets (fewer numpy passes)
-    queries = (coords[None, :, :] + offs[:, None, :]).reshape(-1, 3)
-    return table.lookup(queries).reshape(len(offs), n).T.copy()
+        table = CoordTable(coords, margin=max(3, kernel_size // 2 + 1))
+    return table.lookup_offsets(coords, offs)
 
 
 def downsample_coords(coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
