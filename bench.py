@@ -56,6 +56,7 @@ def main():
     batch["pc_seg_fts"] = rng.standard_normal(
         (batch_size, S, 768)).astype(np.float32)
     batch["pc_seg_pad_masks"] = batch["seg_pad_masks"]
+    batch = {k: v for k, v in batch.items() if not k.startswith('_')}
     batch = jax.tree.map(jnp.asarray, batch)
 
     model = Query3DUnified(

@@ -98,6 +98,35 @@ def rouge_l(preds: Dict, refs: Dict, beta: float = 1.2) -> float:
 # CIDEr-D
 # ---------------------------------------------------------------------------
 
+def meteor(preds: Dict, refs: Dict, jar_path: str = None) -> float:
+    """Optional METEOR via the benchmark's Java jar when present
+    (the reference shells out to meteor-1.5.jar,
+    evaluator/capeval/meteor/meteor.py:20-27).  Returns nan when no jar/JVM
+    is available — METEOR is optional in this framework."""
+    import os
+    import shutil
+    import subprocess
+    jar = jar_path or os.environ.get("METEOR_JAR", "")
+    if not jar or not os.path.exists(jar) or not shutil.which("java"):
+        return float("nan")
+    lines_test, lines_ref = [], []
+    for k in preds:
+        lines_test.append(preds[k][0])
+        lines_ref.append(refs[k][0])
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".tst", delete=False) as ft, \
+            tempfile.NamedTemporaryFile("w", suffix=".ref", delete=False) as fr:
+        ft.write("\n".join(lines_test))
+        fr.write("\n".join(lines_ref))
+        tst, ref = ft.name, fr.name
+    out = subprocess.run(["java", "-jar", jar, tst, ref, "-norm"],
+                         capture_output=True, text=True, timeout=600)
+    for line in reversed(out.stdout.splitlines()):
+        if line.lower().startswith("final score"):
+            return float(line.split(":")[1])
+    return float("nan")
+
+
 def cider_d(preds: Dict, refs: Dict, max_n: int = 4, sigma: float = 6.0
             ) -> float:
     # document frequencies from the reference corpus

@@ -51,6 +51,13 @@ class T5GenerationHead(nn.Module):
         b = enc.shape[0]
         L = c.max_new_tokens
 
+        if self.is_initializing():
+            # create decoder params OUTSIDE the scan (flax cannot create
+            # params inside lax.scan bodies)
+            decoder(jnp.zeros((b, L + 1), jnp.int32), enc, query_valid,
+                    None, deterministic=True)
+            return jnp.zeros((b, L), jnp.int32)
+
         def step(tokens, t):
             logits = decoder(tokens, enc, query_valid, None,
                              deterministic=True)

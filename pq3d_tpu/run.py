@@ -88,6 +88,8 @@ def build_multitask_trainer(cfg):
                                    TRAINER_REGISTRY)
     import pq3d_tpu.train.trainer  # registers trainers
     import pq3d_tpu.models  # registers model modules
+    import pq3d_tpu.data.unified_datasets  # registers synthetic task datasets
+    import pq3d_tpu.data.sceneverse  # registers SceneVerse task datasets
     import pq3d_tpu.eval.grounding_eval  # registers evaluators
     import pq3d_tpu.eval.qa_eval
     import pq3d_tpu.eval.caption_eval

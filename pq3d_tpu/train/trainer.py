@@ -177,6 +177,13 @@ class Query3DTrainer:
         return self._state
 
 
+@TRAINER_REGISTRY.register(name="DefaultTrainer")
+class DefaultTrainer(Query3DTrainer):
+    """Generic epoch-loop trainer (ref trainer/default_trainer.py:10-108);
+    identical loop to Query3DTrainer in this framework — the reference split
+    them only for logging differences."""
+
+
 @TRAINER_REGISTRY.register(name="MultitaskTrainer")
 class MultitaskTrainer(Query3DTrainer):
     """Stage-2 trainer: list of per-dataset val loaders + evaluators,

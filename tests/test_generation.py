@@ -1,0 +1,60 @@
+"""T5 generation head: teacher forcing shapes, greedy decode, EOS freeze."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pq3d_tpu.models.generation import T5GenerationHead
+from pq3d_tpu.models.query3d import GenerationHeadCfg
+from pq3d_tpu.models.t5 import (RMSNorm, T5_EOS_ID, T5_PAD_ID,
+                                relative_position_bucket)
+
+
+CFG = GenerationHeadCfg(vocab_size=32, d_model=16, d_kv=4, d_ff=32,
+                        num_layers=1, num_heads=2, max_new_tokens=6)
+
+
+def setup():
+    head = T5GenerationHead(cfg=CFG)
+    rng = np.random.default_rng(0)
+    enc = jnp.asarray(rng.standard_normal((2, 5, 24)).astype(np.float32))
+    mask = jnp.ones((2, 5), bool)
+    v = head.init(jax.random.key(0), enc, mask, labels=None)
+    return head, v, enc, mask
+
+
+def test_teacher_forcing_logits():
+    head, v, enc, mask = setup()
+    labels = jnp.asarray(np.array([[3, 4, 1, 0], [5, 6, 7, 1]], np.int32))
+    logits = head.apply(v, enc, mask, labels=labels)
+    assert logits.shape == (2, 4, 32)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_greedy_decode_and_eos_freeze():
+    head, v, enc, mask = setup()
+    toks = np.asarray(head.apply(v, enc, mask, labels=None))
+    assert toks.shape == (2, 6)
+    # once EOS appears, everything after is PAD
+    for row in toks:
+        seen_eos = False
+        for t in row:
+            if seen_eos:
+                assert t == T5_PAD_ID
+            if t == T5_EOS_ID:
+                seen_eos = True
+
+
+def test_relative_position_bucket_monotone():
+    rel = jnp.arange(0, -50, -1)[None, :]  # distances 0..49 back
+    b = np.asarray(relative_position_bucket(rel, 32, 128))[0]
+    assert b[0] == 0
+    assert (np.diff(b) >= 0).all()
+    assert b.max() < 32
+
+
+def test_rmsnorm_no_mean_subtraction():
+    m = RMSNorm()
+    x = jnp.asarray(np.full((2, 4), 3.0, np.float32))
+    v = m.init(jax.random.key(0), x)
+    y = np.asarray(m.apply(v, x))
+    np.testing.assert_allclose(y, 1.0, rtol=1e-5)  # 3/sqrt(9)=1, no centering

@@ -46,6 +46,7 @@ def build_batch(rng, n_scenes=2, n_points=800):
     batch["pc_seg_fts"] = rng.standard_normal(
         (n_scenes, S, 24)).astype(np.float32)
     batch["pc_seg_pad_masks"] = batch["seg_pad_masks"]
+    batch = {k: v for k, v in batch.items() if not k.startswith("_")}
     return jax.tree.map(jnp.asarray, batch)
 
 
