@@ -34,9 +34,12 @@ class BaseEvaluator:
         raise NotImplementedError
 
     def record(self) -> Dict[str, float]:
-        """Aggregate accumulated (value, count) pairs into means."""
+        """Aggregate accumulated (value, count) pairs into means (merged
+        across hosts when running multi-process)."""
+        from pq3d_tpu.parallel.multihost import merge_eval_dicts
         results = {}
-        for k, pairs in self.eval_dict.items():
+        merged = merge_eval_dicts(dict(self.eval_dict))
+        for k, pairs in merged.items():
             v = sum(x * c for x, c in pairs)
             c = sum(c for _, c in pairs)
             results[k] = v / max(c, 1)

@@ -1,0 +1,61 @@
+"""Recompilation discipline: different scenes -> identical batch shapes ->
+one compiled executable (the north-star constraint, SURVEY.md §7.1)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pq3d_tpu.data import synthetic
+from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
+from pq3d_tpu.data.unified_datasets import SyntheticRefer
+from pq3d_tpu.data.unified_loader import UnifiedTaskLoader
+from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
+from pq3d_tpu.config import Config
+
+
+def _shapes(batch):
+    return jax.tree.map(lambda x: (getattr(x, "shape", None),
+                                   getattr(x, "dtype", None)), batch)
+
+
+def test_instseg_batches_shape_stable():
+    cfg = InstSegPipelineConfig(voxel_size=0.1, num_queries=16,
+                                max_segments=64, max_instances=16,
+                                voxel_bucket=1024,
+                                level_caps=[1024, 512, 256, 128, 64])
+    rng = np.random.default_rng(0)
+    shapes = []
+    for seed in range(3):
+        srng = np.random.default_rng(seed)
+        scenes = [synthetic.make_scene(srng, n_points=800 + 200 * seed,
+                                       n_instances=3 + seed, n_segments=24)
+                  for _ in range(2)]
+        batch = make_batch(scenes, cfg, rng, train=True)
+        batch = {k: v for k, v in batch.items() if not k.startswith("_")}
+        shapes.append(str(_shapes(batch)))
+    assert shapes[0] == shapes[1] == shapes[2], \
+        "instseg batches must have identical shapes across scenes"
+
+
+def test_unified_batches_shape_stable_and_jit_cache():
+    cfg = Config({"data": {"synthetic": {"num_train": 6, "n_points": 400,
+                                         "n_instances": 4}},
+                  "debug": {"flag": False}})
+    pipe = UnifiedPipelineConfig(max_obj_len=5, num_points=32, prompt_len=8,
+                                 response_len=6)
+    loader = UnifiedTaskLoader(SyntheticRefer(cfg, "train"), pipe,
+                               batch_size=2, train=True)
+
+    @jax.jit
+    def f(b):
+        return sum(jnp.sum(v) for v in jax.tree.leaves(b)
+                   if jnp.issubdtype(v.dtype, jnp.floating))
+
+    n_batches = 0
+    for batch in loader(0):
+        batch = {k: jnp.asarray(v) for k, v in batch.items()
+                 if not k.startswith("_")}
+        f(batch)
+        n_batches += 1
+    assert n_batches >= 2
+    assert f._cache_size() == 1, \
+        f"expected a single compilation, got {f._cache_size()}"
