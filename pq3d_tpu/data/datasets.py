@@ -9,7 +9,7 @@ procedural scenes for development, tests, and benchmarks.
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, Optional
 
 import numpy as np
 

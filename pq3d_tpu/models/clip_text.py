@@ -12,8 +12,6 @@ Weight import from HF checkpoints is supported via
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

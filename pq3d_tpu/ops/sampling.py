@@ -10,7 +10,6 @@ filling exactly like the CUDA ball-query kernel.
 """
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ lion.py:21-85, optim/scheduler/scheduler.py:5-22, optim/utils.py:1-18):
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ Axes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import numpy as np
