@@ -208,6 +208,7 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
         "segment_to_full": [s["segment_to_full"] for s in scenes],
         "full_instance_masks": [s.get("full_instance_masks")
                                 for s in scenes],
+        "points": [s["points"] for s in scenes],
         "scan_id": [s.get("scan_id", "") for s in scenes],
     }
     return out

@@ -91,6 +91,7 @@ class InstSegEval(BaseEvaluator):
             else {}
         seg_to_full = meta.get("segment_to_full")
         full_gt = meta.get("full_instance_masks")
+        points = meta.get("points")
 
         b = cls_logits.shape[0]
         for i in range(b):
@@ -98,14 +99,15 @@ class InstSegEval(BaseEvaluator):
                                      and seg_to_full[i] is not None) else None
             fgt = full_gt[i] if (self.full_resolution and full_gt
                                  and full_gt[i] is not None) else None
+            pts = points[i] if (points and s2f is not None) else None
             self._update_scene(cls_logits[i], mask_logits[i], seg_valid[i],
                                gt_masks[i], gt_labels[i], gt_valid[i],
                                seg_sizes[i], seg_to_full=s2f,
-                               full_gt_masks=fgt)
+                               full_gt_masks=fgt, points=pts)
 
     def _update_scene(self, cls_logits, mask_logits, seg_valid, gt_masks,
                       gt_labels, gt_valid, seg_sizes, seg_to_full=None,
-                      full_gt_masks=None):
+                      full_gt_masks=None, points=None):
         """Per-query topk (class, score) ranking (ref get_mask_and_scores,
         instseg_eval.py:283-304); optional full-resolution reconstruction
         (ref get_full_res_mask, instseg_eval.py:272-281)."""
@@ -129,6 +131,8 @@ class InstSegEval(BaseEvaluator):
                 # segment mask -> per-point mask
                 m = m[np.minimum(seg_to_full, len(m) - 1)]
             preds.append({"class": ci, "score": score, "mask": m})
+        if self.use_dbscan and points is not None:
+            preds = self._dbscan_split(preds, points)
         self._preds.append(preds)
         if seg_to_full is not None and full_gt_masks is not None:
             self._gts.append({"masks": full_gt_masks[gt_valid[:len(full_gt_masks)]]
@@ -141,6 +145,27 @@ class InstSegEval(BaseEvaluator):
                 "labels": gt_labels[gt_valid],
                 "weights": seg_sizes,
             })
+
+    def _dbscan_split(self, preds, points=None):
+        """Optionally split each predicted mask into spatial clusters
+        (ref instseg_eval.py:245-270 DBSCAN post-processing).  Requires
+        per-point coordinates; no-op without them."""
+        if points is None:
+            return preds
+        from sklearn.cluster import DBSCAN
+        out = []
+        for p in preds:
+            idx = np.nonzero(p["mask"])[0]
+            if len(idx) < 2:
+                out.append(p)
+                continue
+            labels = DBSCAN(eps=self.dbscan_eps, min_samples=1).fit(
+                points[idx]).labels_
+            for c in np.unique(labels):
+                m = np.zeros_like(p["mask"])
+                m[idx[labels == c]] = True
+                out.append({**p, "mask": m})
+        return out
 
     def record(self) -> Dict[str, float]:
         classes_present = sorted({int(l) for g in self._gts

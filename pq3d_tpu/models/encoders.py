@@ -92,6 +92,56 @@ class SegVoxelEncoder(nn.Module):
         return out
 
 
+@VISION_REGISTRY.register(name="SemanticEncoder")
+class SemanticEncoder(nn.Module):
+    """Label-embedding encoder with prediction-mixup curriculum
+    (ref object_encoder.py:82-117; registered-but-unused by the shipped
+    reference configs, provided for parity).  The semantic embedding table
+    (GloVe/CLIP label vectors) is a fixed buffer supplied at init."""
+    hidden_size: int = 768
+    embed_dim: int = 300
+    num_classes: int = 607
+    use_matmul_label: bool = False
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, cls_logits_list, obj_labels=None, mixup_ratio=0.0,
+                 deterministic: bool = True):
+        table = self.variable(
+            "buffers", "semantic_embedding",
+            lambda: nn.initializers.normal(0.02)(
+                self.make_rng("params"), (self.num_classes, self.embed_dim),
+                jnp.float32)).value
+        logits = sum(cls_logits_list) / len(cls_logits_list)
+        probs = jax.lax.stop_gradient(jax.nn.softmax(logits, axis=-1))
+        if obj_labels is not None and mixup_ratio > 0:
+            probs = mixup_predictions(probs, obj_labels, mixup_ratio)
+        if self.use_matmul_label:
+            embeds = probs @ table
+        else:
+            embeds = jnp.take(table, jnp.argmax(probs, axis=-1), axis=0)
+        embeds = ProjectLN(self.hidden_size, self.dropout,
+                           name="sem_emb_proj")(embeds, deterministic)
+        return embeds, logits
+
+
+def mixup_predictions(probs: jnp.ndarray, labels: jnp.ndarray,
+                      ratio) -> jnp.ndarray:
+    """Blend predicted class distributions with one-hot GT at ``ratio``
+    (ref modules/utils.py:128-167 AllMixup/LinearDecayMixup)."""
+    valid = labels >= 0
+    onehot = jax.nn.one_hot(jnp.maximum(labels, 0), probs.shape[-1])
+    mixed = jnp.where(valid[..., None], onehot, probs)
+    return probs * (1 - ratio) + mixed * ratio
+
+
+def linear_decay_mixup_ratio(step, total_steps, stage1: float, stage2: float):
+    """Curriculum: 1.0 until stage1*total, linear decay to 0 at stage2*total
+    (ref modules/utils.py:142-167)."""
+    s1, s2 = stage1 * total_steps, stage2 * total_steps
+    return jnp.clip((s2 - step) / jnp.maximum(s2 - s1, 1), 0.0, 1.0)
+
+
 @VISION_REGISTRY.register(name="ObjectEncoder")
 class ObjectEncoder(nn.Module):
     """Per-object/segment feature projection, optional PointNet++ backbone

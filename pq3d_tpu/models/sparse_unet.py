@@ -89,12 +89,15 @@ class SparseConvTranspose(nn.Module):
 
 class BasicBlock(nn.Module):
     """conv3 -> BN -> ReLU -> conv3 -> BN -> (+residual) -> ReLU
-    (ref resnet_block.py:7-70)."""
+    (ref resnet_block.py:7-70).  ``train`` is a construction-time flag so the
+    call signature stays all-array for nn.remat."""
     planes: int
     bn_momentum: float = 0.02
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x, nbr, valid, train: bool):
+    def __call__(self, x, nbr, valid):
+        train = self.train
         residual = x
         out = SparseConv(self.planes, name="conv1")(x, nbr, valid)
         out = MaskedBatchNorm(self.bn_momentum, name="norm1")(out, valid, not train)
@@ -111,15 +114,20 @@ class BasicBlock(nn.Module):
 
 
 class ResStage(nn.Module):
+    """Stack of BasicBlocks; each block is rematerialized in training so the
+    backward pass recomputes the 27-offset gathers instead of storing them
+    (full-scale bwd OOMs otherwise: ~1.4 GB of gathered activations/conv)."""
     planes: int
     layers: int
     bn_momentum: float = 0.02
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
+        block_cls = nn.remat(BasicBlock) if (self.remat and train) else BasicBlock
         for i in range(self.layers):
-            x = BasicBlock(self.planes, self.bn_momentum, name=f"block{i}")(
-                x, nbr, valid, train)
+            x = block_cls(self.planes, self.bn_momentum, train,
+                          name=f"block{i}")(x, nbr, valid)
         return x
 
 
