@@ -48,6 +48,7 @@ class SegVoxelEncoder(nn.Module):
     backbone_out_channels: int = 200
     bn_momentum: float = 0.02
     conv1_kernel_size: int = 5
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -60,6 +61,7 @@ class SegVoxelEncoder(nn.Module):
         backbone = Res16UNet(out_channels=self.backbone_out_channels,
                              bn_momentum=self.bn_momentum,
                              conv1_kernel_size=self.conv1_kernel_size,
+                             remat_policy=self.remat_policy,
                              name="backbone")
         bb_train = train and not self.freeze_backbone
         # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]

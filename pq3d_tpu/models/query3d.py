@@ -65,6 +65,7 @@ class VoxelEncoderCfg:
     out_channels: int = 200
     bn_momentum: float = 0.02
     conv1_kernel_size: int = 5
+    remat_policy: str = "full"   # 'full' | 'dots' | 'none'
 
 
 @dataclasses.dataclass(frozen=True)
@@ -209,6 +210,7 @@ class Query3DUnified(nn.Module):
                         backbone_out_channels=self.voxel_enc.out_channels,
                         bn_momentum=self.voxel_enc.bn_momentum,
                         conv1_kernel_size=self.voxel_enc.conv1_kernel_size,
+                        remat_policy=self.voxel_enc.remat_policy,
                         name="voxel_encoder")(
                             batch["voxel_feats"], batch["maps"],
                             batch["voxel2segment"],

@@ -116,15 +116,24 @@ class BasicBlock(nn.Module):
 class ResStage(nn.Module):
     """Stack of BasicBlocks; each block is rematerialized in training so the
     backward pass recomputes the 27-offset gathers instead of storing them
-    (full-scale bwd OOMs otherwise: ~1.4 GB of gathered activations/conv)."""
+    (full-scale bwd OOMs otherwise: ~1.4 GB of gathered activations/conv).
+
+    remat_policy: 'full' (save nothing), 'dots' (save matmul outputs,
+    recompute gathers only), 'none'."""
     planes: int
     layers: int
     bn_momentum: float = 0.02
-    remat: bool = True
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
-        block_cls = nn.remat(BasicBlock) if (self.remat and train) else BasicBlock
+        if train and self.remat_policy == "full":
+            block_cls = nn.remat(BasicBlock)
+        elif train and self.remat_policy == "dots":
+            block_cls = nn.remat(
+                BasicBlock, policy=jax.checkpoint_policies.dots_saveable)
+        else:
+            block_cls = BasicBlock
         for i in range(self.layers):
             x = block_cls(self.planes, self.bn_momentum, train,
                           name=f"block{i}")(x, nbr, valid)
@@ -146,6 +155,7 @@ class Res16UNet(nn.Module):
     layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
     conv1_kernel_size: int = 5
     bn_momentum: float = 0.02
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -172,6 +182,7 @@ class Res16UNet(nn.Module):
                 out, fm[f"child_{l}"], v[l + 1])
             out = jax.nn.relu(bn(f"bn{l+1}")(out, v[l + 1], not train))
             out = ResStage(enc_planes[l], self.layers[l], self.bn_momentum,
+                           self.remat_policy,
                            name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train)
             skips.append(out)
 
@@ -186,6 +197,7 @@ class Res16UNet(nn.Module):
             out = jax.nn.relu(bn(f"bntr{i+4}")(out, v[lvl], not train))
             out = jnp.concatenate([out, skips[lvl]], axis=-1)
             out = ResStage(dec_planes[i], self.layers[i + 4], self.bn_momentum,
+                           self.remat_policy,
                            name=f"stage{i+5}")(out, n[lvl], v[lvl], train)
             feature_maps.append(out)
 
