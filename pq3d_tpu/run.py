@@ -66,7 +66,12 @@ def build_instseg_trainer(cfg):
     evaluator = None
     if cfg.get("eval") and cfg.eval.get("name") == "InstSegEval":
         from pq3d_tpu.eval.instseg_eval import InstSegEval
+        save_dir = None
+        if cfg.eval.get("save"):
+            save_dir = os.path.join(cfg.exp_dir, "eval_results", "InstSegEval")
         evaluator = InstSegEval(
+            save_dir=save_dir,
+            use_dbscan=bool(cfg.eval.get("use_dbscan", False)),
             topk_per_scene=int(cfg.eval.get("topk_per_scene", 100)),
             num_classes=int(cfg.data.instseg_options.num_labels))
 
@@ -116,7 +121,10 @@ def build_multitask_trainer(cfg):
         val_loader = UnifiedTaskLoader(val_ds, pipe_cfg, bs_eval, False,
                                        seed=seed)
         ev_name = getattr(train_ds, "evaluator", "ScanReferEval")
-        evaluator = EVALUATOR_REGISTRY.get(ev_name)()
+        save_dir = None
+        if cfg.get("eval") and cfg.eval.get("save"):
+            save_dir = os.path.join(cfg.exp_dir, "eval_results", ev_name)
+        evaluator = EVALUATOR_REGISTRY.get(ev_name)(save_dir=save_dir)
         val_sets.append((ds_name, val_loader, evaluator))
     train_loader = MixedTaskLoader(train_loaders, seed=seed)
 
