@@ -66,7 +66,9 @@ def main():
                                   num_attention_heads=12,
                                   structure="parallel",
                                   spatial_selfattn=True, use_self_mask=True),
-        voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3)),
+        # bf16 conv accumulation is the supported inference fast path
+        # (27-term sums renormalized by BatchNorm; training keeps f32)
+        voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16"),
         mask_head_cfg=MaskHeadCfg(num_targets=201,
                                   filter_out_classes=(0, 2)))
 

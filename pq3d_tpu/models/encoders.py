@@ -49,6 +49,7 @@ class SegVoxelEncoder(nn.Module):
     bn_momentum: float = 0.02
     conv1_kernel_size: int = 5
     remat_policy: str = "full"
+    accum: str = "float32"
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -62,6 +63,7 @@ class SegVoxelEncoder(nn.Module):
                              bn_momentum=self.bn_momentum,
                              conv1_kernel_size=self.conv1_kernel_size,
                              remat_policy=self.remat_policy,
+                             accum=self.accum,
                              name="backbone")
         bb_train = train and not self.freeze_backbone
         # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]

@@ -66,6 +66,7 @@ class VoxelEncoderCfg:
     bn_momentum: float = 0.02
     conv1_kernel_size: int = 5
     remat_policy: str = "full"   # 'full' | 'dots' | 'none'
+    accum: str = "float32"       # conv accumulation dtype (bf16 = inference opt)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -211,6 +212,7 @@ class Query3DUnified(nn.Module):
                         bn_momentum=self.voxel_enc.bn_momentum,
                         conv1_kernel_size=self.voxel_enc.conv1_kernel_size,
                         remat_policy=self.voxel_enc.remat_policy,
+                        accum=self.voxel_enc.accum,
                         name="voxel_encoder")(
                             batch["voxel_feats"], batch["maps"],
                             batch["voxel2segment"],

@@ -66,12 +66,14 @@ class SparseConv(nn.Module):
     """Kernel-map sparse conv layer; kernel volume inferred from the map."""
     out_channels: int
     use_bias: bool = False
+    accum: str = "float32"   # 'float32' | 'bfloat16' (inference-only option)
 
     @nn.compact
     def __call__(self, x, nbr, valid):
         k = nbr.shape[-1]
         w = self.param("kernel", conv_init, (k, x.shape[-1], self.out_channels))
-        y = sparse.sparse_conv(x, nbr, w, None, valid)
+        y = sparse.sparse_conv(x, nbr, w, None, valid,
+                               accum_dtype=jnp.dtype(self.accum))
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = jnp.where(valid[..., None], y + b, 0)
@@ -94,15 +96,16 @@ class BasicBlock(nn.Module):
     planes: int
     bn_momentum: float = 0.02
     train: bool = False
+    accum: str = "float32"
 
     @nn.compact
     def __call__(self, x, nbr, valid):
         train = self.train
         residual = x
-        out = SparseConv(self.planes, name="conv1")(x, nbr, valid)
+        out = SparseConv(self.planes, accum=self.accum, name="conv1")(x, nbr, valid)
         out = MaskedBatchNorm(self.bn_momentum, name="norm1")(out, valid, not train)
         out = jax.nn.relu(out)
-        out = SparseConv(self.planes, name="conv2")(out, nbr, valid)
+        out = SparseConv(self.planes, accum=self.accum, name="conv2")(out, nbr, valid)
         out = MaskedBatchNorm(self.bn_momentum, name="norm2")(out, valid, not train)
         if x.shape[-1] != self.planes:
             residual = nn.Dense(self.planes, use_bias=False, kernel_init=conv_init,
@@ -124,6 +127,7 @@ class ResStage(nn.Module):
     layers: int
     bn_momentum: float = 0.02
     remat_policy: str = "full"
+    accum: str = "float32"
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
@@ -135,7 +139,7 @@ class ResStage(nn.Module):
         else:
             block_cls = BasicBlock
         for i in range(self.layers):
-            x = block_cls(self.planes, self.bn_momentum, train,
+            x = block_cls(self.planes, self.bn_momentum, train, self.accum,
                           name=f"block{i}")(x, nbr, valid)
         return x
 
@@ -156,6 +160,7 @@ class Res16UNet(nn.Module):
     conv1_kernel_size: int = 5
     bn_momentum: float = 0.02
     remat_policy: str = "full"
+    accum: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -170,7 +175,8 @@ class Res16UNet(nn.Module):
         bn = lambda name: MaskedBatchNorm(self.bn_momentum, name=name)
 
         # stem (level 0)
-        out = SparseConv(self.init_dim, name="conv0")(x, fm["nbr5_0"], v[0])
+        out = SparseConv(self.init_dim, accum=self.accum,
+                         name="conv0")(x, fm["nbr5_0"], v[0])
         out_p1 = jax.nn.relu(bn("bn0")(out, v[0], not train))
 
         # encoder ladder: stride-2 conv then residual stage
@@ -178,11 +184,12 @@ class Res16UNet(nn.Module):
         out = out_p1
         enc_planes = [P[0], P[1], P[2], P[3]]
         for l in range(4):
-            out = SparseConv(out.shape[-1], name=f"conv{l+1}s2")(
+            out = SparseConv(out.shape[-1], accum=self.accum,
+                             name=f"conv{l+1}s2")(
                 out, fm[f"child_{l}"], v[l + 1])
             out = jax.nn.relu(bn(f"bn{l+1}")(out, v[l + 1], not train))
             out = ResStage(enc_planes[l], self.layers[l], self.bn_momentum,
-                           self.remat_policy,
+                           self.remat_policy, self.accum,
                            name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train)
             skips.append(out)
 
@@ -197,7 +204,7 @@ class Res16UNet(nn.Module):
             out = jax.nn.relu(bn(f"bntr{i+4}")(out, v[lvl], not train))
             out = jnp.concatenate([out, skips[lvl]], axis=-1)
             out = ResStage(dec_planes[i], self.layers[i + 4], self.bn_momentum,
-                           self.remat_policy,
+                           self.remat_policy, self.accum,
                            name=f"stage{i+5}")(out, n[lvl], v[lvl], train)
             feature_maps.append(out)
 
