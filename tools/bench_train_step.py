@@ -1,0 +1,47 @@
+"""Training-step throughput at bench scale (fwd+bwd+clip+AdamW)."""
+import time, numpy as np, jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from pq3d_tpu.data import synthetic
+from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
+from pq3d_tpu.models.query3d import Query3DUnified, UnifiedEncoderCfg, MaskHeadCfg, VoxelEncoderCfg
+from pq3d_tpu.optim.losses import InstSegLossConfig, instseg_set_loss
+from pq3d_tpu.optim.optimizers import build_optimizer
+from pq3d_tpu.train.state import TrainState, make_train_step
+
+rng = np.random.default_rng(0)
+pipe_cfg = InstSegPipelineConfig(voxel_size=0.02, num_queries=120, max_segments=512,
+                                 max_instances=120, voxel_bucket=8192, use_aug=False)
+scenes = [synthetic.make_scene(rng, n_points=80_000, n_instances=24, n_segments=400) for _ in range(4)]
+for s in scenes: s["inst_labels"] = np.minimum(s["inst_labels"], 199)
+batch = make_batch(scenes, pipe_cfg, rng, train=True)
+S = 512
+batch["mv_seg_fts"] = rng.standard_normal((4, S, 768)).astype(np.float32)
+batch["mv_seg_pad_masks"] = batch["seg_pad_masks"]
+batch["pc_seg_fts"] = rng.standard_normal((4, S, 768)).astype(np.float32)
+batch["pc_seg_pad_masks"] = batch["seg_pad_masks"]
+batch = {k: v for k, v in batch.items() if not k.startswith('_')}
+batch = jax.tree.map(jnp.asarray, batch)
+print("host done", flush=True)
+
+model = Query3DUnified(memories=("voxel","mv","pc"), heads=("mask",), hidden_size=768, dim_loc=3,
+    unified=UnifiedEncoderCfg(num_layers=4, num_blocks=3, num_attention_heads=12, structure="parallel",
+                              spatial_selfattn=True, use_self_mask=True),
+    voxel_enc=VoxelEncoderCfg(hlevels=(0,1,2,3)),
+    mask_head_cfg=MaskHeadCfg(num_targets=201, filter_out_classes=(0,2)))
+variables = jax.jit(model.init, static_argnames=("train",))({"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False)
+print("init done", flush=True)
+loss_cfg = InstSegLossConfig()
+def loss_fn(out, b):
+    return instseg_set_loss(out["predictions_class"], out["predictions_mask"], b, loss_cfg)
+optimizer, _ = build_optimizer(variables["params"], lr=1e-4, total_steps=1000, grad_norm=80.0)
+state = TrainState.create(variables, optimizer, jax.random.key(2))
+step = make_train_step(model, optimizer, loss_fn, donate=False)
+state2, metrics = step(state, batch)
+print("compiled, loss", float(metrics["loss"]), flush=True)
+t0 = time.time()
+for _ in range(3):
+    state2, metrics = step(state2, batch)
+    _ = float(metrics["loss"])
+dt = (time.time()-t0)/3
+print(f"train step: {dt*1000:.0f} ms -> {4/dt:.2f} scenes/s training", flush=True)
