@@ -36,6 +36,7 @@ class InstSegPipelineConfig:
     max_segments: int = 512
     max_instances: int = 120
     use_aug: bool = True
+    fps_subsample: int = 16384   # 0 = exact FPS
     voxel_bucket: int = 4096
     # optional hard caps per level (static shapes across every batch)
     level_caps: Optional[Sequence[int]] = None
@@ -101,9 +102,12 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
     voxel_feats = color_n[unique_map]
     voxel2segment = segment_id[unique_map].astype(np.int32)
 
-    # queries
+    # queries (approximate FPS on a candidate subset, like the reference's
+    # bucket-kd fpsample)
     if cfg.query_sample_strategy == "fps":
-        fps_idx = sampling.fps_numpy(vox_coords.astype(np.float32), cfg.num_queries)
+        fps_idx = sampling.fps_numpy(vox_coords.astype(np.float32),
+                                     cfg.num_queries,
+                                     subsample=cfg.fps_subsample, rng=rng)
         query_locs = points[unique_map][fps_idx]
         query_valid = np.ones(cfg.num_queries, bool)
     elif cfg.query_sample_strategy == "gt":
