@@ -133,12 +133,25 @@ class InstSegEval(BaseEvaluator):
             preds.append({"class": ci, "score": score, "mask": m})
         if self.use_dbscan and points is not None:
             preds = self._dbscan_split(preds, points)
+        if points is not None and seg_to_full is not None:
+            # axis-aligned boxes from predicted point masks (for box AP,
+            # ref evaluator/instseg_eval.py box path -> common/eval_det.py)
+            for p in preds:
+                sel = points[p["mask"]]
+                p["box"] = (np.concatenate([sel.min(0), sel.max(0)])
+                            if len(sel) else None)
         self._preds.append(preds)
         if seg_to_full is not None and full_gt_masks is not None:
-            self._gts.append({"masks": full_gt_masks[gt_valid[:len(full_gt_masks)]]
-                              if len(full_gt_masks) else full_gt_masks,
-                              "labels": gt_labels[gt_valid][:len(full_gt_masks)],
-                              "weights": None})
+            gm = full_gt_masks[gt_valid[:len(full_gt_masks)]] \
+                if len(full_gt_masks) else full_gt_masks
+            gt = {"masks": gm,
+                  "labels": gt_labels[gt_valid][:len(full_gt_masks)],
+                  "weights": None}
+            if points is not None and len(gm):
+                gt["boxes"] = [np.concatenate([points[m].min(0),
+                                               points[m].max(0)])
+                               if m.any() else None for m in gm]
+            self._gts.append(gt)
         else:
             self._gts.append({
                 "masks": gt_masks[gt_valid] & seg_valid[None, :],
@@ -167,13 +180,12 @@ class InstSegEval(BaseEvaluator):
                 out.append({**p, "mask": m})
         return out
 
-    def record(self) -> Dict[str, float]:
-        classes_present = sorted({int(l) for g in self._gts
-                                  for l in g["labels"]})
-        ap_table = np.full((len(OVERLAPS), max(len(classes_present), 1)),
-                           np.nan)
+    def _ap_table(self, classes_present, overlaps, iou_fn):
+        """Greedy per-class AP at each overlap (ref common/eval_instseg.py
+        evaluate_matches + common/eval_det.py eval_det_cls)."""
+        table = np.full((len(overlaps), max(len(classes_present), 1)),
+                        np.nan)
         for ci, cls in enumerate(classes_present):
-            # gather predictions + matches across scenes
             scores, ious, n_gt = [], [], 0
             for scene_id, (preds, gt) in enumerate(zip(self._preds,
                                                        self._gts)):
@@ -182,11 +194,9 @@ class InstSegEval(BaseEvaluator):
                 for p in preds:
                     if p["class"] != cls:
                         continue
-                    best = 0.0
-                    bi = -1
+                    best, bi = 0.0, -1
                     for j, g in enumerate(gt_idx):
-                        iou = mask_iou(p["mask"], gt["masks"][g],
-                                       gt["weights"])
+                        iou = iou_fn(p, gt, g)
                         if iou > best:
                             best, bi = iou, j
                     scores.append(p["score"])
@@ -194,7 +204,7 @@ class InstSegEval(BaseEvaluator):
             scores = np.asarray(scores)
             best_ious = np.asarray([x[1] for x in ious]) if ious else \
                 np.zeros(0)
-            for oi, ov in enumerate(OVERLAPS):
+            for oi, ov in enumerate(overlaps):
                 # greedy: a pred is TP if best-IoU > ov and its gt unused
                 # (confidence order)
                 is_tp = np.zeros(len(scores), bool)
@@ -207,18 +217,71 @@ class InstSegEval(BaseEvaluator):
                                 not in used and scene_gt[2] >= 0:
                             is_tp[r] = True
                             used.add((scene_gt[0], scene_gt[2]))
-                ap_table[oi, ci] = average_precision(scores, is_tp, n_gt)
+                table[oi, ci] = average_precision(scores, is_tp, n_gt)
+        return table
 
-        with np.errstate(invalid="ignore"):
-            all_ap = np.nanmean(ap_table[:-1, :])  # 0.5:0.95
-            ap50 = np.nanmean(ap_table[0, :])
-            ap25 = np.nanmean(ap_table[-1, :])
+    def record(self) -> Dict[str, float]:
+        from pq3d_tpu.data.scannet200_constants import (
+            CLASS_LABELS_200, HEAD_CATS_200, COMMON_CATS_200, TAIL_CATS_200)
+        classes_present = sorted({int(l) for g in self._gts
+                                  for l in g["labels"]})
+
+        def mask_iou_fn(p, gt, g):
+            return mask_iou(p["mask"], gt["masks"][g], gt["weights"])
+
+        ap_table = self._ap_table(classes_present, OVERLAPS, mask_iou_fn)
+
+        def _agg(cols):
+            import warnings
+            with np.errstate(invalid="ignore"), warnings.catch_warnings():
+                warnings.simplefilter("ignore", RuntimeWarning)
+                sub = ap_table[:, cols] if cols else \
+                    np.full((len(OVERLAPS), 1), np.nan)
+                return (np.nanmean(sub[:-1, :]), np.nanmean(sub[0, :]),
+                        np.nanmean(sub[-1, :]))
+
+        all_ap, ap50, ap25 = _agg(list(range(len(classes_present))))
         results = {
             "all_ap": float(np.nan_to_num(all_ap)),
             "all_ap_50%": float(np.nan_to_num(ap50)),
             "all_ap_25%": float(np.nan_to_num(ap25)),
             "target_metric": float(np.nan_to_num(all_ap)),
         }
+
+        # head/common/tail frequency breakdown (ref instseg_eval.py:151-243)
+        if self.num_classes == len(CLASS_LABELS_200):
+            for name, cats in (("head", HEAD_CATS_200),
+                               ("common", COMMON_CATS_200),
+                               ("tail", TAIL_CATS_200)):
+                cols = [ci for ci, cls in enumerate(classes_present)
+                        if CLASS_LABELS_200[cls] in cats]
+                ap, a50, a25 = _agg(cols)
+                results[f"{name}_ap"] = float(np.nan_to_num(ap))
+                results[f"{name}_ap_50%"] = float(np.nan_to_num(a50))
+
+        # box AP from mask AABBs (ref instseg_eval.py box path ->
+        # common/eval_det.py); only when full-res points were available
+        if any("box" in p for preds in self._preds for p in preds):
+            def box_iou_fn(p, gt, g):
+                pb = p.get("box")
+                gb = gt.get("boxes", [None] * (g + 1))[g] \
+                    if "boxes" in gt else None
+                if pb is None or gb is None:
+                    return 0.0
+                lo = np.maximum(pb[:3], gb[:3])
+                hi = np.minimum(pb[3:], gb[3:])
+                inter = np.prod(np.maximum(hi - lo, 0))
+                va = np.prod(pb[3:] - pb[:3])
+                vb = np.prod(gb[3:] - gb[:3])
+                return float(inter / max(va + vb - inter, 1e-9))
+
+            box_table = self._ap_table(classes_present, (0.25, 0.5),
+                                       box_iou_fn)
+            with np.errstate(invalid="ignore"):
+                results["box_ap_25%"] = float(np.nan_to_num(
+                    np.nanmean(box_table[0, :])))
+                results["box_ap_50%"] = float(np.nan_to_num(
+                    np.nanmean(box_table[1, :])))
         return results
 
 

@@ -96,6 +96,57 @@ class SegVoxelEncoder(nn.Module):
         return out
 
 
+@VISION_REGISTRY.register(name="PCDMask3DEncoder")
+class VoxelLevelEncoder(nn.Module):
+    """Voxel-level Mask3D encoder: U-Net -> mask features at level-0 voxels
+    plus multi-scale decomposed per-level features (ref
+    modules/vision/pcd_mask3d_encoder.py:20-112 — the registered
+    non-segment-level variant; shipped configs use the SegLevel one).
+
+    Returns (mask_feature (B, P0, hidden), multi_scale: list over hlevels of
+    (B, P_l, hidden) features with their validity masks from ``maps``).
+    """
+    hidden_size: int = 768
+    hlevels: Sequence[int] = (0, 1, 2, 3)
+    dropout: float = 0.1
+    freeze_backbone: bool = False
+    backbone_out_channels: int = 200
+    bn_momentum: float = 0.02
+    conv1_kernel_size: int = 5
+    remat_policy: str = "full"
+    accum: str = "float32"
+
+    @nn.compact
+    def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
+                 train: bool = False, deterministic: bool = True):
+        backbone = Res16UNet(out_channels=self.backbone_out_channels,
+                             bn_momentum=self.bn_momentum,
+                             conv1_kernel_size=self.conv1_kernel_size,
+                             remat_policy=self.remat_policy,
+                             accum=self.accum,
+                             name="backbone")
+        bb_train = train and not self.freeze_backbone
+        # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]
+        _, feature_maps = backbone(voxel_feats, maps, train=bb_train)
+        if self.freeze_backbone:
+            feature_maps = [jax.lax.stop_gradient(f) for f in feature_maps]
+
+        b, p0 = maps["valid_0"].shape
+        mask_feat = ProjectLN(self.hidden_size, self.dropout,
+                              name="mask_proj")(
+            feature_maps[4].reshape(b, p0, -1), deterministic)
+        multi_scale: List[jnp.ndarray] = []
+        for i, hlevel in enumerate(self.hlevels):
+            lvl = 4 - hlevel
+            feat = feature_maps[hlevel]
+            pl = maps[f"valid_{lvl}"].shape[1]
+            feat = ProjectLN(self.hidden_size, self.dropout,
+                             name=f"scale_proj_{i}")(
+                feat.reshape(b, pl, -1), deterministic)
+            multi_scale.append(feat)
+        return mask_feat, multi_scale
+
+
 @VISION_REGISTRY.register(name="SemanticEncoder")
 class SemanticEncoder(nn.Module):
     """Label-embedding encoder with prediction-mixup curriculum

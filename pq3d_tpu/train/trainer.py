@@ -70,6 +70,14 @@ class Query3DTrainer:
         self.logger = MetricsLogger(self.exp_dir)
         self.tracker = ExpTracker()
         self.ckpt = CheckpointManager(os.path.join(self.exp_dir, "ckpt"))
+        # opt-in XLA trace, schedule like the reference's torch.profiler
+        # (ref trainer/multitask_trainer.py:30-44 wait/warmup/active)
+        from pq3d_tpu.utils.profiling import StepProfiler
+        self.profiler = StepProfiler(
+            os.path.join(self.exp_dir, "trace"),
+            wait=int(cfg.get("profile_wait", 10)),
+            active=int(cfg.get("profile_active", 10)),
+            enabled=bool(cfg.get("profile", False)))
         n_dev = len(jax.devices())
         bs = int(cfg.dataloader.batchsize)
         if n_dev > 1 and bs % n_dev == 0:
@@ -133,6 +141,7 @@ class Query3DTrainer:
             if self._state is None:
                 self._lazy_init(batch)
             self._state, metrics = self._train_step(self._state, batch)
+            self.profiler.step()
             last = metrics
             n += 1
             step = int(self._state.step)
@@ -157,6 +166,9 @@ class Query3DTrainer:
                                   jax.tree.map(np.asarray, batch))
         results = self.evaluator.record()
         self.logger.log(results, int(self._state.step), prefix="val")
+        print(f"[eval {epoch}] " + " ".join(
+            f"{k}={v:.4f}" for k, v in results.items()
+            if isinstance(v, float)))
         return results
 
     def run(self):
@@ -174,6 +186,7 @@ class Query3DTrainer:
                     self.ckpt.save("best", self._state,
                                    self.tracker.state_dict())
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
+        self.profiler.close()
         return self._state
 
 
@@ -255,4 +268,5 @@ class MultitaskTrainer(Query3DTrainer):
                     self.ckpt.save("best", self._state,
                                    self.tracker.state_dict())
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
+        self.profiler.close()
         return self._state

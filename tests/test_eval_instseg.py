@@ -72,3 +72,38 @@ def test_mask_iou_weighted():
     assert abs(mask_iou(a, b) - 1 / 3) < 1e-9
     w = np.array([10.0, 1.0, 1.0, 1.0])
     assert abs(mask_iou(a, b, w) - 10 / 12) < 1e-9
+
+
+def test_head_common_tail_breakdown():
+    """num_classes=200 triggers the frequency-split AP breakdown."""
+    rng = np.random.default_rng(3)
+    ev = InstSegEval(topk_per_scene=20, num_classes=200)
+    out, batch = _make_scene(rng, n_cls=200, perfect=True)
+    ev.update(out, batch)
+    res = ev.record()
+    for k in ("head_ap", "common_ap", "tail_ap"):
+        assert k in res
+    # every class present is perfect -> each non-empty split scores 1
+    assert max(res["head_ap"], res["common_ap"], res["tail_ap"]) > 0.99
+
+
+def test_box_ap_from_full_res_points():
+    """Full-resolution eval with points emits box AP from mask AABBs."""
+    rng = np.random.default_rng(4)
+    ev = InstSegEval(topk_per_scene=20, num_classes=10, full_resolution=True)
+    out, batch = _make_scene(rng, perfect=True)
+    n_seg = batch["segment_masks"].shape[2]
+    n_pts = n_seg * 4
+    seg_to_full = np.repeat(np.arange(n_seg), 4).astype(np.int32)
+    pts = rng.normal(size=(n_pts, 3)).astype(np.float32)
+    gt_full = batch["segment_masks"][0][:, seg_to_full]
+    batch["_meta"] = {
+        "segment_to_full": [seg_to_full],
+        "full_instance_masks": [gt_full],
+        "points": [pts],
+    }
+    ev.update(out, batch)
+    res = ev.record()
+    assert res["all_ap"] > 0.99
+    assert res["box_ap_25%"] > 0.99
+    assert res["box_ap_50%"] > 0.99

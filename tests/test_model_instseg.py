@@ -124,3 +124,23 @@ def test_eval_deterministic(batch, model_and_vars):
     o2 = f(variables, batch, jax.random.key(6))
     np.testing.assert_allclose(np.asarray(o1["query"]),
                                np.asarray(o2["query"]), atol=1e-6)
+
+
+def test_voxel_level_encoder():
+    """PCDMask3DEncoder variant: mask feature + multi-scale voxel features."""
+    from pq3d_tpu.models.encoders import VoxelLevelEncoder
+    rng = np.random.default_rng(7)
+    scenes = [synthetic.make_scene(rng, n_points=600, n_instances=3,
+                                   n_segments=16) for _ in range(2)]
+    batch = make_batch(scenes, PIPE_CFG, rng, train=False)
+    enc = VoxelLevelEncoder(hidden_size=32, hlevels=(0, 1),
+                            backbone_out_channels=20)
+    feats = jnp.asarray(batch["voxel_feats"])
+    maps = {k: jnp.asarray(v) for k, v in batch["maps"].items()}
+    params = enc.init(jax.random.PRNGKey(0), feats, maps)
+    mask_feat, multi = jax.jit(enc.apply)(params, feats, maps)
+    b, p0 = batch["maps"]["valid_0"].shape
+    assert mask_feat.shape == (b, p0, 32)
+    assert len(multi) == 2
+    assert multi[0].shape[0] == b and multi[0].shape[2] == 32
+    assert np.isfinite(np.asarray(mask_feat)).all()
