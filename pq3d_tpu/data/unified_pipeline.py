@@ -83,6 +83,25 @@ def make_bce_label(indices: Sequence[int], num_classes: int) -> np.ndarray:
     return v
 
 
+def match_gt_to_pred(gt_boxes: np.ndarray, pred_boxes: np.ndarray,
+                     thresholds: Sequence[float] = (0.25, 0.5)
+                     ) -> List[np.ndarray]:
+    """Per-threshold BCE vectors marking proposals that overlap ANY GT
+    target box at >= threshold 3D IoU (ref sceneverse_base.py:410-443
+    match_gt_to_pred, feeding the tgt_object_id_iou25/50 eval labels).
+
+    gt_boxes (G, 6), pred_boxes (P, 6) as (center xyz, size whd).
+    """
+    from pq3d_tpu.utils.box_utils import aabb_iou
+    p = len(pred_boxes)
+    best = np.zeros(p, np.float32)
+    for g in np.atleast_2d(gt_boxes):
+        for j in range(p):
+            best[j] = max(best[j], aabb_iou(np.asarray(g, np.float32),
+                                            pred_boxes[j]))
+    return [(best >= t).astype(np.float32) for t in thresholds]
+
+
 def process_item(scene: Dict[str, np.ndarray], lang: Dict,
                  cfg: UnifiedPipelineConfig, rng: np.random.Generator,
                  train: bool, feature_dims: Dict[str, int]) -> Dict:
@@ -148,6 +167,16 @@ def process_item(scene: Dict[str, np.ndarray], lang: Dict,
     item["response"] = response
     item["response_valid"] = response != 0
 
+    # detected-proposal eval labels: when the objects are predicted
+    # proposals, the language item carries the GT target boxes and we mark
+    # proposals by 3D-IoU threshold (ref sceneverse_base.py:410-443)
+    gt_boxes = lang.get("gt_target_boxes")
+    if gt_boxes is not None and len(gt_boxes):
+        i25, i50 = match_gt_to_pred(np.asarray(gt_boxes, np.float32),
+                                    obj_boxes)
+        item["tgt_object_id_iou25"] = i25
+        item["tgt_object_id_iou50"] = i50
+
     for k, v in lang.items():
         if k.startswith("meta_"):
             item[k] = v
@@ -194,6 +223,11 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
         batch["coord_max"][i] = it["obj_locs"][:, :3].max(0)
         batch["tgt_object_id"][i] = make_bce_label(it["tgt_object_ids"], O)
         tgt_int[i] = it["tgt_object_ids"][0] if it["tgt_object_ids"] else 0
+        for key in ("tgt_object_id_iou25", "tgt_object_id_iou50"):
+            if key in it:
+                if key not in batch:
+                    batch[key] = np.zeros((b, O), np.float32)
+                batch[key][i, :len(it[key])] = it[key][:O]
     if not train:
         batch["tgt_object_id_int"] = tgt_int
     # memories: pc = raw object points (PointNet++ on device); mv/voxel =

@@ -69,3 +69,16 @@ def test_process_objects_normalization():
     # points centered + unit-ball normalized
     np.testing.assert_allclose(fts[:, :, :3].mean(1), 0, atol=1e-5)
     assert np.sqrt((fts[:, :, :3] ** 2).sum(-1)).max() <= 1 + 1e-5
+
+
+def test_match_gt_to_pred_iou_labels():
+    from pq3d_tpu.data.unified_pipeline import match_gt_to_pred
+    gt = np.array([[0, 0, 0, 2, 2, 2]], np.float32)
+    preds = np.array([
+        [0, 0, 0, 2, 2, 2],       # IoU 1.0
+        [1.0, 0, 0, 2, 2, 2],     # IoU 1/3 (passes 0.25, fails 0.5)
+        [5, 5, 5, 2, 2, 2],       # IoU 0
+    ], np.float32)
+    i25, i50 = match_gt_to_pred(gt, preds)
+    np.testing.assert_array_equal(i25, [1, 1, 0])
+    np.testing.assert_array_equal(i50, [1, 0, 0])
