@@ -47,28 +47,15 @@ class T5GenerationHead(nn.Module):
             return decoder(dec_in, enc, query_valid, dec_valid,
                            deterministic=deterministic)
 
-        # greedy decode, fixed max_new_tokens
+        # KV-cached greedy decode, fixed max_new_tokens (see t5.py:decode)
         b = enc.shape[0]
         L = c.max_new_tokens
 
         if self.is_initializing():
-            # create decoder params OUTSIDE the scan (flax cannot create
-            # params inside lax.scan bodies)
+            # create decoder params via the full forward (the cached decode
+            # path reuses exactly these params)
             decoder(jnp.zeros((b, L + 1), jnp.int32), enc, query_valid,
                     None, deterministic=True)
             return jnp.zeros((b, L), jnp.int32)
 
-        def step(tokens, t):
-            logits = decoder(tokens, enc, query_valid, None,
-                             deterministic=True)
-            nxt = jnp.argmax(logits[:, t, :], axis=-1).astype(jnp.int32)
-            # freeze after EOS
-            finished = (tokens == T5_EOS_ID).any(axis=1)
-            nxt = jnp.where(finished, T5_PAD_ID, nxt)
-            tokens = jax.lax.dynamic_update_slice(
-                tokens, nxt[:, None], (0, t + 1))
-            return tokens, None
-
-        tokens0 = jnp.full((b, L + 1), T5_PAD_ID, jnp.int32)
-        tokens, _ = jax.lax.scan(step, tokens0, jnp.arange(L))
-        return tokens[:, 1:]  # strip the decoder start token (ref :29)
+        return decoder.decode(enc, query_valid, L)

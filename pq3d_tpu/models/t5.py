@@ -7,8 +7,16 @@ so only the **decoder** of T5 runs: token embedding, pre-RMSNorm blocks of
 FFN], final RMSNorm, and tied-embedding logits scaled by d_model^-1/2
 (t5-small config: d_model 512, d_kv 64, 8 heads, 6 layers, vocab 32128).
 
-Greedy decoding runs as a fixed-length ``lax.scan`` with a causal mask —
-static shapes, no KV-cache needed at 50-token captions.
+Greedy decoding runs as a fixed-length ``lax.scan`` over a per-layer KV
+cache: each step embeds ONE token, projects its K/V into the cache, and
+attends over cached keys — the cross-attention K/V and the relative-position
+bias table are computed once before the scan.  (The uncached path would
+re-run the full prefix every step: ~L x redundant FLOPs at L=50.)
+
+Setup-style modules (not nn.compact) so the teacher-forced ``__call__`` and
+the cached ``decode`` share parameters; attribute names are chosen to keep
+the param tree identical to the original compact layout (q/k/v/o, block{i},
+embed) — checkpoint- and hf_import-compatible.
 """
 from __future__ import annotations
 
@@ -58,32 +66,63 @@ class T5Attention(nn.Module):
     num_buckets: int = 32
     max_distance: int = 128
 
-    @nn.compact
-    def __call__(self, x, kv, mask, pos_bias: Optional[jnp.ndarray] = None
-                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        h, dk = self.heads, self.d_kv
-        inner = h * dk
+    def setup(self):
+        inner = self.heads * self.d_kv
+        self.q = nn.Dense(inner, use_bias=False)
+        self.k = nn.Dense(inner, use_bias=False)
+        self.v = nn.Dense(inner, use_bias=False)
+        self.o = nn.Dense(self.d_model, use_bias=False)
+        if self.has_rel_bias:
+            self.relative_attention_bias = nn.Embed(self.num_buckets,
+                                                    self.heads)
 
-        def split(t):
-            return t.reshape(t.shape[0], t.shape[1], h, dk).transpose(0, 2, 1, 3)
-        q = split(nn.Dense(inner, use_bias=False, name="q")(x))
-        k = split(nn.Dense(inner, use_bias=False, name="k")(kv))
-        v = split(nn.Dense(inner, use_bias=False, name="v")(kv))
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)  # T5: no 1/sqrt(d) scale
-        if self.has_rel_bias and pos_bias is None:
-            ql, kl = x.shape[1], kv.shape[1]
-            rel = (jnp.arange(kl)[None, :] - jnp.arange(ql)[:, None])
-            bucket = relative_position_bucket(rel, self.num_buckets,
-                                              self.max_distance)
-            table = nn.Embed(self.num_buckets, h,
-                             name="relative_attention_bias")(bucket)
-            pos_bias = table.transpose(2, 0, 1)[None]  # (1, h, q, k)
+    def _split(self, t):
+        return t.reshape(t.shape[0], t.shape[1], self.heads,
+                         self.d_kv).transpose(0, 2, 1, 3)
+
+    def pos_bias_table(self, qlen: int, klen: int) -> jnp.ndarray:
+        """(1, h, qlen, klen) relative position bias."""
+        rel = (jnp.arange(klen)[None, :] - jnp.arange(qlen)[:, None])
+        bucket = relative_position_bucket(rel, self.num_buckets,
+                                          self.max_distance)
+        return self.relative_attention_bias(bucket).transpose(2, 0, 1)[None]
+
+    def kv_proj(self, kv: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Project K/V once (cross-attention cache / self-cache fill)."""
+        return self._split(self.k(kv)), self._split(self.v(kv))
+
+    def _attend(self, q, k, v, mask, pos_bias):
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)  # T5: no 1/sqrt(d)
         if pos_bias is not None:
             logits = logits + pos_bias
         probs = masked_softmax(logits, mask)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
-        out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], inner)
-        return nn.Dense(self.d_model, use_bias=False, name="o")(out), pos_bias
+        out = out.transpose(0, 2, 1, 3).reshape(
+            out.shape[0], -1, self.heads * self.d_kv)
+        return self.o(out)
+
+    def __call__(self, x, kv, mask, pos_bias: Optional[jnp.ndarray] = None
+                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+        q = self._split(self.q(x))
+        k, v = self.kv_proj(kv)
+        if self.has_rel_bias and pos_bias is None:
+            pos_bias = self.pos_bias_table(x.shape[1], kv.shape[1])
+        return self._attend(q, k, v, mask, pos_bias), pos_bias
+
+    def step(self, x, k_cache, v_cache, mask, pos_bias_row):
+        """One decode step against a fixed K/V cache.  x (B, 1, D);
+        caches (B, h, L, d_kv); mask (..., 1, L); bias (1, h, 1, L)."""
+        q = self._split(self.q(x))
+        return self._attend(q, k_cache, v_cache, mask, pos_bias_row)
+
+    def self_step(self, x, k_cache, v_cache, pos, mask, pos_bias_row):
+        """Self-attention decode step: project this token's K/V into the
+        cache at ``pos``, then attend.  Returns (out, k_cache, v_cache)."""
+        k_new, v_new = self.kv_proj(x)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, 0, pos, 0))
+        out = self.step(x, k_cache, v_cache, mask, pos_bias_row)
+        return out, k_cache, v_cache
 
 
 class T5DecoderBlock(nn.Module):
@@ -94,26 +133,47 @@ class T5DecoderBlock(nn.Module):
     has_rel_bias: bool = False
     dropout: float = 0.1
 
-    @nn.compact
+    def setup(self):
+        self.ln_self = RMSNorm()
+        self.self_attn = T5Attention(self.d_model, self.d_kv, self.heads,
+                                     has_rel_bias=self.has_rel_bias)
+        self.ln_cross = RMSNorm()
+        self.cross_attn = T5Attention(self.d_model, self.d_kv, self.heads)
+        self.ln_ff = RMSNorm()
+        self.wi = nn.Dense(self.d_ff, use_bias=False)
+        self.wo = nn.Dense(self.d_model, use_bias=False)
+        self.drop = nn.Dropout(self.dropout)
+
     def __call__(self, x, enc, self_mask, cross_mask, pos_bias,
                  deterministic=True):
-        drop = nn.Dropout(self.dropout, deterministic=deterministic)
-        normed = RMSNorm(name="ln_self")(x)
-        h, pos_bias = T5Attention(self.d_model, self.d_kv, self.heads,
-                                  has_rel_bias=self.has_rel_bias,
-                                  name="self_attn")(
-            normed, normed, self_mask, pos_bias)
+        def drop(t):
+            return self.drop(t, deterministic=deterministic)
+        normed = self.ln_self(x)
+        h, pos_bias = self.self_attn(normed, normed, self_mask, pos_bias)
         x = x + drop(h)
-        h, _ = T5Attention(self.d_model, self.d_kv, self.heads,
-                           name="cross_attn")(
-            RMSNorm(name="ln_cross")(x), enc, cross_mask)
+        h, _ = self.cross_attn(self.ln_cross(x), enc, cross_mask)
         x = x + drop(h)
-        f = RMSNorm(name="ln_ff")(x)
-        f = nn.Dense(self.d_ff, use_bias=False, name="wi")(f)
+        f = self.ln_ff(x)
+        f = self.wi(f)
         f = jax.nn.relu(f)
         f = drop(f)
-        f = nn.Dense(self.d_model, use_bias=False, name="wo")(f)
+        f = self.wo(f)
         return x + drop(f), pos_bias
+
+    def decode_step(self, x, cache, pos, self_mask, cross_mask,
+                    pos_bias_row):
+        """Single-token step.  cache = dict(self_k, self_v, cross_k,
+        cross_v); returns (x, updated cache)."""
+        h, sk, sv = self.self_attn.self_step(
+            self.ln_self(x), cache["self_k"], cache["self_v"], pos,
+            self_mask, pos_bias_row)
+        x = x + h
+        h = self.cross_attn.step(self.ln_cross(x), cache["cross_k"],
+                                 cache["cross_v"], cross_mask, None)
+        x = x + h
+        f = jax.nn.relu(self.wi(self.ln_ff(x)))
+        x = x + self.wo(f)
+        return x, {**cache, "self_k": sk, "self_v": sv}
 
 
 class T5Decoder(nn.Module):
@@ -126,15 +186,28 @@ class T5Decoder(nn.Module):
     heads: int = 8
     dropout: float = 0.1
 
-    @nn.compact
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.d_model,
+                              embedding_init=nn.initializers.normal(1.0))
+        for i in range(self.num_layers):
+            setattr(self, f"block{i}", T5DecoderBlock(
+                self.d_model, self.d_kv, self.heads, self.d_ff,
+                has_rel_bias=(i == 0), dropout=self.dropout))
+        self.ln_final = RMSNorm()
+        self.drop_final = nn.Dropout(self.dropout)
+
+    def _blocks(self):
+        return [getattr(self, f"block{i}") for i in range(self.num_layers)]
+
+    def _logits(self, x):
+        # tied embeddings, scaled (T5 tie_word_embeddings)
+        return self.embed.attend(x * (self.d_model ** -0.5))
+
     def __call__(self, tokens: jnp.ndarray, enc: jnp.ndarray,
                  enc_mask: jnp.ndarray,
                  dec_valid: Optional[jnp.ndarray] = None,
                  deterministic: bool = True) -> jnp.ndarray:
-        emb = nn.Embed(self.vocab_size, self.d_model,
-                       embedding_init=nn.initializers.normal(1.0),
-                       name="embed")
-        x = emb(tokens)
+        x = self.embed(tokens)
         L = tokens.shape[1]
         causal = jnp.tril(jnp.ones((L, L), bool))[None, None]
         self_mask = causal
@@ -142,14 +215,56 @@ class T5Decoder(nn.Module):
             self_mask = self_mask & dec_valid[:, None, None, :]
         cross_mask = enc_mask[:, None, None, :]
         pos_bias = None
-        for i in range(self.num_layers):
-            x, pos_bias = T5DecoderBlock(
-                self.d_model, self.d_kv, self.heads, self.d_ff,
-                has_rel_bias=(i == 0), dropout=self.dropout,
-                name=f"block{i}")(x, enc, self_mask, cross_mask, pos_bias,
-                                  deterministic)
-        x = RMSNorm(name="ln_final")(x)
-        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        # tied embeddings, scaled (T5 tie_word_embeddings)
-        logits = emb.attend(x * (self.d_model ** -0.5))
-        return logits
+        for block in self._blocks():
+            x, pos_bias = block(x, enc, self_mask, cross_mask, pos_bias,
+                                deterministic)
+        x = self.ln_final(x)
+        x = self.drop_final(x, deterministic=deterministic)
+        return self._logits(x)
+
+    def decode(self, enc: jnp.ndarray, enc_mask: jnp.ndarray,
+               max_tokens: int) -> jnp.ndarray:
+        """KV-cached greedy decode: (B, M, D) encoder states ->
+        (B, max_tokens) token ids (EOS-frozen, start token stripped)."""
+        b = enc.shape[0]
+        L1 = max_tokens + 1
+        blocks = self._blocks()
+        # cross K/V + full relative bias: computed ONCE
+        caches = []
+        for blk in blocks:
+            ck, cv = blk.cross_attn.kv_proj(enc)
+            caches.append({
+                "self_k": jnp.zeros((b, self.heads, L1, self.d_kv),
+                                    enc.dtype),
+                "self_v": jnp.zeros((b, self.heads, L1, self.d_kv),
+                                    enc.dtype),
+                "cross_k": ck, "cross_v": cv,
+            })
+        bias_full = blocks[0].self_attn.pos_bias_table(L1, L1)  # (1,h,L1,L1)
+        cross_mask = enc_mask[:, None, None, :]
+        key_iota = jnp.arange(L1)[None, None, None, :]
+
+        def step(carry, t):
+            cur, finished, caches = carry
+            x = self.embed(cur[:, None])                     # (B, 1, D)
+            self_mask = key_iota <= t                        # causal window
+            bias_row = jax.lax.dynamic_slice(
+                bias_full, (0, 0, t, 0),
+                (1, bias_full.shape[1], 1, L1))
+            new_caches = []
+            for blk, cache in zip(blocks, caches):
+                x, cache = blk.decode_step(x, cache, t, self_mask,
+                                           cross_mask, bias_row)
+                new_caches.append(cache)
+            x = self.ln_final(x)
+            logits = self._logits(x)[:, 0]                   # (B, V)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(finished, T5_PAD_ID, nxt)
+            finished = finished | (nxt == T5_EOS_ID)
+            return (nxt, finished, new_caches), nxt
+
+        cur0 = jnp.full((b,), T5_PAD_ID, jnp.int32)          # decoder start
+        fin0 = jnp.zeros((b,), bool)
+        _, out = jax.lax.scan(step, (cur0, fin0, caches),
+                              jnp.arange(max_tokens))
+        return out.T                                          # (B, max_tokens)
