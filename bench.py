@@ -26,16 +26,26 @@ import time
 import numpy as np
 
 
-def _time_calls(fn, *args, n=5):
-    x = fn(*args)          # compile
-    _ = [float(v) if hasattr(v, "item") and v.ndim == 0 else None
-         for v in (x if isinstance(x, tuple) else (x,))]
-    t0 = time.time()
-    for _i in range(n):
-        x = fn(*args)
+def _time_calls(fn, *args, n1=2, n2=12):
+    """Slope timing (see PERF.md): dispatch k independent steps, read back
+    once; per-step = (T(n2) - T(n1)) / (n2 - n1).  The single readback
+    carries the tunnel RTT, which the slope cancels — the old per-call
+    readback inflated every step by ~30 ms of RTT."""
+    def run(k):
+        t0 = time.time()
+        for _i in range(k):
+            x = fn(*args)
         xs = x if isinstance(x, tuple) else (x,)
-        _ = float(xs[0])
-    return (time.time() - t0) / n
+        v = xs[0]
+        _ = float(v) if getattr(v, "ndim", 1) == 0 else float(
+            np.asarray(v).ravel()[0])
+        return time.time() - t0
+
+    run(1)                 # compile + warm
+    run(n1)                # queue warm-up
+    t1 = run(n1)
+    t2 = run(n2)
+    return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
 def bench_unified(jax, jnp, rng):

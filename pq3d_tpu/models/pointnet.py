@@ -53,13 +53,12 @@ class PointnetSAModule(nn.Module):
     def __call__(self, xyz: jnp.ndarray, feats: Optional[jnp.ndarray],
                  train: bool = False):
         if self.npoint is not None:
-            centers_idx = jax.vmap(
-                lambda p: sampling.furthest_point_sample(p, self.npoint))(xyz)
-            centers = jnp.take_along_axis(xyz, centers_idx[..., None], axis=1)
-            grouped = jax.vmap(
-                lambda p, c, f: sampling.query_and_group(
-                    p, c, f, self.radius, self.nsample, self.use_xyz)
-            )(xyz, centers, feats)           # (B, M, S, C')
+            centers_idx = sampling.furthest_point_sample_batched(
+                xyz, self.npoint)
+            centers = sampling.gather_centers_batched(xyz, centers_idx)
+            grouped = sampling.query_and_group_batched(
+                xyz, centers, feats, self.radius, self.nsample,
+                self.use_xyz)                # (B, M, S, C')
         else:
             centers = jnp.zeros((xyz.shape[0], 1, 3), xyz.dtype)
             g = xyz[:, None, :, :] if feats is None else (

@@ -52,6 +52,86 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
     return picks
 
 
+def _flat_gather(x2d: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Fast (PROMISE_IN_BOUNDS) row gather; idx already flat + in-bounds."""
+    from pq3d_tpu.ops.sparse import fast_row_gather
+    return fast_row_gather(x2d, idx)
+
+
+def furthest_point_sample_batched(xyz: jnp.ndarray, npoint: int
+                                  ) -> jnp.ndarray:
+    """Batched iterative FPS: (B, N, 3) -> (B, npoint) int32.
+
+    Same greedy semantics as :func:`furthest_point_sample`, but the
+    per-step ``xyz[last]`` lookup runs as ONE flat PROMISE_IN_BOUNDS gather
+    over (B*N, 3) instead of a vmapped dynamic-slice (clip-mode batched
+    gather — the slow path on TPU, see PERF.md).
+    """
+    b, n, _ = xyz.shape
+    flat = xyz.reshape(b * n, 3)
+    base = jnp.arange(b, dtype=jnp.int32) * n
+    big = jnp.asarray(jnp.inf, xyz.dtype)
+    mind0 = jnp.full((b, n), big, xyz.dtype)
+
+    def body(carry, _):
+        mind, last = carry                     # (B, N), (B,)
+        sel = _flat_gather(flat, base + last)  # (B, 3)
+        d = jnp.sum((xyz - sel[:, None, :]) ** 2, axis=-1)
+        mind = jnp.minimum(mind, d)
+        nxt = jnp.argmax(mind, axis=-1).astype(jnp.int32)
+        return (mind, nxt), last
+
+    first = jnp.zeros((b,), jnp.int32)
+    (_, _), picks = jax.lax.scan(body, (mind0, first), None, length=npoint)
+    return picks.T                             # (B, npoint)
+
+
+def ball_query_batched(xyz: jnp.ndarray, centers: jnp.ndarray,
+                       radius: float, nsample: int) -> jnp.ndarray:
+    """Batched first-hit ball query: (B, N, 3), (B, M, 3) -> (B, M, S)."""
+    b, n, _ = xyz.shape
+    d2 = jnp.sum((centers[:, :, None, :] - xyz[:, None, :, :]) ** 2, -1)
+    ok = d2 < radius * radius                  # (B, M, N)
+    key = jnp.where(ok, jax.lax.broadcasted_iota(jnp.int32, ok.shape, 2), n)
+    neg_top, _ = jax.lax.top_k(-key, nsample)  # top_k over last dim
+    idx = -neg_top
+    hit = idx < n
+    first = idx[:, :, :1]
+    idx = jnp.where(hit, idx, first)
+    idx = jnp.where(first < n, idx, 0)
+    return idx.astype(jnp.int32)
+
+
+def query_and_group_batched(xyz: jnp.ndarray, centers: jnp.ndarray,
+                            feats: jnp.ndarray | None, radius: float,
+                            nsample: int, use_xyz: bool = True
+                            ) -> jnp.ndarray:
+    """Batched fused ball query + grouping: flat fast gathers instead of
+    vmapped ``jnp.take`` (ref pointnet2_utils.py QueryAndGroup :291-373)."""
+    b, n, _ = xyz.shape
+    m = centers.shape[1]
+    idx = ball_query_batched(xyz, centers, radius, nsample)  # (B, M, S)
+    off = (jnp.arange(b, dtype=jnp.int32) * n)[:, None, None]
+    fi = (idx + off).reshape(-1)
+    gx = _flat_gather(xyz.reshape(b * n, 3), fi).reshape(b, m, nsample, 3)
+    grouped_xyz = gx - centers[:, :, None, :]
+    if feats is None:
+        return grouped_xyz
+    c = feats.shape[-1]
+    gf = _flat_gather(feats.reshape(b * n, c), fi).reshape(b, m, nsample, c)
+    if use_xyz:
+        gf = jnp.concatenate([grouped_xyz, gf], axis=-1)
+    return gf
+
+
+def gather_centers_batched(xyz: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, C), (B, M) -> (B, M, C) via one flat fast gather."""
+    b, n, c = xyz.shape
+    base = (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+    return _flat_gather(xyz.reshape(b * n, c),
+                        (idx + base).reshape(-1)).reshape(b, idx.shape[1], c)
+
+
 def fps_numpy(points: np.ndarray, npoint: int, start: int = 0,
               subsample: int = 0,
               rng: np.random.Generator | None = None) -> np.ndarray:

@@ -227,3 +227,33 @@ def test_pairwise_locs_shapes_and_values(rng):
     all_d = np.sqrt(((centers[0][:, None] - centers[0][None]) ** 2).sum(-1) + 1e-10)
     np.testing.assert_allclose(out[0, 1, 3, 0], dist / all_d.max(), rtol=1e-5)
     np.testing.assert_allclose(out[0, 1, 3, 1], rel[2] / dist, rtol=1e-4)
+
+
+def test_batched_sampling_matches_vmapped():
+    """Flat-batched FPS / ball query / grouping == vmapped single-cloud."""
+    import jax
+    import jax.numpy as jnp
+    from pq3d_tpu.ops import sampling
+    rng = np.random.default_rng(11)
+    xyz = jnp.asarray(rng.standard_normal((3, 64, 3)), jnp.float32)
+    feats = jnp.asarray(rng.standard_normal((3, 64, 5)), jnp.float32)
+
+    ref_idx = jax.vmap(lambda p: sampling.furthest_point_sample(p, 8))(xyz)
+    got_idx = sampling.furthest_point_sample_batched(xyz, 8)
+    np.testing.assert_array_equal(np.asarray(got_idx), np.asarray(ref_idx))
+
+    centers = sampling.gather_centers_batched(xyz, got_idx)
+    np.testing.assert_allclose(
+        np.asarray(centers),
+        np.asarray(jnp.take_along_axis(xyz, ref_idx[..., None], axis=1)))
+
+    ref_bq = jax.vmap(lambda p, c: sampling.ball_query(p, c, 0.7, 6))(
+        xyz, centers)
+    got_bq = sampling.ball_query_batched(xyz, centers, 0.7, 6)
+    np.testing.assert_array_equal(np.asarray(got_bq), np.asarray(ref_bq))
+
+    ref_g = jax.vmap(lambda p, c, f: sampling.query_and_group(
+        p, c, f, 0.7, 6))(xyz, centers, feats)
+    got_g = sampling.query_and_group_batched(xyz, centers, feats, 0.7, 6)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
+                               rtol=1e-6, atol=1e-6)
