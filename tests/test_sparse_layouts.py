@@ -83,3 +83,54 @@ def test_conv_transpose_batched(rng):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out[1]), 2 * np.asarray(single),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_counts_matmul_pooling_matches_broadcast(rng):
+    """SegVoxelEncoder's counts@feat pooling == broadcast-to-L0 + scatter
+    mean (the reference formulation it replaced)."""
+    from pq3d_tpu.data import synthetic
+    from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig,
+                                                make_batch)
+    from pq3d_tpu.models.sparse_unet import flatten_maps
+    from pq3d_tpu.ops import segment
+    from pq3d_tpu.ops.sparse import pool_transpose
+
+    nprng = np.random.default_rng(5)
+    cfg = InstSegPipelineConfig(voxel_size=0.12, num_queries=8,
+                                max_segments=32, max_instances=8,
+                                voxel_bucket=512, use_aug=False)
+    scenes = [synthetic.make_scene(nprng, n_points=900, n_instances=3,
+                                   n_segments=12) for _ in range(2)]
+    batch = make_batch(scenes, cfg, nprng, train=False)
+    maps = {k: jnp.asarray(v) for k, v in batch["maps"].items()}
+    fm = flatten_maps(maps)
+    b, p0 = maps["valid_0"].shape
+    S = cfg.max_segments
+    v2s = jnp.asarray(batch["voxel2segment"]).reshape(-1)
+    scene = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p0)
+    flat_seg = jnp.where(v2s < S, scene * S + v2s, b * S)
+    n_s = jnp.maximum(segment.segment_sum(
+        jnp.ones((b * p0,)), flat_seg, b * S), 1.0).reshape(b, S, 1)
+
+    for lvl in (1, 2, 3, 4):
+        p_l = maps[f"valid_{lvl}"].shape[1]
+        c = 7
+        feat = jnp.asarray(nprng.standard_normal((b * p_l, c)), jnp.float32)
+
+        # reference: broadcast to level-0, zero invalid, scatter-mean
+        anc = fm[f"ancestor_{lvl}"]
+        bc = pool_transpose(feat, jnp.maximum(anc, 0))
+        bc = jnp.where(fm["valid_0"][:, None], bc, 0)
+        ref = segment.segment_mean(bc, flat_seg, b * S).reshape(b, S, c)
+
+        # counts matmul
+        s1 = S + 1
+        sl = jnp.minimum(v2s, S)
+        key = jnp.maximum(anc, 0) * s1 + sl
+        counts = segment.segment_sum(jnp.ones((b * p0,)), key,
+                                     b * p_l * s1)
+        counts = counts.reshape(b, p_l, s1)[:, :, :S]
+        got = jnp.einsum("bjs,bjc->bsc", counts, feat.reshape(b, p_l, c),
+                         preferred_element_type=jnp.float32) / n_s
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
