@@ -13,10 +13,20 @@ def test_window_map_partition(rng):
     nbr_p = kernel_maps.pad_rows(nbr, n_pad, -1)
     wm = build_window_map(nbr_p, tile=64, window=128)
     assert (wm["win_lo"] % 8 == 0).all()
-    # every valid global reference is either local-in-window or an exception
-    exc = {(int(o), int(k)) for o, k in zip(wm["exc_out"], wm["exc_k"])
-           if o >= 0}
+    # every valid global reference is either local-in-window or an exception;
+    # reconstruct the global (row, k) exception pairs from the per-tile
+    # layout: exc_src_tile holds kpos = k * e_pad + slot, exc_row_tile the
+    # local output row (-1 padding).
+    e_pad = wm["exc_in_k"].shape[1]
     n_tiles = n_pad // 64
+    exc = {}
+    for t in range(n_tiles):
+        for r_loc, src in zip(wm["exc_row_tile"][t], wm["exc_src_tile"][t]):
+            if r_loc < 0:
+                continue
+            k_tap, slot = divmod(int(src), e_pad)
+            exc[(t * 64 + int(r_loc), k_tap)] = int(wm["exc_in_k"][k_tap, slot])
+    assert len(exc) == wm["n_exceptions"]
     for t in range(n_tiles):
         lo = wm["win_lo"][t]
         for r in range(64):
@@ -29,4 +39,5 @@ def test_window_map_partition(rng):
                 elif loc >= 0:
                     assert lo + loc == g
                 else:
-                    assert (j, k) in exc
+                    # exception entry must reference the right input row
+                    assert exc.get((j, k)) == g
