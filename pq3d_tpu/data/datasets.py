@@ -52,16 +52,25 @@ class SyntheticInstSeg:
 class SceneVerseInstSeg:
     """Real SceneVerse ScanNet scans (ref data/datasets/sceneverse_base.py:
     106-134, sceneverse_instseg.py:64-118).  Requires
-    ``cfg.data.scene_verse_base`` on disk; raises otherwise."""
+    ``cfg.data.scene_verse_base`` on disk; raises otherwise.
+
+    Produces the scene dict consumed by ``instseg_pipeline.process_scene``:
+    per-point continuous instance ids (−1 = background / not-an-object) and
+    per-instance ScanNet200 class ids, with wall/floor (``filter_out_classes``)
+    and unmappable instances dropped — matching the reference's
+    ``extract_inst_info`` (sceneverse_instseg.py:64-118).
+    """
 
     def __init__(self, cfg, split: str):
         import torch  # cpu torch for .pth scan payloads
+        from pq3d_tpu.data.label_utils import LabelConverter
         base = cfg.data.get("scene_verse_base")
         if not base or not os.path.isdir(str(base)):
             raise FileNotFoundError(
                 f"SceneVerse base dir not found: {base!r} — use the "
                 f"SyntheticInstSeg dataset when no data is mounted")
         self.base = str(base)
+        self.aux = str(cfg.data.get("scene_verse_aux") or self.base)
         self.split = split
         split_file = os.path.join(
             self.base, "ScanNet", "annotations", "splits",
@@ -70,6 +79,17 @@ class SceneVerseInstSeg:
             self.scan_ids = [l.strip() for l in f if l.strip()]
         if cfg.get("debug", {}) and cfg.debug.get("flag"):
             self.scan_ids = self.scan_ids[:int(cfg.debug.get("debug_size", 4))]
+        iopt = cfg.data.get("instseg_options", {}) or {}
+        self.filter_out_classes = set(iopt.get("filter_out_classes", (0, 2)))
+        self.ignore_label = int(iopt.get("ignore_label", -100))
+        opts = cfg.data.get("load_scan_options", {}) or {}
+        self.load_image_segment_feat = bool(
+            opts.get("load_image_segment_feat", False))
+        self.load_point_segment_feat = bool(
+            opts.get("load_point_segment_feat", False))
+        self.converter = LabelConverter(os.path.join(
+            self.base, "ScanNet", "annotations", "meta_data",
+            "scannetv2-labels.combined.tsv"))
         self._torch = torch
 
     def __len__(self):
@@ -78,26 +98,61 @@ class SceneVerseInstSeg:
     def get_scene(self, idx: int) -> Dict[str, np.ndarray]:
         torch = self._torch
         scan_id = self.scan_ids[idx]
-        pcd_path = os.path.join(self.base, "ScanNet", "scan_data",
-                                "pcd_with_global_alignment", f"{scan_id}.pth")
+        sd = os.path.join(self.base, "ScanNet", "scan_data")
         pcds, colors, _, instance_labels = torch.load(
-            pcd_path, map_location="cpu", weights_only=False)
-        seg_path = os.path.join(self.base, "ScanNet", "scan_data",
-                                "segment_id", f"{scan_id}.pth")
-        segment_id = torch.load(seg_path, map_location="cpu",
-                                weights_only=False)
-        inst_ids = np.unique(instance_labels)
-        inst_ids = inst_ids[inst_ids >= 0]
-        remap = {int(v): i for i, v in enumerate(inst_ids)}
+            os.path.join(sd, "pcd_with_global_alignment", f"{scan_id}.pth"),
+            map_location="cpu", weights_only=False)
+        segment_id = torch.load(
+            os.path.join(sd, "segment_id", f"{scan_id}.pth"),
+            map_location="cpu", weights_only=False)
+        inst_to_label = torch.load(
+            os.path.join(sd, "instance_id_to_label", f"{scan_id}.pth"),
+            map_location="cpu", weights_only=False)
+        instance_labels = np.asarray(instance_labels)
+
+        # ScanNet200 semantic id per labeled instance; keep only instances
+        # that (a) appear in inst_to_label, (b) have points, (c) map to a
+        # valid class outside filter_out_classes
+        # (ref sceneverse_instseg.py:64-118 extract_inst_info)
+        # Unmappable names keep ignore_label (CE skips them, mask losses
+        # still supervise — ref keeps them too); only filter_out_classes
+        # (wall/floor) and empty instances are dropped.
+        keep_ids, keep_labels = [], []
+        for inst_id, name in inst_to_label.items():
+            sem = self.converter.name_to_scannet200(str(name),
+                                                    self.ignore_label)
+            if sem in self.filter_out_classes:
+                continue
+            if not np.any(instance_labels == inst_id):
+                continue
+            keep_ids.append(int(inst_id))
+            keep_labels.append(sem)
+        remap = {v: i for i, v in enumerate(sorted(keep_ids))}
+        order = np.argsort(keep_ids)
         inst = np.vectorize(lambda x: remap.get(int(x), -1))(instance_labels)
-        return {
+        scene = {
             "points": np.asarray(pcds, np.float32),
-            "colors": np.asarray(colors, np.float32),
+            "colors": np.asarray(colors, np.float32) / 127.5 - 1.0,
             "instance_labels": inst.astype(np.int64),
             "segment_id": np.asarray(segment_id, np.int64),
-            "inst_labels": np.zeros(len(inst_ids), np.int64),  # sem labels TODO
+            "inst_labels": np.asarray(keep_labels, np.int64)[order],
             "scan_id": scan_id,
         }
+        # offline per-segment features (ref sceneverse_base.py:225-231,
+        # sceneverse_instseg.py:225-235)
+        if self.load_image_segment_feat:
+            d = torch.load(os.path.join(self.aux, "ScanNet", "image_seg_feat",
+                                        f"{scan_id}.pth"), map_location="cpu",
+                           weights_only=False)
+            scene["mv_seg_fts"] = np.asarray(d["image_seg_feature"],
+                                             np.float32)
+        if self.load_point_segment_feat:
+            d = torch.load(os.path.join(self.aux, "ScanNet", "point_seg_feat",
+                                        f"{scan_id}.pth"), map_location="cpu",
+                           weights_only=False)
+            scene["pc_seg_fts"] = np.asarray(d["point_seg_feature"],
+                                             np.float32)
+        return scene
 
 
 class InstSegLoader:

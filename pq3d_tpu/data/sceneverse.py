@@ -51,14 +51,37 @@ def _read_jsonl(path: str) -> List[Dict]:
 
 class SceneVerseScans:
     """Shared scan payload cache: points/colors/instances/segments per scan
-    (ref sceneverse_base.py SCAN_DATA process-global cache)."""
+    (ref sceneverse_base.py SCAN_DATA process-global cache).
+
+    Carries the full real-data surface the unified tasks need:
+    607-class semantic ids per GT instance (raw-categories json, ref
+    sceneverse_base.py:40-44,163-169), 18-class label counts for the
+    unique/multiple split (ref :110-114), GT axis-aligned boxes, optional
+    top-50 predicted proposals with GT<->pred IoU match lists (ref
+    :186-217,410-443) and optional offline per-object mv/voxel features
+    (ref :232-279).
+    """
 
     _cache: Dict[str, Dict] = {}
 
-    def __init__(self, base_dir: str):
+    def __init__(self, base_dir: str, pred_dir: Optional[str] = None,
+                 load_options: Optional[Dict] = None):
         if not os.path.isdir(base_dir):
             raise FileNotFoundError(f"SceneVerse base not found: {base_dir}")
         self.base_dir = base_dir
+        self.pred_dir = pred_dir
+        self.load_options = dict(load_options or {})
+        from pq3d_tpu.data.label_utils import LabelConverter
+        meta = os.path.join(base_dir, "ScanNet", "annotations", "meta_data")
+        self.converter = LabelConverter(
+            os.path.join(meta, "scannetv2-labels.combined.tsv"))
+        cat_path = os.path.join(meta, "scannetv2_raw_categories.json")
+        if os.path.exists(cat_path):
+            with open(cat_path, encoding="utf-8") as f:
+                self.int2cat: List[str] = json.load(f)
+        else:
+            self.int2cat = []
+        self.cat2int = {w: i for i, w in enumerate(self.int2cat)}
 
     def split_scan_ids(self, split: str) -> List[str]:
         name = "val" if split != "train" else "train"
@@ -66,6 +89,20 @@ class SceneVerseScans:
                             f"scannetv2_{name}.txt")
         with open(path) as f:
             return [l.strip() for l in f if l.strip()]
+
+    def _label_id(self, name: str) -> int:
+        """607-class raw-category id; ScanNet200 id fallback without the
+        categories json."""
+        if self.cat2int:
+            return self.cat2int.get(name, -1)
+        return self.converter.name_to_scannet200(name, -1)
+
+    def _count_key(self, label_id: int):
+        """label_count key: 18-class benchmark id when the tsv is present
+        (ref sceneverse_base.py:113-114 id_to_scannetid), else the raw id."""
+        if self.converter.has_tsv and self.converter.id_to_scannetid:
+            return self.converter.id_to_scannetid.get(int(label_id), -1)
+        return int(label_id)
 
     def load(self, scan_id: str) -> Dict:
         if scan_id in self._cache:
@@ -81,24 +118,134 @@ class SceneVerseScans:
         inst_to_label = torch.load(
             os.path.join(sd, "instance_id_to_label", f"{scan_id}.pth"),
             map_location="cpu", weights_only=False)
-        inst_ids = sorted(int(i) for i in np.unique(instance_labels)
-                          if int(i) in inst_to_label)
+        instance_labels = np.asarray(instance_labels)
+        points = np.asarray(pcds, np.float32)
+        # GT objects: only instances whose name is a known category and that
+        # have points (ref sceneverse_base.py:160-170)
+        inst_ids = sorted(
+            int(i) for i in inst_to_label
+            if self._label_id(str(inst_to_label[i])) >= 0
+            and np.any(instance_labels == int(i)))
         remap = {v: i for i, v in enumerate(inst_ids)}
         inst = np.vectorize(lambda x: remap.get(int(x), -1))(instance_labels)
-        labels = [inst_to_label[i] for i in inst_ids]
+        names = [str(inst_to_label[i]) for i in inst_ids]
+        labels = np.array([self._label_id(n) for n in names], np.int64)
+        # GT axis-aligned boxes (ref convert_pc_to_box, data_utils.py:38-47)
+        n = len(inst_ids)
+        center = np.zeros((n, 3), np.float32)
+        size = np.zeros((n, 3), np.float32)
+        for i in range(n):
+            m = inst == i
+            if m.any():
+                p = points[m]
+                mn, mx = p.min(0), p.max(0)
+                center[i] = (mn + mx) / 2
+                size[i] = mx - mn
         scene = {
-            "points": np.asarray(pcds, np.float32),
+            "points": points,
             "colors": np.asarray(colors, np.float32) / 127.5 - 1.0,
             "instance_labels": inst.astype(np.int64),
             "segment_id": np.asarray(segment_id, np.int64),
-            "inst_labels": np.zeros(len(inst_ids), np.int64),
-            "inst_label_names": labels,
+            "inst_labels": labels,
+            "inst_label_names": names,
             "inst_raw_ids": inst_ids,
-            "label_count": Counter(labels),
+            "label_count": Counter(self._count_key(l) for l in labels),
+            "gt_center": center,
+            "gt_size": size,
             "scan_id": scan_id,
         }
+        self._load_pred_proposals(scene, scan_id)
+        self._load_offline_obj_feats(scene, scan_id)
         self._cache[scan_id] = scene
         return scene
+
+    def _load_pred_proposals(self, scene: Dict, scan_id: str) -> None:
+        """Top-50 Mask3D proposals from sparse npz + labels npy, plus
+        GT->pred IoU match lists (ref sceneverse_base.py:186-217,410-443)."""
+        if not self.pred_dir:
+            return
+        mask_path = os.path.join(self.pred_dir, "ScanNet", "mask",
+                                 f"{scan_id}.mask.npz")
+        if not os.path.exists(mask_path):
+            return
+        from scipy import sparse as sp
+        topk = int(self.load_options.get("pred_topk", 50))
+        masks = np.asarray(sp.load_npz(mask_path).todense(),
+                           dtype=bool)[:topk]
+        plabels = np.load(os.path.join(self.pred_dir, "ScanNet", "mask",
+                                       f"{scan_id}.label.npy"))[:topk]
+        points = scene["points"]
+        idx_lists, keep_labels = [], []
+        for i in range(masks.shape[0]):
+            idx = np.nonzero(masks[i])[0]
+            if len(idx) == 0:
+                continue
+            idx_lists.append(idx.astype(np.int64))
+            keep_labels.append(int(plabels[i]))
+        p = len(idx_lists)
+        center = np.zeros((p, 3), np.float32)
+        size = np.zeros((p, 3), np.float32)
+        for i, idx in enumerate(idx_lists):
+            pt = points[idx]
+            mn, mx = pt.min(0), pt.max(0)
+            center[i] = (mn + mx) / 2
+            size[i] = mx - mn
+        scene["pred_point_idx"] = idx_lists
+        scene["pred_inst_labels"] = np.asarray(keep_labels, np.int64)
+        scene["pred_center"] = center
+        scene["pred_size"] = size
+        # per-GT best match + IoU>=0.25/0.5 lists
+        from pq3d_tpu.utils.box_utils import aabb_iou
+        matched, iou25, iou50 = [], [], []
+        for g in range(len(scene["gt_center"])):
+            gt_box = np.concatenate([scene["gt_center"][g],
+                                     scene["gt_size"][g]])
+            best, best_i, l25, l50 = -1.0, 0, [], []
+            for j in range(p):
+                pb = np.concatenate([center[j], size[j]])
+                iou = aabb_iou(gt_box, pb)
+                if iou > best:
+                    best, best_i = iou, j
+                if iou >= 0.25:
+                    l25.append(j)
+                if iou >= 0.5:
+                    l50.append(j)
+            matched.append(best_i)
+            iou25.append(l25)
+            iou50.append(l50)
+        scene["matched_list"] = matched
+        scene["iou25_list"] = iou25
+        scene["iou50_list"] = iou50
+
+    def _load_offline_obj_feats(self, scene: Dict, scan_id: str) -> None:
+        """Per-object mv (image) / voxel features, gt + pred variants
+        (ref sceneverse_base.py:232-279)."""
+        if not self.pred_dir:
+            return
+        import torch
+        for mem, stem in (("mv", "image_obj_feat"), ("voxel",
+                                                     "voxel_obj_feat")):
+            if not self.load_options.get(f"load_{stem}", False):
+                continue
+            for kind in ("gt", "pred"):
+                path = os.path.join(self.pred_dir, "ScanNet",
+                                    f"{stem}_{kind}", f"{scan_id}.pth")
+                if not os.path.exists(path):
+                    continue
+                feat_dict = torch.load(path, map_location="cpu",
+                                       weights_only=False)
+                dim = int(next(iter(feat_dict.values())).shape[0])
+                if kind == "gt":
+                    n_obj = len(scene["inst_raw_ids"])
+                    keys = scene["inst_raw_ids"]
+                else:
+                    n_obj = len(scene.get("pred_point_idx", []))
+                    keys = list(range(n_obj))
+                feat = np.zeros((n_obj, dim), np.float32)
+                for i, cid in enumerate(keys):
+                    if cid in feat_dict:
+                        feat[i] = np.asarray(feat_dict[cid], np.float32)
+                scene[f"{mem}_obj_feat_{kind}"] = feat
 
 
 class _SceneVerseTask:
@@ -111,10 +258,47 @@ class _SceneVerseTask:
             split = "val"   # (ref scanrefer.py:12-14 hack)
         self.split = split
         self.cfg = cfg
-        self.scans = SceneVerseScans(str(cfg.data.scene_verse_base))
+        node = cfg.data.get(type(self).__name__, {}) or {}
+        self.pc_type = str(node.get("pc_type",
+                                    cfg.data.get("pc_type", "gt")))
+        # ref uses gt boxes during training even in pred configs
+        # (dataset pc_type only applies at val/test, ref scanrefer.py:16-18)
+        if self.split == "train":
+            self.pc_type = "gt"
+        self.scans = SceneVerseScans(
+            str(cfg.data.scene_verse_base),
+            pred_dir=(str(cfg.data.scene_verse_pred)
+                      if cfg.data.get("scene_verse_pred") else None),
+            load_options=dict(cfg.data.get("load_scan_options", {}) or {}))
         self.tokenizer = tokenizer or (lambda s: [ord(c) % 1000 for c in s][:32])
         self.gen_tokenizer = gen_tokenizer or self.tokenizer
         self.lang_data = self._load_lang()
+
+    def _resolve_targets(self, scene: Dict, gt_tgt_ids: List[int]) -> Dict:
+        """GT target ids -> object-group-local ids + IoU25/50 eval id lists
+        (ref sceneverse_base.py:304-318).  In pred mode the targets become
+        the best-IoU-matched proposals and the IoU lists mark every
+        proposal overlapping any GT target at >= threshold."""
+        if self.pc_type == "pred" and "matched_list" in scene:
+            iou25 = sorted({j for i in gt_tgt_ids
+                            for j in scene["iou25_list"][i]})
+            iou50 = sorted({j for i in gt_tgt_ids
+                            for j in scene["iou50_list"][i]})
+            tgts = [scene["matched_list"][i] for i in gt_tgt_ids]
+            out = {"tgt_object_ids": tgts, "iou25_ids": iou25,
+                   "iou50_ids": iou50, "use_pred": True}
+            if gt_tgt_ids:
+                from pq3d_tpu.utils.box_utils import aabb_iou
+                g, m = gt_tgt_ids[0], tgts[0]
+                out["meta_caption_iou"] = float(aabb_iou(
+                    np.concatenate([scene["gt_center"][g],
+                                    scene["gt_size"][g]]),
+                    np.concatenate([scene["pred_center"][m],
+                                    scene["pred_size"][m]])))
+            return out
+        return {"tgt_object_ids": list(gt_tgt_ids),
+                "iou25_ids": list(gt_tgt_ids),
+                "iou50_ids": list(gt_tgt_ids), "use_pred": False}
 
     def _anno(self, *parts) -> str:
         return os.path.join(self.scans.base_dir, "ScanNet", "annotations",
@@ -131,6 +315,13 @@ class _SceneVerseTask:
             return scene["inst_raw_ids"].index(int(raw_target_id))
         except ValueError:
             return 0
+
+    def _same_class_count(self, scene: Dict, gt_tgt_ids: List[int]) -> int:
+        """Count of scene objects sharing any target's (benchmark-space)
+        class (ref sceneverse_base.py:302-303 is_multiple)."""
+        return sum(scene["label_count"][
+            self.scans._count_key(int(scene["inst_labels"][t]))]
+            for t in gt_tgt_ids if t < len(scene["inst_labels"]))
 
     def get_item(self, idx: int) -> Tuple[Dict, Dict]:
         raise NotImplementedError
@@ -151,15 +342,16 @@ class ScanReferSceneVerse(_SceneVerseTask):
         item = self.lang_data[idx]
         scene = self.scans.load(item["scan_id"])
         tgt = self._target_local_id(scene, item["target_id"])
-        same = scene["label_count"][item["instance_type"]]
-        return scene, {
+        same = self._same_class_count(scene, [tgt])
+        lang = {
             "task_id": TASK_REFER,
             "prompt_tokens": self.tokenizer(item["utterance"]),
-            "tgt_object_ids": [tgt],
             "response_tokens": [],
             "meta_is_multiple": bool(same > 1),
             "meta_sentence": item["utterance"],
         }
+        lang.update(self._resolve_targets(scene, [tgt]))
+        return scene, lang
 
 
 class _ReferIt3D(_SceneVerseTask):
@@ -183,17 +375,18 @@ class _ReferIt3D(_SceneVerseTask):
         item = self.lang_data[idx]
         scene = self.scans.load(item["scan_id"])
         tgt = self._target_local_id(scene, item["target_id"])
-        count = scene["label_count"][item["instance_type"]]
-        return scene, {
+        count = self._same_class_count(scene, [tgt])
+        lang = {
             "task_id": TASK_REFER,
             "prompt_tokens": self.tokenizer(item["utterance"]),
-            "tgt_object_ids": [tgt],
             "response_tokens": [],
             "meta_is_hard": bool(count > 2),
             "meta_is_view_dependent":
                 is_explicitly_view_dependent(item.get("tokens", [])),
             "meta_sentence": item["utterance"],
         }
+        lang.update(self._resolve_targets(scene, [tgt]))
+        return scene, lang
 
 
 @DATASET_REGISTRY.register(name="Sr3DSceneVerse")
@@ -224,21 +417,34 @@ class Multi3DReferSceneVerse(_SceneVerseTask):
         scene = self.scans.load(item["scene_id"])
         tgts = [self._target_local_id(scene, t)
                 for t in item.get("object_ids", [])]
-        return scene, {
+        lang = {
             "task_id": TASK_REFER,
             "prompt_tokens": self.tokenizer(item["description"]),
-            "tgt_object_ids": tgts,
             "response_tokens": [],
             "meta_eval_type": item.get("eval_type", "mt"),
             "meta_sentence": item["description"],
         }
+        lang.update(self._resolve_targets(scene, tgts))
+        return scene, lang
 
 
 @DATASET_REGISTRY.register(name="ScanQASceneVerse")
 class ScanQASceneVerse(_SceneVerseTask):
-    """(ref data/datasets/scanqa.py:11-96)"""
+    """(ref data/datasets/scanqa.py:11-96).  With a 'qa' classifier head
+    configured (ref unifiedtask_wrapper.py:34-35) items carry a multi-hot
+    ``answer_label`` over the train-split answer vocab and the classifier
+    evaluator is used."""
     task_id = TASK_QA
     evaluator = "ScanQAGenEval"
+
+    def __init__(self, cfg, split, tokenizer=None, gen_tokenizer=None):
+        super().__init__(cfg, split, tokenizer, gen_tokenizer)
+        self.answer_vocab = None
+        if "qa" in tuple(cfg.get("model", {}).get("heads", ()) or ()):
+            from pq3d_tpu.data.label_utils import AnswerVocab
+            self.answer_vocab = AnswerVocab.from_scanqa_train(
+                self.scans.base_dir)
+            self.evaluator = "ScanQAEval"
 
     def _load_lang(self):
         name = f"ScanQA_v1.0_{'train' if self.split == 'train' else 'val'}.json"
@@ -253,14 +459,17 @@ class ScanQASceneVerse(_SceneVerseTask):
         tgts = [self._target_local_id(scene, t)
                 for t in item.get("object_ids", [])]
         answers = item.get("answers", [""])
-        return scene, {
+        lang = {
             "task_id": TASK_QA,
             "prompt_tokens": self.tokenizer(item["question"]),
-            "tgt_object_ids": tgts,
             "response_tokens": self.gen_tokenizer(answers[0]),
             "meta_answers": answers,
             "meta_sentence": item["question"],
         }
+        if self.answer_vocab is not None:
+            lang["answer_label"] = self.answer_vocab.multihot(answers)
+        lang.update(self._resolve_targets(scene, tgts))
+        return scene, lang
 
 
 @DATASET_REGISTRY.register(name="SQA3DSceneVerse")
@@ -269,6 +478,18 @@ class SQA3DSceneVerse(_SceneVerseTask):
     task_id = TASK_QA
     evaluator = "SQA3DGenEval"
     TYPES = ["what", "is", "how", "can", "which", "others"]
+
+    def __init__(self, cfg, split, tokenizer=None, gen_tokenizer=None):
+        super().__init__(cfg, split, tokenizer, gen_tokenizer)
+        self.answer_vocab = None
+        if "qa" in tuple(cfg.get("model", {}).get("heads", ()) or ()):
+            from pq3d_tpu.data.label_utils import AnswerVocab
+            try:
+                self.answer_vocab = AnswerVocab.from_sqa3d_dict(
+                    self.scans.base_dir)
+                self.evaluator = "SQA3DEval"
+            except FileNotFoundError:
+                pass
 
     def _load_lang(self):
         split = "train" if self.split == "train" else "val"
@@ -303,15 +524,18 @@ class SQA3DSceneVerse(_SceneVerseTask):
         question = item["question"]
         prompt = f"{situation} {question}".strip()
         answers = item.get("answers", [""])
-        return scene, {
+        lang = {
             "task_id": TASK_QA,
             "prompt_tokens": self.tokenizer(prompt),
-            "tgt_object_ids": [],
             "response_tokens": self.gen_tokenizer(answers[0]),
             "meta_answers": answers,
             "meta_sqa_type": self._qtype(question),
             "meta_sentence": prompt,
         }
+        if self.answer_vocab is not None:
+            lang["answer_label"] = self.answer_vocab.multihot(answers)
+        lang.update(self._resolve_targets(scene, []))
+        return scene, lang
 
 
 @DATASET_REGISTRY.register(name="Scan2CapSceneVerse")
@@ -345,13 +569,14 @@ class Scan2CapSceneVerse(ScanReferSceneVerse):
         item = self.lang_data[idx]
         scene = self.scans.load(item["scan_id"])
         tgt = self._target_local_id(scene, item["target_id"])
-        return scene, {
+        lang = {
             "task_id": TASK_CAPTION,
             "prompt_tokens": [],
-            "tgt_object_ids": [tgt],
             "response_tokens": self.gen_tokenizer(item["utterance"]),
             "meta_caption": item["utterance"],
             "meta_corpus_key": f"{item['scan_id']}|{item['target_id']}",
             "meta_ref_captions": list(
                 self._refs_for(item["scan_id"], int(item["target_id"]))),
         }
+        lang.update(self._resolve_targets(scene, [tgt]))
+        return scene, lang

@@ -90,23 +90,37 @@ class SyntheticRefer(_SyntheticUnifiedBase):
 
 @DATASET_REGISTRY.register(name="SyntheticQA")
 class SyntheticQA(_SyntheticUnifiedBase):
-    """QA: 'what color is the <label>' -> a color word answer."""
+    """QA: 'what color is the <label>' -> a color word answer.  When the
+    model has a 'qa' classifier head, items also carry the multi-hot
+    ``answer_label`` over the color vocab (ref unifiedtask_wrapper.py:34-35)
+    and the classifier evaluator is used."""
     task_id = TASK_QA
     evaluator = "ScanQAGenEval"
 
     COLORS = ["red", "blue", "green"]
 
+    def __init__(self, cfg, split):
+        super().__init__(cfg, split)
+        self.answer_vocab = None
+        if "qa" in tuple(cfg.get("model", {}).get("heads", ()) or ()):
+            from pq3d_tpu.data.label_utils import AnswerVocab
+            self.answer_vocab = AnswerVocab(list(self.COLORS))
+            self.evaluator = "ScanQAEval"
+
     def _lang(self, scene, rng, idx):
         tgt = int(rng.integers(0, len(scene["inst_labels"])))
         label_word = int(scene["inst_labels"][tgt])
         color = self.COLORS[(label_word + idx) % 3]
-        return {
+        lang = {
             "prompt_tokens": _tok(["what", "color", "is", "the",
                                    VOCAB[label_word]]),
             "tgt_object_ids": [tgt],
             "response_tokens": _tok([color]),
             "meta_answers": [color],
         }
+        if self.answer_vocab is not None:
+            lang["answer_label"] = self.answer_vocab.multihot([color])
+        return lang
 
 
 @DATASET_REGISTRY.register(name="SyntheticCaption")

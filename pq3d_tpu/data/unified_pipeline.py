@@ -61,8 +61,23 @@ def process_objects(obj_pcds: np.ndarray, rot: Optional[np.ndarray]):
 
 
 def sample_object_points(scene: Dict[str, np.ndarray], num_points: int,
-                         rng: np.random.Generator) -> np.ndarray:
-    """(n_inst, num_points, 6) xyz+rgb per instance."""
+                         rng: np.random.Generator,
+                         use_pred: bool = False) -> np.ndarray:
+    """(n_obj, num_points, 6) xyz+rgb per object.  With ``use_pred`` the
+    objects are the scene's predicted proposals (point-index lists, possibly
+    overlapping) instead of the GT instance partition
+    (ref sceneverse_base.py:307-310 obj_pcds_pred)."""
+    if use_pred:
+        idx_lists = scene["pred_point_idx"]
+        out = np.zeros((len(idx_lists), num_points, 6), np.float32)
+        for i, m in enumerate(idx_lists):
+            if len(m) == 0:
+                continue
+            pick = rng.choice(m, size=num_points,
+                              replace=len(m) < num_points)
+            out[i, :, :3] = scene["points"][pick]
+            out[i, :, 3:] = scene["colors"][pick]
+        return out
     n_inst = len(scene["inst_labels"])
     out = np.zeros((n_inst, num_points, 6), np.float32)
     for i in range(n_inst):
@@ -113,22 +128,35 @@ def process_item(scene: Dict[str, np.ndarray], lang: Dict,
     O = cfg.max_obj_len
     task_id = lang["task_id"]
     tgt_ids = list(lang.get("tgt_object_ids", []))
+    use_pred = bool(lang.get("use_pred")) and "pred_point_idx" in scene
+    iou25_ids = list(lang.get("iou25_ids", tgt_ids))
+    iou50_ids = list(lang.get("iou50_ids", tgt_ids))
 
-    obj_pcds = sample_object_points(scene, cfg.num_points, rng)
+    obj_pcds = sample_object_points(scene, cfg.num_points, rng, use_pred)
+    all_labels = (scene["pred_inst_labels"] if use_pred
+                  else scene["inst_labels"])
     n_obj = len(obj_pcds)
-    # crop: targets first (ref sceneverse_base.py:334-363)
+    # crop: targets + IoU-matched proposals first, then same-class objects,
+    # then random fill (ref sceneverse_base.py:334-356)
     if n_obj > O:
-        keep = list(dict.fromkeys(tgt_ids))
-        rest = [i for i in range(n_obj) if i not in keep]
-        rng.shuffle(rest)
-        keep = (keep + rest)[:O]
+        keep = list(dict.fromkeys(tgt_ids + iou25_ids + iou50_ids))
+        tgt_classes = {int(all_labels[t]) for t in tgt_ids
+                       if t < len(all_labels)}
+        rest = [i for i in range(n_obj) if i not in set(keep)]
+        same = [i for i in rest if int(all_labels[i]) in tgt_classes]
+        other = [i for i in rest if int(all_labels[i]) not in tgt_classes]
+        rng.shuffle(other)
+        keep = (keep + same + other)[:O]
         remap = {old: new for new, old in enumerate(keep)}
         obj_pcds = obj_pcds[keep]
         tgt_ids = [remap[t] for t in tgt_ids if t in remap]
-        labels = scene["inst_labels"][keep]
+        iou25_ids = [remap[t] for t in iou25_ids if t in remap]
+        iou50_ids = [remap[t] for t in iou50_ids if t in remap]
+        labels = np.asarray(all_labels)[keep]
         n_obj = O
     else:
-        labels = scene["inst_labels"]
+        keep = list(range(n_obj))
+        labels = np.asarray(all_labels)
 
     rot = build_rotate_mat(rng) if (train and cfg.rot_aug) else None
     obj_fts, obj_locs, obj_boxes = process_objects(obj_pcds, rot)
@@ -141,7 +169,16 @@ def process_item(scene: Dict[str, np.ndarray], lang: Dict,
         "n_obj": n_obj,
         "task_id": task_id,
         "tgt_object_ids": tgt_ids,
+        "iou25_ids": iou25_ids,
+        "iou50_ids": iou50_ids,
     }
+    # offline per-object features, cropped consistently with the object list
+    # (ref sceneverse_base.py:385-394 load via selected_obj_idxs)
+    kind = "pred" if use_pred else "gt"
+    for mem in ("mv", "voxel"):
+        feats = scene.get(f"{mem}_obj_feat_{kind}")
+        if feats is not None:
+            item[f"{mem}_fts"] = np.asarray(feats, np.float32)[keep]
 
     # prompt (ref unifiedtask_wrapper.py:66-78)
     if task_id == TASK_CAPTION:
@@ -167,9 +204,13 @@ def process_item(scene: Dict[str, np.ndarray], lang: Dict,
     item["response"] = response
     item["response_valid"] = response != 0
 
-    # detected-proposal eval labels: when the objects are predicted
-    # proposals, the language item carries the GT target boxes and we mark
-    # proposals by 3D-IoU threshold (ref sceneverse_base.py:410-443)
+    # classifier-QA multihot (ref unifiedtask_wrapper.py:34-35 train key)
+    if lang.get("answer_label") is not None:
+        item["answer_label"] = np.asarray(lang["answer_label"], np.float32)
+
+    # detected-proposal eval labels (legacy path): a language item may carry
+    # raw GT target boxes instead of precomputed match lists
+    # (ref sceneverse_base.py:410-443)
     gt_boxes = lang.get("gt_target_boxes")
     if gt_boxes is not None and len(gt_boxes):
         i25, i50 = match_gt_to_pred(np.asarray(gt_boxes, np.float32),
@@ -209,6 +250,8 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
         "task_id": np.array([it["task_id"] for it in items]),
         "tgt_object_id": np.zeros((b, O), np.float32),
     }
+    batch["tgt_object_id_iou25"] = np.zeros((b, O), np.float32)
+    batch["tgt_object_id_iou50"] = np.zeros((b, O), np.float32)
     tgt_int = np.zeros(b, np.int32)
     for i, it in enumerate(items):
         n = it["n_obj"]
@@ -222,26 +265,41 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
         batch["coord_min"][i] = it["obj_locs"][:, :3].min(0)
         batch["coord_max"][i] = it["obj_locs"][:, :3].max(0)
         batch["tgt_object_id"][i] = make_bce_label(it["tgt_object_ids"], O)
+        batch["tgt_object_id_iou25"][i] = make_bce_label(
+            it.get("iou25_ids", it["tgt_object_ids"]), O)
+        batch["tgt_object_id_iou50"][i] = make_bce_label(
+            it.get("iou50_ids", it["tgt_object_ids"]), O)
         tgt_int[i] = it["tgt_object_ids"][0] if it["tgt_object_ids"] else 0
+        # legacy box-matched labels override the id-list ones when present
         for key in ("tgt_object_id_iou25", "tgt_object_id_iou50"):
             if key in it:
-                if key not in batch:
-                    batch[key] = np.zeros((b, O), np.float32)
                 batch[key][i, :len(it[key])] = it[key][:O]
     if not train:
         batch["tgt_object_id_int"] = tgt_int
+    if all("answer_label" in it for it in items):
+        batch["answer_label"] = np.stack([it["answer_label"]
+                                          for it in items])
     # memories: pc = raw object points (PointNet++ on device); mv/voxel =
-    # offline per-object features (ref sceneverse_base.py:385-394)
+    # offline per-object features (ref sceneverse_base.py:385-394).  Real
+    # per-item features (mv_fts/voxel_fts from the scan payloads) win over
+    # the feature_fn hook / synthetic fallback.
     batch["pc_seg_fts"] = batch["obj_fts"]
     batch["pc_seg_pad_masks"] = batch["seg_pad_masks"]
     for name in ("mv", "voxel"):
         dim = feature_dims.get(name, 0)
-        if dim:
-            if feature_fn is not None:
-                batch[f"{name}_seg_fts"] = feature_fn(name, items, O, dim)
-            else:
-                rng = np.random.default_rng(abs(hash(name)) % 2 ** 31)
-                batch[f"{name}_seg_fts"] = rng.standard_normal(
-                    (b, O, dim)).astype(np.float32)
-            batch[f"{name}_seg_pad_masks"] = batch["seg_pad_masks"]
+        if not dim:
+            continue
+        if all(f"{name}_fts" in it for it in items):
+            fts = np.zeros((b, O, items[0][f"{name}_fts"].shape[-1]),
+                           np.float32)
+            for i, it in enumerate(items):
+                fts[i, :it["n_obj"]] = it[f"{name}_fts"][:O]
+            batch[f"{name}_seg_fts"] = fts
+        elif feature_fn is not None:
+            batch[f"{name}_seg_fts"] = feature_fn(name, items, O, dim)
+        else:
+            rng = np.random.default_rng(abs(hash(name)) % 2 ** 31)
+            batch[f"{name}_seg_fts"] = rng.standard_normal(
+                (b, O, dim)).astype(np.float32)
+        batch[f"{name}_seg_pad_masks"] = batch["seg_pad_masks"]
     return batch

@@ -1,0 +1,231 @@
+"""Real-data path integration tests against a synthetic on-disk SceneVerse
+layout (same file formats as the real distribution: .pth scan payloads, tsv
+label map, jsonl annotations, sparse-npz proposals, feature .pth dicts).
+
+Covers the round-1 gaps: ScanNet200 semantic labels from
+instance_id_to_label + LabelConverter, offline mv/voxel/segment features,
+predicted-proposal (pc_type=pred) target resolution, and IoU25/50 eval
+labels (ref data/datasets/sceneverse_base.py:136-279,304-318,410-443,
+sceneverse_instseg.py:64-118).
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from pq3d_tpu.config.config import Config
+
+SCAN = "scene0000_00"
+
+# (tsv raw id, name, nyu40id, nyu40name); ids follow the benchmark's
+# VALID_CLASS_IDS_200 ordering: wall=1, chair=2, floor=3, table=4
+TSV_ROWS = [
+    (1, "wall", 1, "wall"),
+    (2, "chair", 5, "chair"),
+    (3, "floor", 2, "floor"),
+    (4, "table", 7, "table"),
+    (20, "exotic gadget", 40, "otherprop"),  # raw id 20 not in ScanNet200
+]
+
+
+def _write_scene(base, pred=None, aux=None, n_points=600, seed=0):
+    rng = np.random.default_rng(seed)
+    ann = os.path.join(base, "ScanNet", "annotations")
+    sd = os.path.join(base, "ScanNet", "scan_data")
+    for d in ("splits", "meta_data", "refer", "qa"):
+        os.makedirs(os.path.join(ann, d), exist_ok=True)
+    for d in ("pcd_with_global_alignment", "segment_id",
+              "instance_id_to_label"):
+        os.makedirs(os.path.join(sd, d), exist_ok=True)
+
+    for split in ("train", "val"):
+        with open(os.path.join(ann, "splits", f"scannetv2_{split}.txt"),
+                  "w") as f:
+            f.write(SCAN + "\n")
+
+    with open(os.path.join(ann, "meta_data",
+                           "scannetv2-labels.combined.tsv"), "w") as f:
+        cols = ["id", "raw_category", "category", "count", "nyu40id",
+                "eigen13id", "nyuClass", "nyu40class"]
+        f.write("\t".join(cols) + "\n")
+        for rid, name, n40, n40name in TSV_ROWS:
+            f.write(f"{rid}\t{name}\t{name}\t10\t{n40}\t0\t{name}\t{n40name}\n")
+
+    cats = [r[1] for r in TSV_ROWS]
+    with open(os.path.join(ann, "meta_data",
+                           "scannetv2_raw_categories.json"), "w") as f:
+        json.dump(cats, f)
+
+    # 4 instances: wall(0), chair(1), table(2), unknown gadget(3)
+    points = rng.uniform(0, 4, (n_points, 3)).astype(np.float32)
+    inst = np.full(n_points, -100, np.int64)
+    inst[0:150] = 0
+    points[150:300] += np.array([6, 0, 0], np.float32)
+    inst[150:300] = 1
+    points[300:450] += np.array([0, 6, 0], np.float32)
+    inst[300:450] = 2
+    points[450:600] += np.array([6, 6, 0], np.float32)
+    inst[450:600] = 3
+    colors = rng.uniform(0, 255, (n_points, 3)).astype(np.float32)
+    segment_id = np.repeat(np.arange(n_points // 50), 50).astype(np.int64)
+    inst_to_label = {0: "wall", 1: "chair", 2: "table", 3: "exotic gadget"}
+
+    torch.save((points, colors, None, inst.astype(np.float64)),
+               os.path.join(sd, "pcd_with_global_alignment", f"{SCAN}.pth"))
+    torch.save(segment_id, os.path.join(sd, "segment_id", f"{SCAN}.pth"))
+    torch.save(inst_to_label,
+               os.path.join(sd, "instance_id_to_label", f"{SCAN}.pth"))
+
+    # ScanRefer annotation: refer to the chair (raw instance id 1)
+    with open(os.path.join(ann, "refer", "scanrefer.jsonl"), "w") as f:
+        f.write(json.dumps({
+            "item_id": "i0", "scan_id": SCAN, "target_id": 1,
+            "instance_type": "chair",
+            "utterance": "the chair next to the wall"}) + "\n")
+
+    if pred is not None:
+        from scipy import sparse as sp
+        mdir = os.path.join(pred, "ScanNet", "mask")
+        os.makedirs(mdir, exist_ok=True)
+        # 3 proposals: exact chair, exact table, a box overlapping nothing
+        masks = np.zeros((3, n_points), bool)
+        masks[0, 150:300] = True
+        masks[1, 300:450] = True
+        masks[2, 0:40] = True
+        sp.save_npz(os.path.join(mdir, f"{SCAN}.mask.npz"),
+                    sp.csr_matrix(masks))
+        np.save(os.path.join(mdir, f"{SCAN}.label.npy"),
+                np.array([1, 3, 0]))  # cat2int chair=1, table=3, wall=0
+        # offline per-object image features (gt + pred)
+        for kind, n_obj, keys in (("gt", 4, [0, 1, 2, 3]),
+                                  ("pred", 3, [0, 1, 2])):
+            fdir = os.path.join(pred, "ScanNet", f"image_obj_feat_{kind}")
+            os.makedirs(fdir, exist_ok=True)
+            torch.save({k: torch.full((8,), float(k) + (0.5 if kind == "pred"
+                                                        else 0.0))
+                        for k in keys},
+                       os.path.join(fdir, f"{SCAN}.pth"))
+
+    if aux is not None:
+        n_seg = int(segment_id.max()) + 1
+        d = os.path.join(aux, "ScanNet", "image_seg_feat")
+        os.makedirs(d, exist_ok=True)
+        torch.save({"image_seg_feature": torch.arange(
+            n_seg * 4, dtype=torch.float32).reshape(n_seg, 4)},
+            os.path.join(d, f"{SCAN}.pth"))
+        d = os.path.join(aux, "ScanNet", "point_seg_feat")
+        os.makedirs(d, exist_ok=True)
+        torch.save({"point_seg_feature": torch.ones(n_seg, 4)},
+                   os.path.join(d, f"{SCAN}.pth"))
+    return base
+
+
+@pytest.fixture()
+def sv_dirs(tmp_path):
+    base = str(tmp_path / "sceneverse")
+    pred = str(tmp_path / "pred")
+    aux = str(tmp_path / "aux")
+    _write_scene(base, pred=pred, aux=aux)
+    # per-test cache isolation (SceneVerseScans caches by scan id)
+    from pq3d_tpu.data.sceneverse import SceneVerseScans
+    SceneVerseScans._cache = {}
+    return base, pred, aux
+
+
+def _cfg(base, pred=None, aux=None, **data_extra):
+    data = {"scene_verse_base": base, "scene_verse_aux": aux,
+            "scene_verse_pred": pred,
+            "instseg_options": {"filter_out_classes": [0, 2],
+                                "ignore_label": -100},
+            "load_scan_options": {"load_image_obj_feat": True,
+                                  "load_voxel_obj_feat": True,
+                                  "load_image_segment_feat": aux is not None,
+                                  "load_point_segment_feat": aux is not None}}
+    data.update(data_extra)
+    return Config({"data": data, "debug": {"flag": False}})
+
+
+def test_instseg_real_labels(sv_dirs):
+    base, _, aux = sv_dirs
+    from pq3d_tpu.data.datasets import SceneVerseInstSeg
+    ds = SceneVerseInstSeg(_cfg(base, aux=aux), "train")
+    scene = ds.get_scene(0)
+    # wall(200-id 0) and floor filtered; chair(1), table(3), gadget(-100) stay
+    assert sorted(scene["inst_labels"].tolist()) == [-100, 1, 3]
+    # per-point continuous ids only for kept instances
+    kept = scene["instance_labels"]
+    assert set(np.unique(kept)) == {-1, 0, 1, 2}
+    # colors scaled to [-1, 1]
+    assert scene["colors"].min() >= -1.001 and scene["colors"].max() <= 1.001
+    # offline per-segment features loaded
+    assert scene["mv_seg_fts"].shape[1] == 4
+    assert np.allclose(scene["pc_seg_fts"], 1.0)
+
+
+def test_scanrefer_gt_mode(sv_dirs):
+    base, pred, aux = sv_dirs
+    import pq3d_tpu.data.sceneverse as sv
+    ds = sv.ScanReferSceneVerse(_cfg(base, pred=pred, aux=aux), "val")
+    scene, lang = ds.get_item(0)
+    # 607-space labels via raw-categories json: chair=1
+    tgt = lang["tgt_object_ids"][0]
+    assert scene["inst_labels"][tgt] == 1
+    assert lang["iou25_ids"] == lang["tgt_object_ids"]
+    assert not lang["use_pred"]
+    # GT boxes exist for matching
+    assert scene["gt_center"].shape == (4, 3)
+
+
+def test_scanrefer_pred_mode_and_pipeline(sv_dirs):
+    base, pred, aux = sv_dirs
+    import pq3d_tpu.data.sceneverse as sv
+    from pq3d_tpu.data.unified_pipeline import (UnifiedPipelineConfig,
+                                                collate_unified, process_item)
+    cfg = _cfg(base, pred=pred, aux=aux,
+               ScanReferSceneVerse={"pc_type": "pred"})
+    ds = sv.ScanReferSceneVerse(cfg, "val")
+    scene, lang = ds.get_item(0)
+    assert lang["use_pred"]
+    # chair GT matches proposal 0 exactly
+    assert lang["tgt_object_ids"] == [0]
+    assert lang["iou25_ids"] == [0] and lang["iou50_ids"] == [0]
+    assert lang["meta_caption_iou"] > 0.99
+
+    pcfg = UnifiedPipelineConfig(max_obj_len=8, num_points=64, prompt_len=16,
+                                 response_len=8, dim_loc=6)
+    rng = np.random.default_rng(0)
+    item = process_item(scene, lang, pcfg, rng, train=False,
+                        feature_dims={"mv": 8, "voxel": 8})
+    # proposals: 3 objects with pred labels
+    assert item["n_obj"] == 3
+    assert item["obj_labels"].tolist() == [1, 3, 0]
+    # offline pred-variant mv features reached the item (value k + 0.5)
+    assert np.allclose(item["mv_fts"][:, 0], [0.5, 1.5, 2.5])
+    batch = collate_unified([item], pcfg, {"mv": 8, "voxel": 8},
+                            train=False)
+    assert batch["tgt_object_id_iou25"][0, 0] == 1.0
+    assert batch["tgt_object_id_iou25"][0, 1:].sum() == 0
+    assert np.allclose(batch["mv_seg_fts"][0, :3, 0], [0.5, 1.5, 2.5])
+
+
+def test_gt_mode_offline_feats_and_crop_priority(sv_dirs):
+    base, pred, aux = sv_dirs
+    import pq3d_tpu.data.sceneverse as sv
+    from pq3d_tpu.data.unified_pipeline import (UnifiedPipelineConfig,
+                                                process_item)
+    ds = sv.ScanReferSceneVerse(_cfg(base, pred=pred, aux=aux), "val")
+    scene, lang = ds.get_item(0)
+    pcfg = UnifiedPipelineConfig(max_obj_len=2, num_points=32, prompt_len=16,
+                                 response_len=8, dim_loc=6)
+    item = process_item(scene, lang, pcfg, np.random.default_rng(0),
+                        train=False, feature_dims={"mv": 8})
+    # crop to 2: target (chair) must survive at position 0
+    assert item["tgt_object_ids"] == [0]
+    assert item["obj_labels"][0] == 1
+    # gt-variant offline features follow the crop
+    tgt_gt_idx = lang["tgt_object_ids"][0]
+    # chair had raw inst id 1 -> feature value 1.0 at position 0 after crop
+    assert item["mv_fts"][0, 0] == float(scene["inst_raw_ids"][tgt_gt_idx])
