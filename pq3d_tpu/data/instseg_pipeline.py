@@ -87,6 +87,7 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
 
     n_seg = int(segment_id.max()) + 1
     seg_center = _segment_centers(points, segment_id, n_seg)
+    seg_sizes = np.bincount(segment_id, minlength=n_seg).astype(np.float32)
 
     n_inst = len(inst_labels)
     obj_center = np.zeros((n_inst, 3), np.float32)
@@ -137,6 +138,7 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
         "scan_id": scene.get("scan_id", ""),
         "hierarchy": hierarchy,
         "seg_center": seg_center,
+        "seg_sizes": seg_sizes,
         "obj_center": obj_center,
         "query_locs": query_locs.astype(np.float32),
         "query_valid": query_valid,
@@ -166,8 +168,8 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
     maps: Dict[str, List[np.ndarray]] = {}
     batch: Dict[str, List[np.ndarray]] = {k: [] for k in [
         "voxel_feats", "voxel2segment", "seg_center", "seg_pad_masks",
-        "query_locs", "query_pad_masks", "coord_min", "coord_max",
-        "instance_labels", "segment_masks", "instance_valid",
+        "segment_sizes", "query_locs", "query_pad_masks", "coord_min",
+        "coord_max", "instance_labels", "segment_masks", "instance_valid",
         "obj_center", "obj_pad_masks",
     ]}
 
@@ -185,6 +187,8 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
         batch["seg_center"].append(kernel_maps.pad_rows(s["seg_center"][:S], S))
         batch["seg_pad_masks"].append(
             kernel_maps.pad_rows(np.ones(min(ns, S), bool), S, False))
+        batch["segment_sizes"].append(
+            kernel_maps.pad_rows(s["seg_sizes"][:S], S, 0.0))
         nq = len(s["query_locs"])
         batch["query_locs"].append(kernel_maps.pad_rows(s["query_locs"][:Q], Q))
         qv = kernel_maps.pad_rows(s["query_valid"][:Q], Q, False)

@@ -141,13 +141,14 @@ def cider_d(preds: Dict, refs: Dict, max_n: int = 4, sigma: float = 6.0
     log_m = math.log(max(len(refs), 1))
 
     def tfidf_vec(tokens: List[str], n: int):
+        # raw term frequency * idf (matches pycocoevalcap CIDEr-D, which
+        # does NOT normalize counts by ngram total)
         cnt = _ngrams(tokens, n)
-        total = max(sum(cnt.values()), 1)
         vec = {}
         norm = 0.0
         for g, c in cnt.items():
             idf = log_m - math.log(max(df[n - 1][g], 1.0))
-            w = (c / total) * idf
+            w = c * idf
             vec[g] = w
             norm += w * w
         return vec, math.sqrt(norm), len(tokens)

@@ -61,7 +61,8 @@ class InstSegEval(BaseEvaluator):
     def __init__(self, topk_per_scene: int = 100, num_classes: int = 200,
                  score_threshold: float = 0.0, save_dir: Optional[str] = None,
                  full_resolution: bool = False, use_dbscan: bool = False,
-                 dbscan_eps: float = 0.95):
+                 dbscan_eps: float = 0.95, official_protocol: bool = True,
+                 min_region_size: float = 100.0):
         super().__init__(save_dir)
         self.topk = topk_per_scene
         self.num_classes = num_classes
@@ -69,13 +70,17 @@ class InstSegEval(BaseEvaluator):
         self.full_resolution = full_resolution
         self.use_dbscan = use_dbscan
         self.dbscan_eps = dbscan_eps
+        self.official_protocol = official_protocol
+        self.min_region_size = min_region_size
         self.target_metric = "all_ap"
         self._preds: List[Dict] = []
         self._gts: List[Dict] = []
+        self._have_sizes = False   # vert counts known -> min_region applies
 
     def reset(self):
         super().reset()
         self._preds, self._gts = [], []
+        self._have_sizes = False
 
     def update(self, out: Dict[str, Any], batch: Dict[str, Any]) -> None:
         cls_logits = np.asarray(out["predictions_class"][-1])   # (B,Q,C+1)
@@ -84,8 +89,11 @@ class InstSegEval(BaseEvaluator):
         gt_masks = np.asarray(batch["segment_masks"]).astype(bool)
         gt_labels = np.asarray(batch["instance_labels"])
         gt_valid = np.asarray(batch["instance_valid"]).astype(bool)
-        seg_sizes = np.asarray(batch.get("segment_sizes",
-                                         np.ones(seg_valid.shape)))
+        if "segment_sizes" in batch:
+            seg_sizes = np.asarray(batch["segment_sizes"])
+            self._have_sizes = True
+        else:
+            seg_sizes = np.ones(seg_valid.shape)
 
         meta = batch.get("_meta", {}) if isinstance(batch.get("_meta"), dict) \
             else {}
@@ -224,12 +232,27 @@ class InstSegEval(BaseEvaluator):
         from pq3d_tpu.data.scannet200_constants import (
             CLASS_LABELS_200, HEAD_CATS_200, COMMON_CATS_200, TAIL_CATS_200)
         classes_present = sorted({int(l) for g in self._gts
-                                  for l in g["labels"]})
+                                  for l in g["labels"] if int(l) >= 0})
 
-        def mask_iou_fn(p, gt, g):
-            return mask_iou(p["mask"], gt["masks"][g], gt["weights"])
+        if self.official_protocol:
+            from pq3d_tpu.eval.scannet_protocol import evaluate_scannet_ap
+            scenes = [{"preds": preds, "gt_masks": gt["masks"],
+                       "gt_labels": gt["labels"], "weights": gt["weights"]}
+                      for preds, gt in zip(self._preds, self._gts)]
+            # min_region_sizes is defined in verts; only meaningful when
+            # vert counts are known (full-res masks or segment_sizes)
+            full_res = any(g["weights"] is None and g["masks"].ndim == 2
+                           and self.full_resolution for g in self._gts)
+            min_region = (self.min_region_size
+                          if (self._have_sizes or full_res) else 0.0)
+            ap_table = evaluate_scannet_ap(
+                scenes, classes_present, OVERLAPS,
+                min_region_size=min_region)
+        else:
+            def mask_iou_fn(p, gt, g):
+                return mask_iou(p["mask"], gt["masks"][g], gt["weights"])
 
-        ap_table = self._ap_table(classes_present, OVERLAPS, mask_iou_fn)
+            ap_table = self._ap_table(classes_present, OVERLAPS, mask_iou_fn)
 
         def _agg(cols):
             import warnings
@@ -258,6 +281,7 @@ class InstSegEval(BaseEvaluator):
                 ap, a50, a25 = _agg(cols)
                 results[f"{name}_ap"] = float(np.nan_to_num(ap))
                 results[f"{name}_ap_50%"] = float(np.nan_to_num(a50))
+                results[f"{name}_ap_25%"] = float(np.nan_to_num(a25))
 
         # box AP from mask AABBs (ref instseg_eval.py box path ->
         # common/eval_det.py); only when full-res points were available

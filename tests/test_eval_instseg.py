@@ -93,8 +93,9 @@ def test_box_ap_from_full_res_points():
     ev = InstSegEval(topk_per_scene=20, num_classes=10, full_resolution=True)
     out, batch = _make_scene(rng, perfect=True)
     n_seg = batch["segment_masks"].shape[2]
-    n_pts = n_seg * 4
-    seg_to_full = np.repeat(np.arange(n_seg), 4).astype(np.int32)
+    # >= 100 verts per instance so the official min-region gate passes
+    n_pts = n_seg * 16
+    seg_to_full = np.repeat(np.arange(n_seg), 16).astype(np.int32)
     pts = rng.normal(size=(n_pts, 3)).astype(np.float32)
     gt_full = batch["segment_masks"][0][:, seg_to_full]
     batch["_meta"] = {

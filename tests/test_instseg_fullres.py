@@ -6,7 +6,8 @@ from pq3d_tpu.eval.instseg_eval import InstSegEval
 
 def test_full_resolution_reconstruction():
     rng = np.random.default_rng(0)
-    n_seg, n_pts, n_cls, q = 8, 200, 5, 4
+    # instances must clear the official 100-vert min-region gate
+    n_seg, n_pts, n_cls, q = 8, 2000, 5, 4
     seg_to_full = rng.integers(0, n_seg, n_pts)
     # gt: instance 0 = segments {0,1}, instance 1 = segments {2,3}
     seg_masks = np.zeros((2, n_seg), bool)
