@@ -27,6 +27,7 @@ def build_instseg_trainer(cfg):
     import pq3d_tpu.models  # registers model modules
 
     iopt = cfg.data.instseg_options
+    level_caps = iopt.get("level_caps")
     pipe_cfg = InstSegPipelineConfig(
         voxel_size=float(iopt.voxel_size),
         num_queries=int(iopt.num_queries),
@@ -34,6 +35,7 @@ def build_instseg_trainer(cfg):
         max_segments=int(iopt.get("max_segments", 512)),
         max_instances=int(iopt.get("max_instances", 120)),
         voxel_bucket=int(iopt.get("voxel_bucket", 4096)),
+        level_caps=[int(x) for x in level_caps] if level_caps else None,
         filter_out_classes=tuple(iopt.get("filter_out_classes", (0, 2))),
         ignore_label=int(iopt.get("ignore_label", -100)))
 
@@ -73,7 +75,12 @@ def build_instseg_trainer(cfg):
             save_dir=save_dir,
             use_dbscan=bool(cfg.eval.get("use_dbscan", False)),
             topk_per_scene=int(cfg.eval.get("topk_per_scene", 100)),
-            num_classes=int(cfg.data.instseg_options.num_labels))
+            num_classes=int(cfg.data.instseg_options.num_labels),
+            # full-res reconstruction + the official benchmark protocol by
+            # default; per-scene maps missing from a batch degrade gracefully
+            full_resolution=bool(cfg.eval.get("full_resolution", True)),
+            official_protocol=bool(cfg.eval.get("official_protocol", True)),
+            min_region_size=float(cfg.eval.get("min_region_size", 100.0)))
 
     trainer_cls = TRAINER_REGISTRY.get(cfg.get("trainer", "Query3DTrainer"))
     total_steps = steps_per_epoch * int(cfg.solver.epochs)
@@ -82,7 +89,7 @@ def build_instseg_trainer(cfg):
 
 
 def build_multitask_trainer(cfg):
-    from pq3d_tpu.data.unified_datasets import detokenize
+    from pq3d_tpu.data.tokenizers import build_tokenizers
     from pq3d_tpu.data.unified_loader import (MixedTaskLoader,
                                               UnifiedTaskLoader)
     from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
@@ -109,15 +116,24 @@ def build_multitask_trainer(cfg):
     seed = int(cfg.get("rng_seed", 42))
     bs = int(cfg.dataloader.batchsize)
     bs_eval = int(cfg.dataloader.get("batchsize_eval", bs))
+    toks = build_tokenizers(cfg)  # HF CLIP/T5 when available
+
+    def make_ds(ds_cls, split):
+        try:  # SceneVerse tasks take tokenizers; synthetic ones don't
+            return ds_cls(cfg, split, tokenizer=toks.tokenize,
+                          gen_tokenizer=toks.gen_tokenize)
+        except TypeError:
+            return ds_cls(cfg, split)
+
     train_loaders, val_sets = [], []
     steps_per_epoch = 0
     for ds_name in cfg.data.train:
         ds_cls = DATASET_REGISTRY.get(ds_name)
-        train_ds = ds_cls(cfg, "train")
+        train_ds = make_ds(ds_cls, "train")
         train_loaders.append(UnifiedTaskLoader(train_ds, pipe_cfg, bs, True,
                                                seed=seed))
         steps_per_epoch += len(train_ds) // bs
-        val_ds = ds_cls(cfg, "val")
+        val_ds = make_ds(ds_cls, "val")
         val_loader = UnifiedTaskLoader(val_ds, pipe_cfg, bs_eval, False,
                                        seed=seed)
         ev_name = getattr(train_ds, "evaluator", "ScanReferEval")
@@ -131,8 +147,11 @@ def build_multitask_trainer(cfg):
     model = build_model(cfg)
     weights = cfg.model.get("loss_weights", {}) or {}
     w_ground = float(weights.get("ground_loss", 1.0))
+    w_answer = float(weights.get("answer_loss", 1.0))
 
     def loss_fn(out, batch):
+        import jax.numpy as jnp
+        import optax
         parts = {}
         total = 0.0
         if "ground_logits" in out:
@@ -142,12 +161,58 @@ def build_multitask_trainer(cfg):
         if "generation_logits" in out:
             parts["generation_loss"] = generation_loss(out, batch)
             total = total + parts["generation_loss"]
+        if "answer_scores" in out and "answer_label" in batch:
+            # BCE sum / batch size (ref optim/loss/loss.py:54-57)
+            bce = optax.sigmoid_binary_cross_entropy(
+                out["answer_scores"], batch["answer_label"])
+            parts["answer_loss"] = bce.sum() / out["answer_scores"].shape[0]
+            total = total + w_answer * parts["answer_loss"]
         return total, parts
 
     trainer_cls = TRAINER_REGISTRY.get(cfg.get("trainer", "MultitaskTrainer"))
     total_steps = steps_per_epoch * int(cfg.solver.epochs)
     return trainer_cls(cfg, model, loss_fn, train_loader, val_sets=val_sets,
-                       detokenize=detokenize, total_steps=total_steps)
+                       detokenize=toks.detokenize, total_steps=total_steps)
+
+
+def _rget(cfg, dotted, default=None):
+    node = cfg
+    for part in str(dotted).split("."):
+        if not hasattr(node, "get"):
+            return default
+        node = node.get(part)
+        if node is None:
+            return default
+    return node
+
+
+def experiment_name(cfg) -> str:
+    """Exp name from ``naming_keywords`` (ref run.py:25-46): the base name
+    plus task/dataset names, effective global batch ``b<N>``, and any other
+    dotted config values; ``Debug_test`` under debug.flag."""
+    if _rget(cfg, "debug.flag", False):
+        return "Debug_test"
+    keys = [str(cfg.get("name", "exp"))]
+    for kw in cfg.get("naming_keywords", []) or []:
+        kw = str(kw)
+        if kw == "time":
+            continue
+        if kw == "task":
+            keys.append(str(cfg.get("task", "")))
+            note = _rget(cfg, "data.note")
+            if note is not None:
+                keys.append(str(note))
+            else:
+                ds = _rget(cfg, "data.train") or []
+                keys.append("+".join(str(x) for x in ds))
+        elif kw == "dataloader.batchsize":
+            import jax
+            keys.append(f"b{int(_rget(cfg, kw, 0)) * len(jax.devices())}")
+        else:
+            v = _rget(cfg, kw, "")
+            if str(v) != "":
+                keys.append(str(v))
+    return "_".join(k for k in keys if k)
 
 
 def main(argv=None):
@@ -159,11 +224,22 @@ def main(argv=None):
     from pq3d_tpu.config import load_config
     cfg = load_config(args.config_name, overrides=args.overrides)
 
-    # experiment dir naming (ref run.py:25-42)
+    # resume re-loads the snapshot saved in the experiment dir so the run
+    # continues under the exact original config (ref run.py:14-18)
+    if cfg.get("resume") and cfg.get("exp_dir"):
+        snap = os.path.join(str(cfg.exp_dir), "config.yaml")
+        if not os.path.exists(snap):
+            raise FileNotFoundError(
+                f"Resuming failed: {snap} does not exist")
+        print(f"Resuming from {cfg.exp_dir}")
+        cfg = load_config(snap, overrides=args.overrides)
+        cfg.resume = True
+
+    # experiment dir naming (ref run.py:25-53)
     if not cfg.get("exp_dir"):
-        stamp = time.strftime("%Y%m%d-%H%M%S")
+        stamp = time.strftime("%Y-%m-%d-%H%M%S")
         cfg.exp_dir = os.path.join(cfg.get("base_dir", "outputs"),
-                                   f"{cfg.get('name', 'exp')}-{stamp}")
+                                   experiment_name(cfg), stamp)
     os.makedirs(cfg.exp_dir, exist_ok=True)
     with open(os.path.join(cfg.exp_dir, "config.yaml"), "w") as f:
         f.write(cfg.to_yaml())

@@ -80,12 +80,23 @@ class Query3DTrainer:
             enabled=bool(cfg.get("profile", False)))
         n_dev = len(jax.devices())
         bs = int(cfg.dataloader.batchsize)
-        if n_dev > 1 and bs % n_dev == 0:
-            self.mesh = make_mesh(mesh_cfg)
-        else:
-            if n_dev > 1:
+        if n_dev > 1:
+            if bs % n_dev != 0:
+                # never fall back silently to one device — on a pod that is
+                # a silent n_dev x throughput cliff.  Either fix the config
+                # or opt into the fallback explicitly.
+                if not bool(cfg.dataloader.get("allow_single_device", False)):
+                    raise ValueError(
+                        f"dataloader.batchsize={bs} is not divisible by "
+                        f"{n_dev} devices; set a divisible batchsize or "
+                        f"dataloader.allow_single_device=True to run on one "
+                        f"device deliberately")
                 print(f"[trainer] batchsize {bs} not divisible by {n_dev} "
-                      f"devices — running single-device")
+                      f"devices — running single-device (explicit opt-in)")
+                self.mesh = None
+            else:
+                self.mesh = make_mesh(mesh_cfg)
+        else:
             self.mesh = None
 
         # init model/optimizer lazily on the first batch
@@ -118,12 +129,45 @@ class Query3DTrainer:
             self._warm_start(self.cfg.pretrain_ckpt_path)
 
     def _warm_start(self, path: str):
+        """Warm-start weights from an orbax dir OR reference torch
+        ``pytorch_model*.bin`` checkpoints (ref trainer/build.py:176-186
+        glob + non-strict load)."""
         from pq3d_tpu.train.checkpoints import load_pretrain
-        state, _ = self.ckpt.__class__(path).restore("latest", self._state) \
-            if os.path.isdir(os.path.join(path, "latest")) else (None, None)
-        if state is not None:
+        if os.path.isdir(os.path.join(path, "latest")):
+            state, _ = self.ckpt.__class__(path).restore("latest",
+                                                         self._state)
             self._state = self._state.replace(
                 params=load_pretrain(self._state.params, state.params))
+            return
+        import glob
+        bins = []
+        if os.path.isdir(path):
+            bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+        elif path.endswith((".bin", ".pth", ".pt")) and os.path.exists(path):
+            bins = [path]
+        if not bins:
+            print(f"[trainer] warm start: nothing loadable at {path!r}")
+            return
+        import torch
+        sd = {}
+        for b in bins:
+            sd.update(torch.load(b, map_location="cpu", weights_only=False))
+        from pq3d_tpu.utils.hf_import import import_query3d
+        memories = tuple(self.cfg.model.get("memories",
+                                            ("mv", "pc", "voxel", "prompt")))
+        variables = {"params": self._state.params}
+        if self._state.batch_stats:
+            variables["batch_stats"] = self._state.batch_stats
+        new_vars, report = import_query3d(sd, variables, memories=memories)
+        print(f"[trainer] warm start from {len(bins)} torch file(s): "
+              f"{len(report['loaded'])} loaded, "
+              f"{len(report['missing'])} missing, "
+              f"{len(report['mismatched'])} mismatched, "
+              f"{len(report['unused'])} unused")
+        self._state = self._state.replace(
+            params=new_vars["params"],
+            batch_stats=new_vars.get("batch_stats",
+                                     self._state.batch_stats))
 
     def _put(self, batch):
         batch = {k: v for k, v in batch.items() if not k.startswith("_")}
@@ -217,7 +261,8 @@ class MultitaskTrainer(Query3DTrainer):
         (ref multitask_trainer.py:138-145)."""
         host_out: Dict[str, Any] = {
             k: np.asarray(v) for k, v in out.items()
-            if k in ("og3d_logits", "ground_logits", "generation_logits")}
+            if k in ("og3d_logits", "ground_logits", "generation_logits",
+                     "answer_scores")}
         if "generation_tokens" in out:
             toks = np.asarray(out["generation_tokens"])
             texts = [self.detokenize(t) for t in toks]

@@ -50,3 +50,34 @@ def test_update_merges_recursively():
     cfg = Config({"a": {"b": 1, "c": 2}})
     cfg.update({"a": {"b": 9}, "d": 4})
     assert cfg.a.b == 9 and cfg.a.c == 2 and cfg.d == 4
+
+
+def test_experiment_name_naming_keywords():
+    from pq3d_tpu.run import experiment_name
+    cfg = Config({
+        "name": "pq3d", "task": "Query3D",
+        "naming_keywords": ["task", "dataloader.batchsize", "solver.lr"],
+        "data": {"train": ["A", "B"]},
+        "dataloader": {"batchsize": 4},
+        "solver": {"lr": 0.0001},
+        "debug": {"flag": False},
+    })
+    name = experiment_name(cfg)
+    assert name.startswith("pq3d_Query3D_A+B_b")
+    assert name.endswith("_0.0001")
+    cfg.debug.flag = True
+    assert experiment_name(cfg) == "Debug_test"
+
+
+def test_resume_reloads_snapshot(tmp_path):
+    import os
+    import yaml
+    from pq3d_tpu.config import load_config
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    snap = {"name": "orig", "solver": {"lr": 0.5}, "exp_dir": str(exp)}
+    with open(exp / "config.yaml", "w") as f:
+        yaml.safe_dump(snap, f)
+    # simulate the run.py resume path
+    cfg = load_config(str(exp / "config.yaml"))
+    assert cfg.name == "orig" and float(cfg.solver.lr) == 0.5

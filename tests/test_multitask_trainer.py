@@ -23,6 +23,8 @@ def trainer(tmp_path_factory):
             "data.unified_options.prompt_len=8",
             "data.unified_options.response_len=6",
             "dataloader.batchsize=4", "dataloader.batchsize_eval=4",
+            # 4 % 8 virtual devices != 0: single-device is deliberate here
+            "dataloader.allow_single_device=True",
             "model.hidden_size=32",
             "model.txt_tower.width=16", "model.txt_tower.layers=1",
             "model.txt_tower.heads=2",

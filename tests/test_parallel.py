@@ -88,3 +88,67 @@ def test_param_spec_fsdp_combines_with_tp():
     # unmatched param: largest dim on fsdp only
     spec2 = param_spec("layer/some_embed/", x, cfg)
     assert spec2 == jax.sharding.PartitionSpec(None, "fsdp")
+
+
+def test_set_loss_sharded_equals_replicated():
+    """The set criterion's GLOBAL num_masks normalization (ref
+    criterion.py:241-243 all-reduce) must make the loss identical whether
+    the batch is replicated or data-sharded over 8 devices, even with
+    uneven per-scene instance counts."""
+    from pq3d_tpu.optim.losses import InstSegLossConfig, instseg_set_loss
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(0)
+    b, q, s, m, c = 8, 8, 16, 6, 5
+    batch = {
+        "instance_labels": jnp.asarray(rng.integers(0, c, (b, m)), jnp.int32),
+        "segment_masks": jnp.asarray(rng.random((b, m, s)) > 0.6),
+        "instance_valid": jnp.asarray(
+            np.arange(m)[None, :] < rng.integers(1, m + 1, (b, 1))),
+        "seg_pad_masks": jnp.ones((b, s), bool),
+    }
+    preds_c = [jnp.asarray(rng.standard_normal((b, q, c + 1)), jnp.float32)]
+    preds_m = [jnp.asarray(rng.standard_normal((b, s, q)), jnp.float32)]
+    cfg = InstSegLossConfig(num_classes=c)
+
+    def f(pc, pm, bt):
+        return instseg_set_loss(pc, pm, bt, cfg)[0]
+
+    ref = jax.jit(f)(preds_c, preds_m, batch)
+    mesh = make_mesh(MeshConfig(data=8, fsdp=1, tp=1),
+                     devices=jax.devices()[:8])
+    sb = shard_batch(batch, mesh)
+    spc, spm = shard_batch(preds_c, mesh), shard_batch(preds_m, mesh)
+    sharded = jax.jit(f)(spc, spm, sb)
+    np.testing.assert_allclose(float(sharded), float(ref), rtol=1e-5)
+
+
+def test_set_loss_per_mask_normalization():
+    """Normalization is per GLOBAL mask count, not per-scene mean: a scene
+    with 3x the instances contributes 3x the weight (ref criterion.py
+    loss_masks / num_masks semantics)."""
+    from pq3d_tpu.optim.losses import InstSegLossConfig, instseg_layer_loss
+    rng = np.random.default_rng(1)
+    q, s, m, c = 6, 12, 4, 3
+    cfg = InstSegLossConfig(num_classes=c)
+
+    def layer(nv_list):
+        b = len(nv_list)
+        pc = jnp.asarray(rng.standard_normal((b, q, c + 1)), jnp.float32)
+        pm = jnp.asarray(rng.standard_normal((b, s, q)), jnp.float32)
+        col = jnp.tile(jnp.arange(m)[None], (b, 1))
+        lab = jnp.zeros((b, m), jnp.int32)
+        tm = jnp.asarray(rng.random((b, m, s)) > 0.5)
+        iv = jnp.asarray(np.arange(m)[None, :] < np.asarray(nv_list)[:, None])
+        sv = jnp.ones((b, s), bool)
+        return instseg_layer_loss(pc, pm, col, lab, tm, iv, sv, cfg), (
+            pc, pm, col, lab, tm, iv, sv)
+
+    out, (pc, pm, col, lab, tm, iv, sv) = layer([1, 3])
+    # recompute per-scene and combine per-mask: must equal the joint value
+    l0 = instseg_layer_loss(pc[:1], pm[:1], col[:1], lab[:1], tm[:1],
+                            iv[:1], sv[:1], cfg)
+    l1 = instseg_layer_loss(pc[1:], pm[1:], col[1:], lab[1:], tm[1:],
+                            iv[1:], sv[1:], cfg)
+    joint = (float(l0["loss_mask"]) * 1 + float(l1["loss_mask"]) * 3) / 4
+    np.testing.assert_allclose(float(out["loss_mask"]), joint, rtol=1e-5)
