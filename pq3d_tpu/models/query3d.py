@@ -65,8 +65,9 @@ class VoxelEncoderCfg:
     out_channels: int = 200
     bn_momentum: float = 0.02
     conv1_kernel_size: int = 5
-    remat_policy: str = "full"   # 'full' | 'dots' | 'none'
+    remat_policy: str = "full"   # 'full' | 'dots' | 'gather_only' | 'none'
     accum: str = "float32"       # conv accumulation dtype (bf16 = inference opt)
+    grad_mode: str = "native"    # 'scatter_free' = transpose-map backward
 
 
 @dataclasses.dataclass(frozen=True)
@@ -145,12 +146,17 @@ class Query3DUnified(nn.Module):
 
         # ---- location encoders ------------------------------------------
         if self.dim_loc > 3:
+            # explicit child names: these land in the parent scope and the
+            # checkpoint importer keys off them (ref query3d_unified.py:63-71
+            # coord_encoder/box_encoder Linear+LN pairs)
             coord_encoder = nn.Sequential(
-                [nn.Dense(self.hidden_size, kernel_init=dense_init),
-                 nn.LayerNorm()], name="coord_encoder")
+                [nn.Dense(self.hidden_size, kernel_init=dense_init,
+                          name="coord_dense"),
+                 nn.LayerNorm(name="coord_ln")])
             box_encoder = nn.Sequential(
-                [nn.Dense(self.hidden_size, kernel_init=dense_init),
-                 nn.LayerNorm()], name="box_encoder")
+                [nn.Dense(self.hidden_size, kernel_init=dense_init,
+                          name="box_dense"),
+                 nn.LayerNorm(name="box_ln")])
         else:
             coord_encoder = CoordinateEncoder(self.hidden_size,
                                               name="coord_encoder")
@@ -213,6 +219,7 @@ class Query3DUnified(nn.Module):
                         conv1_kernel_size=self.voxel_enc.conv1_kernel_size,
                         remat_policy=self.voxel_enc.remat_policy,
                         accum=self.voxel_enc.accum,
+                        grad_mode=self.voxel_enc.grad_mode,
                         name="voxel_encoder")(
                             batch["voxel_feats"], batch["maps"],
                             batch["voxel2segment"],
@@ -312,9 +319,12 @@ class Query3DUnified(nn.Module):
                         query, query_valid, labels=batch["response"],
                         deterministic=deterministic)
                 else:
-                    out["generation_logits"] = gen(
-                        query, query_valid, labels=batch.get("response"),
-                        deterministic=True)
+                    # teacher-forced logits only when a response exists;
+                    # gen(labels=None) returns token ids, not logits
+                    if batch.get("response") is not None:
+                        out["generation_logits"] = gen(
+                            query, query_valid, labels=batch["response"],
+                            deterministic=True)
                     out["generation_tokens"] = gen(
                         query, query_valid, labels=None, deterministic=True)
             else:
@@ -448,9 +458,13 @@ def build_model(cfg) -> Query3DUnified:
             num_projection_layers=ta.get("num_projection_layers", 1),
             freeze_backbone=ta.get("freeze_backbone", True))
 
+    qa_head = m.get("qa_head", {}) or {}
+    qa_args = qa_head.get("args", {}) if hasattr(qa_head, "get") else {}
     return Query3DUnified(
         memories=tuple(m.memories),
         heads=tuple(m.heads),
+        qa_num_answers=int(qa_args.get("num_answers",
+                                       m.get("qa_num_answers", 8864))),
         hidden_size=m.hidden_size,
         dim_loc=m.obj_loc.dim_loc,
         spatial_dim=m.obj_loc.spatial_dim,
