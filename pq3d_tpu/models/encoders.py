@@ -51,6 +51,7 @@ class SegVoxelEncoder(nn.Module):
     conv1_kernel_size: int = 5
     remat_policy: str = "full"
     accum: str = "float32"
+    grad_mode: str = "native"
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -64,6 +65,7 @@ class SegVoxelEncoder(nn.Module):
                              conv1_kernel_size=self.conv1_kernel_size,
                              remat_policy=self.remat_policy,
                              accum=self.accum,
+                             grad_mode=self.grad_mode,
                              name="backbone")
         bb_train = train and not self.freeze_backbone
         # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]
@@ -142,6 +144,7 @@ class VoxelLevelEncoder(nn.Module):
     conv1_kernel_size: int = 5
     remat_policy: str = "full"
     accum: str = "float32"
+    grad_mode: str = "native"
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -151,6 +154,7 @@ class VoxelLevelEncoder(nn.Module):
                              conv1_kernel_size=self.conv1_kernel_size,
                              remat_policy=self.remat_policy,
                              accum=self.accum,
+                             grad_mode=self.grad_mode,
                              name="backbone")
         bb_train = train and not self.freeze_backbone
         # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]

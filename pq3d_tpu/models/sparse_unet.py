@@ -63,17 +63,32 @@ def flatten_maps(maps: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
 
 
 class SparseConv(nn.Module):
-    """Kernel-map sparse conv layer; kernel volume inferred from the map."""
+    """Kernel-map sparse conv layer; kernel volume inferred from the map.
+
+    grad_mode 'scatter_free' switches training to the custom-VJP convs
+    (ops/sparse.py): dx runs as a transpose-map gather-GEMM instead of the
+    default XLA scatter-add, and the K x N x C gathered activations are
+    recomputed in the backward rather than stored.  Down convs additionally
+    need the dual (parent, parent_off, in_valid) maps.
+    """
     out_channels: int
     use_bias: bool = False
     accum: str = "float32"   # 'float32' | 'bfloat16' (inference-only option)
+    grad_mode: str = "native"  # 'native' | 'scatter_free'
 
     @nn.compact
-    def __call__(self, x, nbr, valid):
+    def __call__(self, x, nbr, valid, parent=None, parent_off=None,
+                 in_valid=None):
         k = nbr.shape[-1]
         w = self.param("kernel", conv_init, (k, x.shape[-1], self.out_channels))
-        y = sparse.sparse_conv(x, nbr, w, None, valid,
-                               accum_dtype=jnp.dtype(self.accum))
+        acc = jnp.dtype(self.accum)
+        if self.grad_mode == "scatter_free" and parent is not None:
+            y = sparse.sparse_conv_down(x, nbr, w, parent, parent_off,
+                                        valid, in_valid, accum_dtype=acc)
+        elif self.grad_mode == "scatter_free":
+            y = sparse.sparse_conv_sym(x, nbr, w, valid, accum_dtype=acc)
+        else:
+            y = sparse.sparse_conv(x, nbr, w, None, valid, accum_dtype=acc)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = jnp.where(valid[..., None], y + b, 0)
@@ -82,10 +97,15 @@ class SparseConv(nn.Module):
 
 class SparseConvTranspose(nn.Module):
     out_channels: int
+    grad_mode: str = "native"
 
     @nn.compact
-    def __call__(self, x, parent, parent_off, valid):
+    def __call__(self, x, parent, parent_off, valid, child=None,
+                 in_valid=None):
         w = self.param("kernel", conv_init, (8, x.shape[-1], self.out_channels))
+        if self.grad_mode == "scatter_free" and child is not None:
+            return sparse.sparse_conv_transpose_gf(
+                x, parent, parent_off, w, child, valid, in_valid)
         return sparse.sparse_conv_transpose(x, parent, parent_off, w, valid)
 
 
@@ -97,15 +117,19 @@ class BasicBlock(nn.Module):
     bn_momentum: float = 0.02
     train: bool = False
     accum: str = "float32"
+    grad_mode: str = "native"
 
     @nn.compact
     def __call__(self, x, nbr, valid):
         train = self.train
+        gm = self.grad_mode
         residual = x
-        out = SparseConv(self.planes, accum=self.accum, name="conv1")(x, nbr, valid)
+        out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
+                         name="conv1")(x, nbr, valid)
         out = MaskedBatchNorm(self.bn_momentum, name="norm1")(out, valid, not train)
         out = jax.nn.relu(out)
-        out = SparseConv(self.planes, accum=self.accum, name="conv2")(out, nbr, valid)
+        out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
+                         name="conv2")(out, nbr, valid)
         out = MaskedBatchNorm(self.bn_momentum, name="norm2")(out, valid, not train)
         if x.shape[-1] != self.planes:
             residual = nn.Dense(self.planes, use_bias=False, kernel_init=conv_init,
@@ -121,27 +145,38 @@ class ResStage(nn.Module):
     backward pass recomputes the 27-offset gathers instead of storing them
     (full-scale bwd OOMs otherwise: ~1.4 GB of gathered activations/conv).
 
-    remat_policy: 'full' (save nothing), 'dots' (save matmul outputs,
-    recompute gathers only), 'none'."""
+    remat_policy: 'full' (save nothing), 'dots' (save matmul outputs),
+    'gather_only' (save everything EXCEPT the named per-tap gather
+    residuals — backward redoes one gather per conv and nothing else),
+    'none'."""
     planes: int
     layers: int
     bn_momentum: float = 0.02
     remat_policy: str = "full"
     accum: str = "float32"
+    grad_mode: str = "native"
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
-        if train and self.remat_policy == "full":
-            block_cls = nn.remat(BasicBlock)
-        elif train and self.remat_policy == "dots":
-            block_cls = nn.remat(
-                BasicBlock, policy=jax.checkpoint_policies.dots_saveable)
-        else:
-            block_cls = BasicBlock
+        block_cls = remat_block_cls(BasicBlock, self.remat_policy, train)
         for i in range(self.layers):
             x = block_cls(self.planes, self.bn_momentum, train, self.accum,
-                          name=f"block{i}")(x, nbr, valid)
+                          self.grad_mode, name=f"block{i}")(x, nbr, valid)
         return x
+
+
+def remat_block_cls(cls, remat_policy: str, train: bool):
+    """Module class wrapped per the rematerialization policy."""
+    if not train or remat_policy == "none":
+        return cls
+    if remat_policy == "full":
+        return nn.remat(cls)
+    if remat_policy == "dots":
+        return nn.remat(cls, policy=jax.checkpoint_policies.dots_saveable)
+    if remat_policy == "gather_only":
+        return nn.remat(cls, policy=jax.checkpoint_policies.
+                        save_anything_except_these_names("conv_gather"))
+    raise ValueError(f"unknown remat_policy {remat_policy!r}")
 
 
 class Res16UNet(nn.Module):
@@ -161,22 +196,28 @@ class Res16UNet(nn.Module):
     bn_momentum: float = 0.02
     remat_policy: str = "full"
     accum: str = "float32"
+    grad_mode: str = "native"   # 'scatter_free' = transpose-map backward
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, maps: Dict[str, jnp.ndarray],
                  train: bool = False
                  ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         P = self.planes
+        gm = self.grad_mode
         b, p0, cin = x.shape
         fm = flatten_maps(maps)
         v = [fm[f"valid_{l}"] for l in range(5)]
         n = [fm[f"nbr3_{l}"] for l in range(5)]
         x = x.reshape(b * p0, cin)
         bn = lambda name: MaskedBatchNorm(self.bn_momentum, name=name)
+        # ladder convs share the stage remat policy so their per-tap gather
+        # residuals are not stored either (e.g. conv1s2 at 64k voxels would
+        # otherwise save 27 x N x C activations)
+        conv_cls = remat_block_cls(SparseConv, self.remat_policy, train)
 
         # stem (level 0)
-        out = SparseConv(self.init_dim, accum=self.accum,
-                         name="conv0")(x, fm["nbr5_0"], v[0])
+        out = conv_cls(self.init_dim, accum=self.accum, grad_mode=gm,
+                       name="conv0")(x, fm["nbr5_0"], v[0])
         out_p1 = jax.nn.relu(bn("bn0")(out, v[0], not train))
 
         # encoder ladder: stride-2 conv then residual stage
@@ -184,12 +225,13 @@ class Res16UNet(nn.Module):
         out = out_p1
         enc_planes = [P[0], P[1], P[2], P[3]]
         for l in range(4):
-            out = SparseConv(out.shape[-1], accum=self.accum,
-                             name=f"conv{l+1}s2")(
-                out, fm[f"child_{l}"], v[l + 1])
+            out = conv_cls(out.shape[-1], accum=self.accum, grad_mode=gm,
+                           name=f"conv{l+1}s2")(
+                out, fm[f"child_{l}"], v[l + 1],
+                fm[f"parent_{l}"], fm[f"parent_off_{l}"], v[l])
             out = jax.nn.relu(bn(f"bn{l+1}")(out, v[l + 1], not train))
             out = ResStage(enc_planes[l], self.layers[l], self.bn_momentum,
-                           self.remat_policy, self.accum,
+                           self.remat_policy, self.accum, gm,
                            name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train)
             skips.append(out)
 
@@ -199,12 +241,14 @@ class Res16UNet(nn.Module):
         dec_planes = [P[4], P[5], P[6], P[7]]
         for i in range(4):
             lvl = 3 - i  # output level of this upsample
-            out = SparseConvTranspose(dec_planes[i], name=f"convtr{i+4}")(
-                out, fm[f"parent_{lvl}"], fm[f"parent_off_{lvl}"], v[lvl])
+            out = SparseConvTranspose(dec_planes[i], grad_mode=gm,
+                                      name=f"convtr{i+4}")(
+                out, fm[f"parent_{lvl}"], fm[f"parent_off_{lvl}"], v[lvl],
+                fm[f"child_{lvl}"], v[lvl + 1])
             out = jax.nn.relu(bn(f"bntr{i+4}")(out, v[lvl], not train))
             out = jnp.concatenate([out, skips[lvl]], axis=-1)
             out = ResStage(dec_planes[i], self.layers[i + 4], self.bn_momentum,
-                           self.remat_policy, self.accum,
+                           self.remat_policy, self.accum, gm,
                            name=f"stage{i+5}")(out, n[lvl], v[lvl], train)
             feature_maps.append(out)
 

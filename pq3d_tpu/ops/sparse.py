@@ -25,6 +25,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
@@ -80,6 +81,10 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
         m = idx >= 0
         xi = fast_row_gather(xb, jnp.maximum(idx, 0))
         xi = jnp.where(m[:, None], xi, 0)
+        # named for the 'gather_only' remat policy: these (N, Cin)-per-tap
+        # residuals dominate training memory (~K x N x Cin); the policy
+        # recomputes them in the backward instead of saving them
+        xi = jax.ad_checkpoint.checkpoint_name(xi, "conv_gather")
         acc = acc + jnp.dot(xi, wk, preferred_element_type=accum_dtype)
         return acc, None
 
@@ -157,3 +162,140 @@ def avg_pool_stride2(x: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
     xi = jnp.where(m[..., None], xi, 0)
     cnt = jnp.maximum(m.sum(axis=1, keepdims=True), 1)
     return xi.sum(axis=1) / cnt
+
+
+# ---------------------------------------------------------------------------
+# scatter-free training convs (custom VJPs)
+#
+# The VJP XLA derives for gather is scatter-add — measured ~6 GB/s on v5e,
+# the dominant backward cost.  But every kernel map here has an exact
+# transpose map: a symmetric stencil (odd kernel, lexicographic offsets)
+# satisfies nbr[i, k] = j  <=>  nbr[j, K-1-k] = i, and the stride-2
+# child/parent/parent_off maps are duals by construction
+# (ops/kernel_maps.py build_child_map).  So dx is ANOTHER gather-GEMM conv
+# with flipped+transposed weights, and dW re-gathers its inputs instead of
+# storing them — the backward runs entirely on the gather fast path and the
+# K x N x C gathered activations are never materialized as residuals.
+# ---------------------------------------------------------------------------
+
+
+def _mask_rows(dy: jnp.ndarray, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
+    return dy if valid is None else jnp.where(valid[:, None], dy, 0)
+
+
+def _conv_weight_grad(x: jnp.ndarray, nbr: jnp.ndarray, dy: jnp.ndarray,
+                      compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """dW[k] = gather(x, nbr[:, k])^T @ dy, one (Cin, N)@(N, Cout) GEMM per
+    tap (re-gathers instead of using stored activations)."""
+    xb = x.astype(compute_dtype)
+    dyb = dy.astype(compute_dtype)
+
+    def body(_, idx):
+        m = idx >= 0
+        xi = fast_row_gather(xb, jnp.maximum(idx, 0))
+        xi = jnp.where(m[:, None], xi, 0)
+        return _, jnp.dot(xi.T, dyb, preferred_element_type=jnp.float32)
+
+    _, dw = jax.lax.scan(body, 0, nbr.T)
+    return dw
+
+
+def sparse_conv_sym(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
+                    out_valid: Optional[jnp.ndarray] = None,
+                    compute_dtype=jnp.bfloat16,
+                    accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Same-level symmetric-stencil conv with a scatter-free backward.
+
+    dx = conv(dy, nbr, flip_k(W)^T): valid because for lexicographic odd
+    offsets, tap K-1-k is the negated offset of tap k.
+    """
+
+    @jax.custom_vjp
+    def f(x, w):
+        return sparse_conv(x, nbr, w, None, out_valid,
+                           compute_dtype, accum_dtype)
+
+    def fwd(x, w):
+        return f(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dy = _mask_rows(dy, out_valid)
+        w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
+        dx = sparse_conv(dy, nbr, w_t, None, None,
+                         compute_dtype, accum_dtype).astype(x.dtype)
+        dw = _conv_weight_grad(x, nbr, dy, compute_dtype).astype(w.dtype)
+        return dx, dw
+
+    f.defvjp(fwd, bwd)
+    return f(x, w)
+
+
+def sparse_conv_down(x: jnp.ndarray, child: jnp.ndarray, w: jnp.ndarray,
+                     parent: jnp.ndarray, parent_off: jnp.ndarray,
+                     out_valid: Optional[jnp.ndarray] = None,
+                     in_valid: Optional[jnp.ndarray] = None,
+                     compute_dtype=jnp.bfloat16,
+                     accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Stride-2 down conv over the child map (N_coarse, 8) with the
+    transpose realized through the dual parent/parent_off maps."""
+
+    @jax.custom_vjp
+    def f(x, w):
+        return sparse_conv(x, child, w, None, out_valid,
+                           compute_dtype, accum_dtype)
+
+    def fwd(x, w):
+        return f(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dy = _mask_rows(dy, out_valid)
+        dx = sparse_conv_transpose(
+            dy, parent, parent_off, w.transpose(0, 2, 1), in_valid,
+            compute_dtype, accum_dtype).astype(x.dtype)
+        dw = _conv_weight_grad(x, child, dy, compute_dtype).astype(w.dtype)
+        return dx, dw
+
+    f.defvjp(fwd, bwd)
+    return f(x, w)
+
+
+def sparse_conv_transpose_gf(x: jnp.ndarray, parent: jnp.ndarray,
+                             parent_off: jnp.ndarray, w: jnp.ndarray,
+                             child: jnp.ndarray,
+                             out_valid: Optional[jnp.ndarray] = None,
+                             in_valid: Optional[jnp.ndarray] = None,
+                             compute_dtype=jnp.bfloat16,
+                             accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Stride-2 transpose (up) conv with gather-only backward via the dual
+    child map: dx[c] = sum_k dy[child[c, k]] @ W[k]^T."""
+
+    @jax.custom_vjp
+    def f(x, w):
+        return sparse_conv_transpose(x, parent, parent_off, w, out_valid,
+                                     compute_dtype, accum_dtype)
+
+    def fwd(x, w):
+        return f(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dy = _mask_rows(dy, out_valid)
+        dx = sparse_conv(dy, child, w.transpose(0, 2, 1), None, in_valid,
+                         compute_dtype, accum_dtype).astype(x.dtype)
+        # dW[k] = sum_{fine: off==k} x[parent(fine)]^T dy[fine]
+        xg = fast_row_gather(x.astype(compute_dtype),
+                             jnp.maximum(parent, 0))
+        xg = jnp.where((parent >= 0)[:, None], xg, 0)
+        dyb = dy.astype(compute_dtype)
+
+        def body(_, k):
+            sel = jnp.where((parent_off == k)[:, None], xg, 0)
+            return _, jnp.dot(sel.T, dyb, preferred_element_type=jnp.float32)
+
+        _, dw = jax.lax.scan(body, 0, jnp.arange(w.shape[0]))
+        return dx, dw.astype(w.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f(x, w)

@@ -1,5 +1,12 @@
-"""Training-step throughput at bench scale (fwd+bwd+clip+AdamW)."""
-import time, numpy as np, jax, jax.numpy as jnp
+"""Training-step throughput at bench scale (fwd+bwd+clip+AdamW).
+
+Usage: python tools/bench_train_step.py [remat_policy] [grad_mode]
+  remat_policy: full (default) | dots | gather_only | none
+  grad_mode:    native (default) | scatter_free
+"""
+import sys, time, numpy as np, jax, jax.numpy as jnp
+POLICY = sys.argv[1] if len(sys.argv) > 1 else "full"
+GRAD_MODE = sys.argv[2] if len(sys.argv) > 2 else "native"
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from pq3d_tpu.data import synthetic
@@ -27,7 +34,8 @@ print("host done", flush=True)
 model = Query3DUnified(memories=("voxel","mv","pc"), heads=("mask",), hidden_size=768, dim_loc=3,
     unified=UnifiedEncoderCfg(num_layers=4, num_blocks=3, num_attention_heads=12, structure="parallel",
                               spatial_selfattn=True, use_self_mask=True),
-    voxel_enc=VoxelEncoderCfg(hlevels=(0,1,2,3)),
+    voxel_enc=VoxelEncoderCfg(hlevels=(0,1,2,3), remat_policy=POLICY,
+                              grad_mode=GRAD_MODE),
     mask_head_cfg=MaskHeadCfg(num_targets=201, filter_out_classes=(0,2)))
 variables = jax.jit(model.init, static_argnames=("train",))({"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False)
 print("init done", flush=True)
@@ -44,4 +52,4 @@ for _ in range(3):
     state2, metrics = step(state2, batch)
     _ = float(metrics["loss"])
 dt = (time.time()-t0)/3
-print(f"train step: {dt*1000:.0f} ms -> {4/dt:.2f} scenes/s training", flush=True)
+print(f"train step [{POLICY}/{GRAD_MODE}]: {dt*1000:.0f} ms -> {4/dt:.2f} scenes/s training", flush=True)
