@@ -290,7 +290,7 @@ class _SceneVerseTask:
             if gt_tgt_ids:
                 from pq3d_tpu.utils.box_utils import aabb_iou
                 g, m = gt_tgt_ids[0], tgts[0]
-                out["meta_caption_iou"] = float(aabb_iou(
+                out["meta_iou"] = float(aabb_iou(
                     np.concatenate([scene["gt_center"][g],
                                     scene["gt_size"][g]]),
                     np.concatenate([scene["pred_center"][m],

@@ -192,7 +192,7 @@ def test_scanrefer_pred_mode_and_pipeline(sv_dirs):
     # chair GT matches proposal 0 exactly
     assert lang["tgt_object_ids"] == [0]
     assert lang["iou25_ids"] == [0] and lang["iou50_ids"] == [0]
-    assert lang["meta_caption_iou"] > 0.99
+    assert lang["meta_iou"] > 0.99
 
     pcfg = UnifiedPipelineConfig(max_obj_len=8, num_points=64, prompt_len=16,
                                  response_len=8, dim_loc=6)
