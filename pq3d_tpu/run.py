@@ -94,7 +94,7 @@ def build_multitask_trainer(cfg):
                                               UnifiedTaskLoader)
     from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
     from pq3d_tpu.models.query3d import build_model
-    from pq3d_tpu.optim.losses import cross_entropy, generation_loss
+    
     from pq3d_tpu.registry import (DATASET_REGISTRY, EVALUATOR_REGISTRY,
                                    TRAINER_REGISTRY)
     import pq3d_tpu.train.trainer  # registers trainers
@@ -145,29 +145,14 @@ def build_multitask_trainer(cfg):
     train_loader = MixedTaskLoader(train_loaders, seed=seed)
 
     model = build_model(cfg)
-    weights = cfg.model.get("loss_weights", {}) or {}
-    w_ground = float(weights.get("ground_loss", 1.0))
-    w_answer = float(weights.get("answer_loss", 1.0))
-
-    def loss_fn(out, batch):
-        import jax.numpy as jnp
-        import optax
-        parts = {}
-        total = 0.0
-        if "ground_logits" in out:
-            parts["ground_loss"] = cross_entropy(out["ground_logits"],
-                                                 batch["tgt_object_id"])
-            total = total + w_ground * parts["ground_loss"]
-        if "generation_logits" in out:
-            parts["generation_loss"] = generation_loss(out, batch)
-            total = total + parts["generation_loss"]
-        if "answer_scores" in out and "answer_label" in batch:
-            # BCE sum / batch size (ref optim/loss/loss.py:54-57)
-            bce = optax.sigmoid_binary_cross_entropy(
-                out["answer_scores"], batch["answer_label"])
-            parts["answer_loss"] = bce.sum() / out["answer_scores"].shape[0]
-            total = total + w_answer * parts["answer_loss"]
-        return total, parts
+    # registry-driven weighted aggregation (ref optim/loss/loss.py:113-152)
+    from pq3d_tpu.optim.loss_aggregator import Loss
+    loss_list = list(cfg.model.get("loss_list",
+                                   ["ground_loss", "generation_loss"]))
+    if "qa" in tuple(cfg.model.get("heads", ())) \
+            and "answer_loss" not in loss_list:
+        loss_list.append("answer_loss")   # ref unifiedtask_wrapper.py:34-35
+    loss_fn = Loss(loss_list, cfg.model.get("loss_weights", {}) or {})
 
     trainer_cls = TRAINER_REGISTRY.get(cfg.get("trainer", "MultitaskTrainer"))
     total_steps = steps_per_epoch * int(cfg.solver.epochs)
