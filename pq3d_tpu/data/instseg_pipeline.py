@@ -117,10 +117,13 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
     else:
         raise NotImplementedError(cfg.query_sample_strategy)
 
+    # nbr5 (the 125-tap conv0 map, ~32 MB padded) is built later in collate
+    # DIRECTLY into the batch buffer — skipping a per-scene alloc + a stack
+    # copy, the measured host-pipeline hot spot
     hierarchy = kernel_maps.build_hierarchy(
         vox_coords,
         pad_sizes=list(cfg.level_caps) if cfg.level_caps else None,
-        bucket=cfg.voxel_bucket)
+        bucket=cfg.voxel_bucket, build_nbr5=False)
 
     full_instance_masks = None
     if not train:
@@ -130,6 +133,7 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
 
     return {
         "points": points,
+        "vox_coords": vox_coords,
         "voxel_feats": voxel_feats,
         "voxel2segment": voxel2segment,
         "voxel_to_full": inverse_map.astype(np.int32),
@@ -210,6 +214,14 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
 
     out = {k: np.stack(v) for k, v in batch.items()}
     out["maps"] = {k: np.stack(v) for k, v in maps.items()}
+    # conv0 5^3 map: one preallocated (B, P0, 125) buffer, each scene's map
+    # written in place by the native builder (no stack copy)
+    k5 = len(kernel_maps.kernel_offsets(5))
+    nbr5 = np.empty((b, pad[0], k5), np.int32)
+    for i, s in enumerate(scenes):
+        kernel_maps.build_neighbor_map(s["vox_coords"], 5, n_pad=pad[0],
+                                       out=nbr5[i])
+    out["maps"]["nbr5_0"] = nbr5
     # host-only eval side channel: full-resolution reconstruction maps
     # (ref instseg_wrapper.py:55 list-collated voxel_to_full/segment_to_full)
     out["_meta"] = {
@@ -237,7 +249,8 @@ def _repad_hierarchy(h: kernel_maps.SparseHierarchy, pad: List[int]
         coords=[kernel_maps.pad_rows(c, p) for c, p in zip(h.coords, pad)],
         valid=[kernel_maps.pad_rows(v, p, False) for v, p in zip(h.valid, pad)],
         nbr3=[kernel_maps.pad_rows(n, p, -1) for n, p in zip(h.nbr3, pad)],
-        nbr5_l0=kernel_maps.pad_rows(h.nbr5_l0, pad[0], -1),
+        nbr5_l0=(kernel_maps.pad_rows(h.nbr5_l0, pad[0], -1)
+                 if h.nbr5_l0 is not None else None),
         child=[kernel_maps.pad_rows(c, pad[l + 1], -1)
                for l, c in enumerate(h.child)],
         parent=[kernel_maps.pad_rows(p_, pad[l], -1)

@@ -188,12 +188,42 @@ def kernel_offsets(kernel_size: int, ndim: int = 3) -> np.ndarray:
 
 
 def build_neighbor_map(coords: np.ndarray, kernel_size: int,
-                       table: Optional["CoordTable"] = None) -> np.ndarray:
-    """Stride-1 conv map on one coordinate set: (N, K) indices, -1 = missing."""
+                       table: Optional["CoordTable"] = None,
+                       n_pad: Optional[int] = None,
+                       out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Stride-1 conv map on one coordinate set: (N, K) indices, -1 = missing.
+
+    Uses the native C++ open-addressing hash when available (the numpy
+    dense-grid path allocates O(volume) per level — the measured host-
+    pipeline bottleneck); ``n_pad`` writes directly into a padded output
+    (rows >= N are -1) and ``out`` can be a preallocated contiguous buffer
+    (e.g. a batch-array row view) to skip the stack copy entirely.
+    """
     offs = kernel_offsets(kernel_size)
+    from pq3d_tpu.ops._native import lib
+    L = lib()
+    if L is not None and table is None:
+        c = np.ascontiguousarray(coords, np.int32)
+        o = np.ascontiguousarray(offs, np.int32)
+        n = len(c)
+        rows = int(n_pad) if n_pad else n
+        if out is None:
+            out = np.empty((rows, len(o)), np.int32)
+        else:
+            assert out.shape == (rows, len(o)) and out.dtype == np.int32 \
+                and out.flags.c_contiguous
+        L.pq3d_neighbor_map(c.ctypes.data, n, o.ctypes.data, len(o),
+                            rows, out.ctypes.data)
+        return out
     if table is None:
         table = CoordTable(coords, margin=max(3, kernel_size // 2 + 1))
-    return table.lookup_offsets(coords, offs)
+    nbr = table.lookup_offsets(coords, offs)
+    if n_pad:
+        nbr = pad_rows(nbr, int(n_pad), -1)
+    if out is not None:
+        out[:] = nbr
+        return out
+    return nbr
 
 
 def downsample_coords(coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -203,7 +233,19 @@ def downsample_coords(coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.nd
     ``coarse_coords[parent_idx[i]] * 2 + offset(offset_id[i]) == coords[i]``.
     Coarse coords use floor division (matches ME stride-2 pooling of
     non-negative quantized coords; floor keeps it correct for negatives too).
+    Native C++ path produces the identical ascending-key coarse ordering.
     """
+    from pq3d_tpu.ops._native import lib
+    L = lib()
+    if L is not None and coords.shape[1] == 3 and len(coords):
+        c = np.ascontiguousarray(coords, np.int32)
+        n = len(c)
+        coarse = np.empty((n, 3), np.int32)
+        parent = np.empty(n, np.int32)
+        off = np.empty(n, np.int32)
+        m = L.pq3d_downsample(c.ctypes.data, n, coarse.ctypes.data,
+                              parent.ctypes.data, off.ctypes.data)
+        return coarse[:m].copy(), parent, off
     coarse_all = np.floor_divide(coords, 2)
     # unique rows
     lo = coarse_all.min(0) if len(coarse_all) else np.zeros(coords.shape[1], np.int32)
@@ -272,7 +314,8 @@ class SparseHierarchy:
         for l in range(NUM_LEVELS):
             out[f"valid_{l}"] = self.valid[l]
             out[f"nbr3_{l}"] = self.nbr3[l]
-        out["nbr5_0"] = self.nbr5_l0
+        if self.nbr5_l0 is not None:
+            out["nbr5_0"] = self.nbr5_l0
         for l in range(NUM_LEVELS - 1):
             out[f"child_{l}"] = self.child[l]
             out[f"parent_{l}"] = self.parent[l]
@@ -292,8 +335,8 @@ def bucket_pad_sizes(counts: List[int], bucket: int = 4096,
 
 
 def build_hierarchy(coords0: np.ndarray, pad_sizes: Optional[List[int]] = None,
-                    conv0_kernel: int = 5, bucket: int = 4096
-                    ) -> SparseHierarchy:
+                    conv0_kernel: int = 5, bucket: int = 4096,
+                    build_nbr5: bool = True) -> SparseHierarchy:
     """Build the full coordinate pyramid + all kernel maps for one scene.
 
     ``coords0``: (N, 3) int32 quantized voxel coords (single scene, no batch
@@ -315,10 +358,21 @@ def build_hierarchy(coords0: np.ndarray, pad_sizes: Optional[List[int]] = None,
             raise ValueError(
                 f"level {l} has {num_voxels[l]} voxels > pad {pad_sizes[l]}")
 
-    tables = [CoordTable(levels[l]) for l in range(NUM_LEVELS)]
-    nbr3 = [build_neighbor_map(levels[l], 3, tables[l])
-            for l in range(NUM_LEVELS)]
-    nbr5 = build_neighbor_map(levels[0], conv0_kernel, tables[0])
+    from pq3d_tpu.ops._native import lib
+    if lib() is not None:
+        # native hash path: no dense-grid CoordTable allocation, padded
+        # outputs written directly (skips the pad_rows copies below)
+        nbr3 = [build_neighbor_map(levels[l], 3, n_pad=pad_sizes[l])
+                for l in range(NUM_LEVELS)]
+        nbr5 = (build_neighbor_map(levels[0], conv0_kernel,
+                                   n_pad=pad_sizes[0])
+                if build_nbr5 else None)
+    else:
+        tables = [CoordTable(levels[l]) for l in range(NUM_LEVELS)]
+        nbr3 = [build_neighbor_map(levels[l], 3, tables[l])
+                for l in range(NUM_LEVELS)]
+        nbr5 = (build_neighbor_map(levels[0], conv0_kernel, tables[0])
+                if build_nbr5 else None)
     child = [build_child_map(parents[l], offs[l], num_voxels[l + 1])
              for l in range(NUM_LEVELS - 1)]
 
@@ -337,7 +391,7 @@ def build_hierarchy(coords0: np.ndarray, pad_sizes: Optional[List[int]] = None,
         valid=[pad_rows(np.ones(num_voxels[l], dtype=bool), pad_sizes[l], False)
                for l in range(NUM_LEVELS)],
         nbr3=[pad_rows(nbr3[l], pad_sizes[l], -1) for l in range(NUM_LEVELS)],
-        nbr5_l0=pad_rows(nbr5, pad_sizes[0], -1),
+        nbr5_l0=pad_rows(nbr5, pad_sizes[0], -1) if nbr5 is not None else None,
         child=[pad_rows(child[l], pad_sizes[l + 1], -1)
                for l in range(NUM_LEVELS - 1)],
         parent=[pad_rows(parents[l].astype(np.int32), pad_sizes[l], -1)
