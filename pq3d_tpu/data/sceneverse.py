@@ -152,6 +152,11 @@ class SceneVerseScans:
             "label_count": Counter(self._count_key(l) for l in labels),
             "gt_center": center,
             "gt_size": size,
+            # background categories excluded from the GT object list unless
+            # targeted (ref sceneverse_base.py:319-326 excluded_labels)
+            "bg_label_ids": {self._label_id(n)
+                             for n in ("wall", "floor", "ceiling")
+                             if self._label_id(n) >= 0},
             "scan_id": scan_id,
         }
         self._load_pred_proposals(scene, scan_id)

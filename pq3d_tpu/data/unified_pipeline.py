@@ -31,6 +31,9 @@ class UnifiedPipelineConfig:
     response_len: int = 32
     rot_aug: bool = True
     dim_loc: int = 6
+    # drop objects whose category is not mentioned in the sentence
+    # (GT mode only, ref sceneverse_base.py:327-330)
+    filter_lang: bool = False
 
 
 def build_rotate_mat(rng: np.random.Generator) -> Optional[np.ndarray]:
@@ -136,6 +139,40 @@ def process_item(scene: Dict[str, np.ndarray], lang: Dict,
     all_labels = (scene["pred_inst_labels"] if use_pred
                   else scene["inst_labels"])
     n_obj = len(obj_pcds)
+
+    # GT-mode object filter (ref sceneverse_base.py:319-332 keep_obj):
+    # background categories (wall/floor/ceiling) and — with filter_lang —
+    # categories not mentioned in the sentence are dropped, targets kept.
+    # Predicted labels are never filtered (they are not reliable).
+    bg_ids = scene.get("bg_label_ids")
+    names = scene.get("inst_label_names")
+    sentence = lang.get("meta_sentence", "")
+    if not use_pred and (bg_ids or (cfg.filter_lang and names)):
+        tgt_set = set(tgt_ids)
+        keep0 = []
+        for i in range(n_obj):
+            if i in tgt_set:
+                keep0.append(i)
+                continue
+            if bg_ids and int(all_labels[i]) in bg_ids:
+                continue
+            if cfg.filter_lang and names and names[i] not in sentence:
+                continue
+            keep0.append(i)
+        if len(keep0) != n_obj:
+            remap0 = {old: new for new, old in enumerate(keep0)}
+            obj_pcds = obj_pcds[keep0]
+            all_labels = np.asarray(all_labels)[keep0]
+            tgt_ids = [remap0[t] for t in tgt_ids if t in remap0]
+            iou25_ids = [remap0[t] for t in iou25_ids if t in remap0]
+            iou50_ids = [remap0[t] for t in iou50_ids if t in remap0]
+            n_obj = len(keep0)
+            orig_idx = keep0
+        else:
+            orig_idx = list(range(n_obj))
+    else:
+        orig_idx = list(range(n_obj))
+
     # crop: targets + IoU-matched proposals first, then same-class objects,
     # then random fill (ref sceneverse_base.py:334-356)
     if n_obj > O:
@@ -175,10 +212,11 @@ def process_item(scene: Dict[str, np.ndarray], lang: Dict,
     # offline per-object features, cropped consistently with the object list
     # (ref sceneverse_base.py:385-394 load via selected_obj_idxs)
     kind = "pred" if use_pred else "gt"
+    keep_orig = [orig_idx[i] for i in keep]   # back to scene object space
     for mem in ("mv", "voxel"):
         feats = scene.get(f"{mem}_obj_feat_{kind}")
         if feats is not None:
-            item[f"{mem}_fts"] = np.asarray(feats, np.float32)[keep]
+            item[f"{mem}_fts"] = np.asarray(feats, np.float32)[keep_orig]
 
     # prompt (ref unifiedtask_wrapper.py:66-78)
     if task_id == TASK_CAPTION:

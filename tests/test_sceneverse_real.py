@@ -229,3 +229,27 @@ def test_gt_mode_offline_feats_and_crop_priority(sv_dirs):
     tgt_gt_idx = lang["tgt_object_ids"][0]
     # chair had raw inst id 1 -> feature value 1.0 at position 0 after crop
     assert item["mv_fts"][0, 0] == float(scene["inst_raw_ids"][tgt_gt_idx])
+
+
+def test_background_objects_filtered_in_gt_mode(sv_dirs):
+    """wall/floor/ceiling objects leave the GT object list unless targeted
+    (ref sceneverse_base.py:319-332)."""
+    base, pred, aux = sv_dirs
+    import pq3d_tpu.data.sceneverse as sv
+    from pq3d_tpu.data.unified_pipeline import (UnifiedPipelineConfig,
+                                                process_item)
+    ds = sv.ScanReferSceneVerse(_cfg(base, pred=pred, aux=aux), "val")
+    scene, lang = ds.get_item(0)
+    assert scene["bg_label_ids"] == {0, 2}  # wall + floor in the vocab
+    pcfg = UnifiedPipelineConfig(max_obj_len=8, num_points=32, prompt_len=16,
+                                 response_len=8, dim_loc=6)
+    item = process_item(scene, lang, pcfg, np.random.default_rng(0),
+                        train=False, feature_dims={"mv": 8})
+    # 4 scene objects, wall dropped -> 3 remain; chair target survives
+    assert item["n_obj"] == 3
+    assert 0 not in item["obj_labels"].tolist()
+    tgt = item["tgt_object_ids"][0]
+    assert item["obj_labels"][tgt] == 1     # chair
+    # offline gt features follow the composed filter+crop indices: the
+    # chair had raw inst id 1 -> feature value 1.0
+    assert item["mv_fts"][tgt, 0] == 1.0
