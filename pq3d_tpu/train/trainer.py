@@ -176,6 +176,32 @@ class Query3DTrainer:
             batch = shard_batch(batch, self.mesh)
         return batch
 
+    def install_preemption_handler(self, signals=None) -> None:
+        """Checkpoint-on-signal: SLURM sends SIGUSR1 ``signal_delay_s``
+        before killing a requeueing job (ref common/launch_utils.py:60-74
+        submitit timeout handling); the step loop saves ``latest`` and
+        exits so the requeued run resumes cleanly."""
+        import signal as _signal
+        signals = signals or (_signal.SIGUSR1, _signal.SIGTERM)
+
+        def _handler(signum, frame):
+            print(f"[trainer] signal {signum}: checkpointing for requeue")
+            self._preempted = True
+
+        for s in signals:
+            try:
+                _signal.signal(s, _handler)
+            except (ValueError, OSError):   # non-main thread / platform
+                pass
+
+    def _handle_preemption(self) -> bool:
+        if not getattr(self, "_preempted", False):
+            return False
+        if self._state is not None:
+            self.ckpt.save("latest", self._state, self.tracker.state_dict())
+        print("[trainer] latest checkpoint saved; exiting for requeue")
+        return True
+
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         t0 = time.time()
         last = {}
@@ -193,6 +219,8 @@ class Query3DTrainer:
                 host = {k: float(v) for k, v in metrics.items()}
                 host["lr"] = float(self._schedule(step))
                 self.logger.log(host, step)
+            if getattr(self, "_preempted", False):
+                break
         dt = time.time() - t0
         out = {k: float(v) for k, v in last.items()}
         out["epoch_time_s"] = dt
@@ -216,8 +244,11 @@ class Query3DTrainer:
         return results
 
     def run(self):
+        self.install_preemption_handler()
         for epoch in range(self.tracker.epoch, self.epochs):
             metrics = self.train_epoch(epoch)
+            if self._handle_preemption():
+                return self._state
             print(f"[epoch {epoch}] loss={metrics.get('loss', float('nan')):.4f} "
                   f"({metrics.get('batches', 0)} steps, "
                   f"{metrics.get('epoch_time_s', 0):.1f}s)")
@@ -299,8 +330,11 @@ class MultitaskTrainer(Query3DTrainer):
         return all_results
 
     def run(self):
+        self.install_preemption_handler()
         for epoch in range(self.tracker.epoch, self.epochs):
             metrics = self.train_epoch(epoch)
+            if self._handle_preemption():
+                return self._state
             print(f"[epoch {epoch}] loss={metrics.get('loss', float('nan')):.4f} "
                   f"({metrics.get('batches', 0)} steps, "
                   f"{metrics.get('epoch_time_s', 0):.1f}s)")

@@ -76,3 +76,48 @@ def test_points_to_aabb():
     pts = np.array([[0, 0, 0], [2, 4, 6]], np.float32)
     box = box_utils.points_to_aabb(pts)
     np.testing.assert_allclose(box, [1, 2, 3, 2, 4, 6])
+
+
+def test_preemption_checkpoint(tmp_path):
+    """SIGUSR1-style preemption: the step loop saves 'latest' and stops
+    (ref submitit requeue flow, common/launch_utils.py:60-74)."""
+    from pq3d_tpu.config.config import Config
+    from pq3d_tpu.train.trainer import Query3DTrainer
+
+    class DummyTrainer(Query3DTrainer):
+        def _lazy_init(self, batch):
+            pass
+
+    cfg = Config({"solver": {"epochs": 1},
+                  "dataloader": {"batchsize": 1,
+                                 "allow_single_device": True},
+                  "exp_dir": str(tmp_path)})
+    tr = DummyTrainer(cfg, model=None, loss_fn=None,
+                      train_data=lambda e: iter([]))
+    tr._preempted = True
+    saved = {}
+    tr.ckpt = type("C", (), {
+        "save": lambda self, name, state, tracker: saved.update(
+            {"name": name}),
+        "exists": lambda self, name: False})()
+    tr._state = object()
+    assert tr._handle_preemption()
+    assert saved["name"] == "latest"
+
+
+def test_launch_submit_writes_sbatch(tmp_path, monkeypatch):
+    """submit mode writes a requeueing sbatch script."""
+    import pq3d_tpu.launch as launch
+    calls = {}
+    monkeypatch.setattr(launch.subprocess, "run",
+                        lambda *a, **k: calls.update({"cmd": a[0]}))
+    sb = str(tmp_path / "job.sbatch")
+    launch.main(["--mode", "submit", "--nodes", "2",
+                 "--sbatch-file", sb, "--",
+                 "--config-name", "instseg_sceneverse.yaml"])
+    text = open(sb).read()
+    assert "#SBATCH --requeue" in text
+    assert "--signal=USR1@120" in text
+    assert "--nodes=2" in text
+    assert "resume=True" in text
+    assert calls["cmd"][0] == "sbatch"
