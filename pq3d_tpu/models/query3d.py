@@ -412,7 +412,11 @@ def build_model(cfg) -> Query3DUnified:
             freeze_backbone=a.get("freeze_backbone", False),
             out_channels=bk.get("out_channels", 200) if bk else 200,
             bn_momentum=bk_cfg.get("bn_momentum", 0.02) if bk_cfg else 0.02,
-            conv1_kernel_size=bk_cfg.get("conv1_kernel_size", 5) if bk_cfg else 5)
+            conv1_kernel_size=bk_cfg.get("conv1_kernel_size", 5) if bk_cfg else 5,
+            # scatter-free transpose-map backward is the fast training path
+            # (1.46x vs full-remat scatter backward, measured on v5e)
+            remat_policy=a.get("remat_policy", "none"),
+            grad_mode=a.get("grad_mode", "scatter_free"))
         voxel_obj_enc = EncoderCfg(input_feat_size=128)
 
     mask_head_cfg = None

@@ -219,6 +219,10 @@ def sparse_conv_sym(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
         return f(x, w), (x, w)
 
     def bwd(res, dy):
+        # two passes (dx conv, then dW re-gather) measured FASTER than a
+        # fused single scan sharing the dy gathers (2.29 vs 2.52 s/step at
+        # bench scale — the fused body's transposed x^T@g GEMM pipelines
+        # poorly against the loop-carried dx accumulator)
         x, w = res
         dy = _mask_rows(dy, out_valid)
         w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
@@ -254,8 +258,20 @@ def sparse_conv_down(x: jnp.ndarray, child: jnp.ndarray, w: jnp.ndarray,
         dx = sparse_conv_transpose(
             dy, parent, parent_off, w.transpose(0, 2, 1), in_valid,
             compute_dtype, accum_dtype).astype(x.dtype)
-        dw = _conv_weight_grad(x, child, dy, compute_dtype).astype(w.dtype)
-        return dx, dw
+        # dW[k] = sum_{fine: off==k} x[fine]^T dy[parent(fine)]: one gather
+        # of dy through the parent map, then 8 masked GEMMs (instead of 8
+        # gathers of x through the child map)
+        dyg = fast_row_gather(dy.astype(compute_dtype),
+                              jnp.maximum(parent, 0))
+        dyg = jnp.where((parent >= 0)[:, None], dyg, 0)
+        xb = x.astype(compute_dtype)
+
+        def body(_, k):
+            sel = jnp.where((parent_off == k)[:, None], xb, 0)
+            return _, jnp.dot(sel.T, dyg, preferred_element_type=jnp.float32)
+
+        _, dw = jax.lax.scan(body, 0, jnp.arange(w.shape[0]))
+        return dx, dw.astype(w.dtype)
 
     f.defvjp(fwd, bwd)
     return f(x, w)

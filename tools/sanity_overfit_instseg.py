@@ -29,7 +29,8 @@ model = Query3DUnified(memories=("voxel","mv","pc"), heads=("mask",), hidden_siz
     unified=UnifiedEncoderCfg(num_layers=2, num_blocks=1, num_attention_heads=8, structure="parallel",
                               spatial_selfattn=True, use_self_mask=True),
     mv_enc=EncoderCfg(input_feat_size=64), pc_enc=EncoderCfg(input_feat_size=64),
-    voxel_enc=VoxelEncoderCfg(hlevels=(0,1,2,3), out_channels=21),
+    voxel_enc=VoxelEncoderCfg(hlevels=(0,1,2,3), out_channels=21,
+                              grad_mode="scatter_free", remat_policy="none"),
     mask_head_cfg=MaskHeadCfg(num_targets=21, filter_out_classes=()))
 variables = jax.jit(model.init, static_argnames=("train",))({"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False)
 loss_cfg = InstSegLossConfig(num_classes=20)
