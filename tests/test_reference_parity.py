@@ -302,3 +302,69 @@ def test_fourier_position_encoding_parity(refmods, rng):
     np.testing.assert_allclose(np.asarray(out),
                                out_ref.permute(0, 2, 1).numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def _spatial_params(layer):
+    """Reference SpatialSelfAttentionLayer -> flax self_attn params."""
+    a = layer.self_attn
+    p = {"w_qs": _lin(a.w_qs), "w_ks": _lin(a.w_ks), "w_vs": _lin(a.w_vs),
+         "fc": _lin(a.fc)}
+    if hasattr(a, "pairwise_loc_fc"):
+        p["pairwise_loc_fc"] = _lin(a.pairwise_loc_fc)
+    if hasattr(a, "lang_cond_fc"):
+        p["lang_cond_fc"] = _lin(a.lang_cond_fc)
+    return {"MultiHeadAttentionSpatial_0": p, "LayerNorm_0": _ln(layer.norm)}
+
+
+@pytest.mark.parametrize("structure", ["mixed", "sequential", "parallel",
+                                       "gate"])
+def test_query_encoder_layer_parity(refmods, rng, structure):
+    """Full decoder layer (per-memory CA + spatial self-attn + FFN) in all
+    4 fusion structures vs the reference QueryEncoderLayer
+    (query_encoder.py:96-181), eval mode (no memory dropout)."""
+    from pq3d_tpu.models.query_encoder import QueryEncoderLayer
+    mems = ["voxel", "mv"] + ([] if structure == "parallel" else ["prompt"])
+    ref = refmods.qe.QueryEncoderLayer(
+        D, H, memories=mems, dim_feedforward=64, dropout=0.0,
+        spatial_selfattn=True, structure=structure,
+        memory_dropout=0.0).eval()
+    query = _t(rng, B, L, D)
+    qpos = _t(rng, B, L, D)
+    qpad = torch.zeros(B, L, dtype=torch.bool)
+    qpad[:, -1] = True
+    locs = _t(rng, B, L, L, 5)
+    input_dict = {"query": (None, qpad, qpos)}
+    my_inputs = {"query": (None, jnp.asarray(~qpad.numpy()),
+                           jnp.asarray(qpos.numpy()))}
+    for m in mems:
+        feat = _t(rng, B, T, D)
+        pad = torch.zeros(B, T, dtype=torch.bool)
+        pad[:, -2:] = True
+        pos = _t(rng, B, T, D)
+        input_dict[m] = (feat, pad, pos)
+        my_inputs[m] = (jnp.asarray(feat.numpy()),
+                        jnp.asarray(~pad.numpy()),
+                        jnp.asarray(pos.numpy()))
+    with torch.no_grad():
+        out_ref = ref(query, input_dict, pairwise_locs=locs)
+
+    params = {"self_attn": _spatial_params(ref.self_attn),
+              "ffn": {"Dense_0": _lin(ref.ffn.linear1),
+                      "Dense_1": _lin(ref.ffn.linear2),
+                      "LayerNorm_0": _ln(ref.ffn.norm)}}
+    for j, m in enumerate(mems):
+        ca = ref.cross_attn_list[j]
+        params[f"cross_attns_{m}"] = {
+            "MultiHeadAttention_0": _mha(ca.multihead_attn),
+            "LayerNorm_0": _ln(ca.norm)}
+    if structure == "gate":
+        params["gate_proj"] = _lin(ref.gate_proj)
+
+    mine = QueryEncoderLayer(d_model=D, n_head=H, memories=tuple(mems),
+                             dim_feedforward=64, dropout=0.0,
+                             spatial_selfattn=True, structure=structure)
+    out = mine.apply({"params": params}, jnp.asarray(query.numpy()),
+                     my_inputs, pairwise_locs=jnp.asarray(locs.numpy()),
+                     train=False, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), out_ref.numpy(),
+                               rtol=3e-4, atol=3e-5)
