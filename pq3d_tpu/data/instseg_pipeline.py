@@ -38,6 +38,13 @@ class InstSegPipelineConfig:
     use_aug: bool = True
     fps_subsample: int = 16384   # 0 = exact FPS
     voxel_bucket: int = 4096
+    # conv0 stem kernel: 5 matches the reference Res16UNet34C
+    # (conv1_kernel_size, instseg_sceneverse.yaml:109); 3 is a faster
+    # documented deviation (125 -> 27 gather taps on the largest level)
+    conv0_kernel: int = 5
+    # 'gt' collates GT segment masks as the decoder's offline attention
+    # masks (ref instseg_wrapper.py:39-52, instseg_sceneverse_gt.yaml)
+    offline_mask_source: Optional[str] = None
     # optional hard caps per level (static shapes across every batch)
     level_caps: Optional[Sequence[int]] = None
     filter_out_classes: Sequence[int] = (0, 2)
@@ -216,11 +223,20 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
     out["maps"] = {k: np.stack(v) for k, v in maps.items()}
     # conv0 5^3 map: one preallocated (B, P0, 125) buffer, each scene's map
     # written in place by the native builder (no stack copy)
-    k5 = len(kernel_maps.kernel_offsets(5))
+    if cfg.offline_mask_source == "gt":
+        # (B, Q, S) True = attend: in GT-query mode query i is instance i
+        # and attends exactly its segments (ref instseg_wrapper.py:40-44,
+        # inverted — our masks are attend-semantics)
+        oam = np.zeros((b, Q, S), bool)
+        for i, s in enumerate(scenes):
+            sm = s["segment_masks"][:Q, :S]
+            oam[i, :sm.shape[0], :sm.shape[1]] = sm
+        out["offline_attn_mask"] = oam
+    k5 = len(kernel_maps.kernel_offsets(cfg.conv0_kernel))
     nbr5 = np.empty((b, pad[0], k5), np.int32)
     for i, s in enumerate(scenes):
-        kernel_maps.build_neighbor_map(s["vox_coords"], 5, n_pad=pad[0],
-                                       out=nbr5[i])
+        kernel_maps.build_neighbor_map(s["vox_coords"], cfg.conv0_kernel,
+                                       n_pad=pad[0], out=nbr5[i])
     out["maps"]["nbr5_0"] = nbr5
     # host-only eval side channel: full-resolution reconstruction maps
     # (ref instseg_wrapper.py:55 list-collated voxel_to_full/segment_to_full)

@@ -35,7 +35,9 @@ def build_instseg_trainer(cfg):
         max_segments=int(iopt.get("max_segments", 512)),
         max_instances=int(iopt.get("max_instances", 120)),
         voxel_bucket=int(iopt.get("voxel_bucket", 4096)),
+        conv0_kernel=int(iopt.get("conv0_kernel", 5)),
         level_caps=[int(x) for x in level_caps] if level_caps else None,
+        offline_mask_source=iopt.get("offline_mask_source"),
         filter_out_classes=tuple(iopt.get("filter_out_classes", (0, 2))),
         ignore_label=int(iopt.get("ignore_label", -100)))
 
@@ -61,9 +63,19 @@ def build_instseg_trainer(cfg):
         num_classes=int(cfg.data.instseg_options.num_labels),
         ignore_label=int(iopt.get("ignore_label", -100)))
 
-    def loss_fn(out, batch):
-        return instseg_set_loss(out["predictions_class"],
-                                out["predictions_mask"], batch, loss_cfg)
+    if str(m_loss.get("criterion_type", "set")) == "direct":
+        # GT-matched criterion, no Hungarian (ref instseg_loss.py:88-133,
+        # instseg_sceneverse_gt.yaml criterion_type: 'direct')
+        from pq3d_tpu.optim.losses import instseg_direct_loss
+
+        def loss_fn(out, batch):
+            return instseg_direct_loss(out["predictions_class"],
+                                       out["predictions_mask"], batch,
+                                       ignore_label=loss_cfg.ignore_label)
+    else:
+        def loss_fn(out, batch):
+            return instseg_set_loss(out["predictions_class"],
+                                    out["predictions_mask"], batch, loss_cfg)
 
     evaluator = None
     if cfg.get("eval") and cfg.eval.get("name") == "InstSegEval":
