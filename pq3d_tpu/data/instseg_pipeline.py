@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from pq3d_tpu.ops import kernel_maps, sampling, voxelize
+from pq3d_tpu.ops import kernel_maps, sampling, voxelize, window_maps
 
 COLOR_MEAN = np.array([0.47793125906962, 0.4303257521323044, 0.3749598901421883], np.float32)
 COLOR_STD = np.array([0.2834475483823543, 0.27566157565723015, 0.27018971370874995], np.float32)
@@ -49,6 +49,10 @@ class InstSegPipelineConfig:
     level_caps: Optional[Sequence[int]] = None
     filter_out_classes: Sequence[int] = (0, 2)
     ignore_label: int = -100
+    # > 0 builds Swin3D window-attention packs (regular + shifted) for
+    # hierarchy levels 1-4 at this window size (ops/window_maps.py); needed
+    # by the 'swin3d' voxel backbone
+    swin_window: int = 0
 
 
 def _augment(points, colors, rng: np.random.Generator):
@@ -132,6 +136,13 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
         pad_sizes=list(cfg.level_caps) if cfg.level_caps else None,
         bucket=cfg.voxel_bucket, build_nbr5=False)
 
+    swin_packs = None
+    if cfg.swin_window:
+        swin_packs = window_maps.build_swin_packs(
+            [hierarchy.coords[l][:hierarchy.num_voxels[l]]
+             for l in range(len(hierarchy.coords))],
+            cfg.swin_window, levels=(1, 2, 3, 4))
+
     full_instance_masks = None
     if not train:
         full_instance_masks = np.stack(
@@ -157,6 +168,7 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
         "coord_max": points.max(0),
         "instance_labels": inst_labels.astype(np.int32),
         "segment_masks": segment_masks,
+        "swin_packs": swin_packs,
     }
 
 
@@ -221,6 +233,22 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
 
     out = {k: np.stack(v) for k, v in batch.items()}
     out["maps"] = {k: np.stack(v) for k, v in maps.items()}
+    if cfg.swin_window:
+        w = cfg.swin_window
+        for l in (1, 2, 3, 4):
+            for j in (0, 1):
+                key = f"win{l}s{j}"
+                n_win_pad = window_maps.bucket(
+                    max(s["swin_packs"][f"{key}_nwin"] for s in scenes))
+                padded = [window_maps.pad_pack(
+                    {"cell_to_vox": s["swin_packs"][f"{key}_c2v"],
+                     "vox_slot": s["swin_packs"][f"{key}_slot"],
+                     "n_win": s["swin_packs"][f"{key}_nwin"]},
+                    w, n_win_pad, pad[l]) for s in scenes]
+                out["maps"][f"{key}_c2v"] = np.stack(
+                    [p["cell_to_vox"] for p in padded])
+                out["maps"][f"{key}_slot"] = np.stack(
+                    [p["vox_slot"] for p in padded])
     # conv0 5^3 map: one preallocated (B, P0, 125) buffer, each scene's map
     # written in place by the native builder (no stack copy)
     if cfg.offline_mask_source == "gt":

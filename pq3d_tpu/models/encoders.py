@@ -52,6 +52,12 @@ class SegVoxelEncoder(nn.Module):
     remat_policy: str = "full"
     accum: str = "float32"
     grad_mode: str = "native"
+    # 'res16unet' (reference Res16UNet34C parity) or 'swin3d' (TPU-native
+    # window-attention backbone; the reference's PCDMask3DSwin3DEncoder
+    # counterpart whose Swin3DUNet it does not vendor,
+    # pcd_mask3d_encoder.py:65-112).  'swin3d' needs window packs in maps
+    # (InstSegPipelineConfig.swin_window > 0).
+    backbone: str = "res16unet"
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -60,13 +66,21 @@ class SegVoxelEncoder(nn.Module):
                  ) -> List[jnp.ndarray]:
         from pq3d_tpu.models.sparse_unet import flatten_maps
 
-        backbone = Res16UNet(out_channels=self.backbone_out_channels,
-                             bn_momentum=self.bn_momentum,
-                             conv1_kernel_size=self.conv1_kernel_size,
-                             remat_policy=self.remat_policy,
-                             accum=self.accum,
-                             grad_mode=self.grad_mode,
-                             name="backbone")
+        if self.backbone == "swin3d":
+            from pq3d_tpu.models.swin3d import Swin3DUNet
+            backbone = Swin3DUNet(out_channels=self.backbone_out_channels,
+                                  bn_momentum=self.bn_momentum,
+                                  accum=self.accum,
+                                  grad_mode=self.grad_mode,
+                                  name="backbone")
+        else:
+            backbone = Res16UNet(out_channels=self.backbone_out_channels,
+                                 bn_momentum=self.bn_momentum,
+                                 conv1_kernel_size=self.conv1_kernel_size,
+                                 remat_policy=self.remat_policy,
+                                 accum=self.accum,
+                                 grad_mode=self.grad_mode,
+                                 name="backbone")
         bb_train = train and not self.freeze_backbone
         # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]
         _, feature_maps = backbone(voxel_feats, maps, train=bb_train)
