@@ -53,6 +53,13 @@ class InstSegPipelineConfig:
     # hierarchy levels 1-4 at this window size (ops/window_maps.py); needed
     # by the 'swin3d' voxel backbone
     swin_window: int = 0
+    # 'gather' ships the 125-tap nbr5 map for conv0; 'dense_block' instead
+    # packs level-0 voxels + features into dense 8^3 blocks so conv0 runs
+    # as a dense MXU conv (ops/sparse.conv0_dense_block) — no 125-tap map
+    # build and no tiny-row gathers; 'none' ships neither (backbones whose
+    # stem only needs nbr3_0, e.g. swin3d)
+    stem_mode: str = "gather"
+    stem_block: int = 8
 
 
 def _augment(points, colors, rng: np.random.Generator):
@@ -260,12 +267,33 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
             sm = s["segment_masks"][:Q, :S]
             oam[i, :sm.shape[0], :sm.shape[1]] = sm
         out["offline_attn_mask"] = oam
-    k5 = len(kernel_maps.kernel_offsets(cfg.conv0_kernel))
-    nbr5 = np.empty((b, pad[0], k5), np.int32)
-    for i, s in enumerate(scenes):
-        kernel_maps.build_neighbor_map(s["vox_coords"], cfg.conv0_kernel,
-                                       n_pad=pad[0], out=nbr5[i])
-    out["maps"]["nbr5_0"] = nbr5
+    if cfg.stem_mode == "dense_block":
+        blk = cfg.stem_block
+        b3 = blk ** 3
+        packs = [window_maps.build_window_pack(
+            s["vox_coords"], blk, 0, with_neighbors=True) for s in scenes]
+        nb_pad = window_maps.bucket(max(p["n_win"] for p in packs))
+        cin = scenes[0]["voxel_feats"].shape[1]
+        dense = np.zeros((b, nb_pad * b3, cin), np.float32)
+        c2v = np.full((b, nb_pad * b3), -1, np.int32)
+        slot = np.full((b, pad[0]), -1, np.int32)
+        nbrblk = np.full((b, nb_pad, 27), -1, np.int32)
+        for i, (s, p) in enumerate(zip(scenes, packs)):
+            dense[i, p["vox_slot"]] = s["voxel_feats"]
+            c2v[i, :len(p["cell_to_vox"])] = p["cell_to_vox"]
+            slot[i, :len(p["vox_slot"])] = p["vox_slot"]
+            nbrblk[i, :p["n_win"]] = p["nbr_win"]
+        out["maps"]["stem_dense"] = dense.reshape(b, nb_pad, b3 * cin)
+        out["maps"]["stem_c2v"] = c2v
+        out["maps"]["stem_slot"] = slot
+        out["maps"]["stem_nbrblk"] = nbrblk
+    elif cfg.stem_mode == "gather":
+        k5 = len(kernel_maps.kernel_offsets(cfg.conv0_kernel))
+        nbr5 = np.empty((b, pad[0], k5), np.int32)
+        for i, s in enumerate(scenes):
+            kernel_maps.build_neighbor_map(s["vox_coords"], cfg.conv0_kernel,
+                                           n_pad=pad[0], out=nbr5[i])
+        out["maps"]["nbr5_0"] = nbr5
     # host-only eval side channel: full-resolution reconstruction maps
     # (ref instseg_wrapper.py:55 list-collated voxel_to_full/segment_to_full)
     out["_meta"] = {

@@ -12,7 +12,8 @@ from typing import Any, Dict, List, Optional
 import numpy as np
 
 from pq3d_tpu.eval.base import BaseEvaluator
-from pq3d_tpu.eval.caption_metrics import cider_d, corpus_bleu, rouge_l
+from pq3d_tpu.eval.caption_metrics import (cider_d, corpus_bleu, meteor,
+                                           meteor_lite, rouge_l)
 from pq3d_tpu.eval.grounding_eval import aabb_iou
 from pq3d_tpu.registry import EVALUATOR_REGISTRY
 
@@ -71,6 +72,12 @@ class Scan2CapEval(BaseEvaluator):
             results[f"bleu4@{thr}"] = bleus[3]
             results[f"rouge@{thr}"] = rouge_l(preds, refs)
             results[f"cider@{thr}"] = cider_d(preds, refs)
+            # jar-based METEOR when METEOR_JAR is set (parity number);
+            # meteor_lite (exact+stem matchers) is always available
+            mj = meteor(preds, refs)
+            if mj == mj:
+                results[f"meteor@{thr}"] = mj
+            results[f"meteor_lite@{thr}"] = meteor_lite(preds, refs)
         results["target_metric"] = results["cider@0.5"]
         if self.save_dir:
             import json, os

@@ -127,6 +127,168 @@ def meteor(preds: Dict, refs: Dict, jar_path: str = None) -> float:
     return float("nan")
 
 
+def porter_stem(word: str) -> str:
+    """Porter (1980) stemming algorithm, clean-room condensed implementation
+    (steps 1a-5b) for the METEOR-lite stem matcher."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    vowels = "aeiou"
+
+    def is_cons(s, i):
+        c = s[i]
+        if c in vowels:
+            return False
+        if c == "y":
+            return i == 0 or not is_cons(s, i - 1)
+        return True
+
+    def measure(s):
+        # number of VC sequences in the C?(VC)^m V? form
+        m, prev_v = 0, False
+        for i in range(len(s)):
+            v = not is_cons(s, i)
+            if prev_v and not v:
+                m += 1
+            prev_v = v
+        return m
+
+    def has_vowel(s):
+        return any(not is_cons(s, i) for i in range(len(s)))
+
+    def ends_cvc(s):
+        if len(s) < 3:
+            return False
+        if not (is_cons(s, -3 + len(s)) and not is_cons(s, len(s) - 2)
+                and is_cons(s, len(s) - 1)):
+            return False
+        return s[-1] not in "wxy"
+
+    # step 1a
+    for suf, rep in (("sses", "ss"), ("ies", "i"), ("ss", "ss"), ("s", "")):
+        if w.endswith(suf):
+            w = w[:-len(suf)] + rep
+            break
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and has_vowel(w[:-2]):
+        w, flag = w[:-2], True
+    elif w.endswith("ing") and has_vowel(w[:-3]):
+        w, flag = w[:-3], True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif (len(w) >= 2 and w[-1] == w[-2] and is_cons(w, len(w) - 1)
+              and w[-1] not in "lsz"):
+            w = w[:-1]
+        elif measure(w) == 1 and ends_cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # steps 2-4 (suffix tables; applied when the stem measure qualifies)
+    step2 = (("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+             ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+             ("alli", "al"), ("entli", "ent"), ("eli", "e"),
+             ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+             ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+             ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+             ("iviti", "ive"), ("biliti", "ble"))
+    step3 = (("icate", "ic"), ("ative", ""), ("alize", "al"),
+             ("iciti", "ic"), ("ical", "ic"), ("ful", ""), ("ness", ""))
+    step4 = (("al", ""), ("ance", ""), ("ence", ""), ("er", ""), ("ic", ""),
+             ("able", ""), ("ible", ""), ("ant", ""), ("ement", ""),
+             ("ment", ""), ("ent", ""), ("ion", ""), ("ou", ""), ("ism", ""),
+             ("ate", ""), ("iti", ""), ("ous", ""), ("ive", ""), ("ize", ""))
+    for table, min_m in ((step2, 0), (step3, 0), (step4, 1)):
+        for suf, rep in table:
+            if w.endswith(suf):
+                stem = w[:-len(suf)]
+                if measure(stem) > min_m:
+                    if suf == "ion" and (not stem or stem[-1] not in "st"):
+                        continue
+                    w = stem + rep
+                break
+    # step 5a
+    if w.endswith("e"):
+        m = measure(w[:-1])
+        if m > 1 or (m == 1 and not ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if (len(w) >= 2 and w[-1] == "l" and w[-2] == "l" and measure(w) > 1):
+        w = w[:-1]
+    return w
+
+
+def _meteor_align(hyp: List[str], ref: List[str]):
+    """Staged 1-1 alignment (exact, then stem) and its chunk count.
+
+    Clean-room reduction of METEOR's matcher stages (no WordNet synonyms /
+    paraphrase tables — not available offline); in-order greedy matching
+    within each stage approximates the jar's min-chunk beam search.
+    Returns (pairs, weights) with pairs sorted by hyp position.
+    """
+    used_h = [False] * len(hyp)
+    used_r = [False] * len(ref)
+    pairs = []   # (hyp_i, ref_j, weight)
+    for weight, key in ((1.0, lambda t: t), (0.6, porter_stem)):
+        rkeys = [key(t) for t in ref]
+        for i, t in enumerate(hyp):
+            if used_h[i]:
+                continue
+            hk = key(t)
+            for j, rk in enumerate(rkeys):
+                if not used_r[j] and hk == rk:
+                    used_h[i] = used_r[j] = True
+                    pairs.append((i, j, weight))
+                    break
+    pairs.sort()
+    chunks = 0
+    prev = None
+    for i, j, _ in pairs:
+        if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
+            chunks += 1
+        prev = (i, j)
+    return pairs, chunks
+
+
+def meteor_lite(preds: Dict, refs: Dict, alpha: float = 0.9,
+                beta: float = 3.0, gamma: float = 0.5) -> float:
+    """Pure-python METEOR (Banerjee & Lavie 2005 scoring: Fmean =
+    P*R/(0.9P+0.1R), penalty = 0.5*(chunks/matches)^3) with exact +
+    Porter-stem matcher stages (no WordNet synonym module).
+
+    Always available — reported alongside the jar-based ``meteor`` (which
+    the reference shells out to and which stays the parity-comparable
+    number when a jar is present).
+    """
+    scores = []
+    for k in preds:
+        hyp = preds[k][0].split()
+        best = 0.0
+        for r in refs.get(k, []):
+            ref = r.split()
+            if not hyp or not ref:
+                continue
+            pairs, chunks = _meteor_align(hyp, ref)
+            if not pairs:
+                continue
+            m = sum(wt for _, _, wt in pairs)
+            p_ = m / len(hyp)
+            r_ = m / len(ref)
+            if p_ + r_ == 0:
+                continue
+            fmean = p_ * r_ / (alpha * p_ + (1 - alpha) * r_)
+            frag = chunks / len(pairs)
+            score = (1 - gamma * frag ** beta) * fmean
+            best = max(best, score)
+        scores.append(best)
+    return float(sum(scores) / len(scores)) if scores else float("nan")
+
+
 def cider_d(preds: Dict, refs: Dict, max_n: int = 4, sigma: float = 6.0
             ) -> float:
     # document frequencies from the reference corpus

@@ -58,6 +58,7 @@ class SegVoxelEncoder(nn.Module):
     # pcd_mask3d_encoder.py:65-112).  'swin3d' needs window packs in maps
     # (InstSegPipelineConfig.swin_window > 0).
     backbone: str = "res16unet"
+    sorted_gather: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -80,6 +81,7 @@ class SegVoxelEncoder(nn.Module):
                                  remat_policy=self.remat_policy,
                                  accum=self.accum,
                                  grad_mode=self.grad_mode,
+                                 sorted_gather=self.sorted_gather,
                                  name="backbone")
         bb_train = train and not self.freeze_backbone
         # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]

@@ -68,6 +68,8 @@ class VoxelEncoderCfg:
     remat_policy: str = "full"   # 'full' | 'dots' | 'gather_only' | 'none'
     accum: str = "float32"       # conv accumulation dtype (bf16 = inference opt)
     grad_mode: str = "native"    # 'scatter_free' = transpose-map backward
+    backbone: str = "res16unet"  # 'res16unet' | 'swin3d' (window attention)
+    sorted_gather: bool = False  # sorted-index conv gathers (ops/sparse)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -220,6 +222,8 @@ class Query3DUnified(nn.Module):
                         remat_policy=self.voxel_enc.remat_policy,
                         accum=self.voxel_enc.accum,
                         grad_mode=self.voxel_enc.grad_mode,
+                        backbone=self.voxel_enc.backbone,
+                        sorted_gather=self.voxel_enc.sorted_gather,
                         name="voxel_encoder")(
                             batch["voxel_feats"], batch["maps"],
                             batch["voxel2segment"],
@@ -416,7 +420,13 @@ def build_model(cfg) -> Query3DUnified:
             # scatter-free transpose-map backward is the fast training path
             # (1.46x vs full-remat scatter backward, measured on v5e)
             remat_policy=a.get("remat_policy", "none"),
-            grad_mode=a.get("grad_mode", "scatter_free"))
+            grad_mode=a.get("grad_mode", "scatter_free"),
+            # the reference's PCDMask3DSwin3DEncoder selects the (unvendored)
+            # Swin3DUNet backbone; here it selects the TPU-native
+            # window-attention U-Net (models/swin3d.py)
+            backbone=("swin3d" if voxel_node.name == "PCDMask3DSwin3DEncoder"
+                      else a.get("backbone", "res16unet")),
+            sorted_gather=a.get("sorted_gather", False))
         voxel_obj_enc = EncoderCfg(input_feat_size=128)
 
     mask_head_cfg = None

@@ -48,7 +48,8 @@ def flatten_maps(maps: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         p_l = maps[f"valid_{l}"].shape[1]
         out[f"valid_{l}"] = maps[f"valid_{l}"].reshape(-1)
         out[f"nbr3_{l}"] = off(maps[f"nbr3_{l}"], p_l)
-    out["nbr5_0"] = off(maps["nbr5_0"], maps["valid_0"].shape[1])
+    if "nbr5_0" in maps:
+        out["nbr5_0"] = off(maps["nbr5_0"], maps["valid_0"].shape[1])
     for l in range(4):
         p_l = maps[f"valid_{l}"].shape[1]
         p_next = maps[f"valid_{l+1}"].shape[1]
@@ -59,6 +60,17 @@ def flatten_maps(maps: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     for l in range(5):
         p_l = maps[f"valid_{l}"].shape[1]
         out[f"ancestor_{l}"] = off(maps["ancestor"][:, l, :], p_l)
+    if "stem_dense" in maps:
+        # dense-block stem pack (ops/sparse.conv0_dense_block): blocks are
+        # flat rows, cell slots offset by scene * nb * block^3, c2v (voxel
+        # ids) by scene * P0
+        nb = maps["stem_nbrblk"].shape[1]
+        cells = maps["stem_c2v"].shape[1]
+        out["stem_dense"] = maps["stem_dense"].reshape(
+            b * nb, -1)
+        out["stem_nbrblk"] = off(maps["stem_nbrblk"], nb)
+        out["stem_slot"] = off(maps["stem_slot"], cells)
+        out["stem_c2v"] = off(maps["stem_c2v"], maps["valid_0"].shape[1])
     return out
 
 
@@ -75,6 +87,7 @@ class SparseConv(nn.Module):
     use_bias: bool = False
     accum: str = "float32"   # 'float32' | 'bfloat16' (inference-only option)
     grad_mode: str = "native"  # 'native' | 'scatter_free'
+    sorted_gather: bool = False  # monotonize maps + indices_are_sorted hint
 
     @nn.compact
     def __call__(self, x, nbr, valid, parent=None, parent_off=None,
@@ -82,22 +95,49 @@ class SparseConv(nn.Module):
         k = nbr.shape[-1]
         w = self.param("kernel", conv_init, (k, x.shape[-1], self.out_channels))
         acc = jnp.dtype(self.accum)
+        sg = self.sorted_gather
         if self.grad_mode == "scatter_free" and parent is not None:
             y = sparse.sparse_conv_down(x, nbr, w, parent, parent_off,
-                                        valid, in_valid, accum_dtype=acc)
+                                        valid, in_valid, accum_dtype=acc,
+                                        sorted_maps=sg)
         elif self.grad_mode == "scatter_free":
-            y = sparse.sparse_conv_sym(x, nbr, w, valid, accum_dtype=acc)
+            y = sparse.sparse_conv_sym(x, nbr, w, valid, accum_dtype=acc,
+                                       sorted_maps=sg)
         else:
-            y = sparse.sparse_conv(x, nbr, w, None, valid, accum_dtype=acc)
+            y = sparse.sparse_conv(x, nbr, w, None, valid, accum_dtype=acc,
+                                   sorted_maps=sg)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = jnp.where(valid[..., None], y + b, 0)
         return y
 
 
+class DenseStemConv(nn.Module):
+    """conv0 as a dense block conv (ops/sparse.conv0_dense_block).
+
+    Same param name/shape as the gathered stem ("kernel", (k^3, Cin, Cout))
+    so checkpoints are interchangeable between stem modes.
+    """
+    out_channels: int
+    kernel: int = 5
+    block: int = 8
+    accum: str = "float32"
+
+    @nn.compact
+    def __call__(self, dense_in, nbr_win, slot, c2v, valid):
+        cin = dense_in.shape[1] // self.block ** 3
+        w = self.param("kernel", conv_init,
+                       (self.kernel ** 3, cin, self.out_channels))
+        return sparse.conv0_dense_block(
+            dense_in, nbr_win, slot, c2v, w, valid,
+            block=self.block, kernel=self.kernel,
+            accum_dtype=jnp.dtype(self.accum))
+
+
 class SparseConvTranspose(nn.Module):
     out_channels: int
     grad_mode: str = "native"
+    sorted_gather: bool = False
 
     @nn.compact
     def __call__(self, x, parent, parent_off, valid, child=None,
@@ -105,7 +145,8 @@ class SparseConvTranspose(nn.Module):
         w = self.param("kernel", conv_init, (8, x.shape[-1], self.out_channels))
         if self.grad_mode == "scatter_free" and child is not None:
             return sparse.sparse_conv_transpose_gf(
-                x, parent, parent_off, w, child, valid, in_valid)
+                x, parent, parent_off, w, child, valid, in_valid,
+                sorted_maps=self.sorted_gather)
         return sparse.sparse_conv_transpose(x, parent, parent_off, w, valid)
 
 
@@ -118,18 +159,20 @@ class BasicBlock(nn.Module):
     train: bool = False
     accum: str = "float32"
     grad_mode: str = "native"
+    sorted_gather: bool = False
 
     @nn.compact
     def __call__(self, x, nbr, valid):
         train = self.train
         gm = self.grad_mode
+        sg = self.sorted_gather
         residual = x
         out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
-                         name="conv1")(x, nbr, valid)
+                         sorted_gather=sg, name="conv1")(x, nbr, valid)
         out = MaskedBatchNorm(self.bn_momentum, name="norm1")(out, valid, not train)
         out = jax.nn.relu(out)
         out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
-                         name="conv2")(out, nbr, valid)
+                         sorted_gather=sg, name="conv2")(out, nbr, valid)
         out = MaskedBatchNorm(self.bn_momentum, name="norm2")(out, valid, not train)
         if x.shape[-1] != self.planes:
             residual = nn.Dense(self.planes, use_bias=False, kernel_init=conv_init,
@@ -155,13 +198,15 @@ class ResStage(nn.Module):
     remat_policy: str = "full"
     accum: str = "float32"
     grad_mode: str = "native"
+    sorted_gather: bool = False
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
         block_cls = remat_block_cls(BasicBlock, self.remat_policy, train)
         for i in range(self.layers):
             x = block_cls(self.planes, self.bn_momentum, train, self.accum,
-                          self.grad_mode, name=f"block{i}")(x, nbr, valid)
+                          self.grad_mode, self.sorted_gather,
+                          name=f"block{i}")(x, nbr, valid)
         return x
 
 
@@ -197,6 +242,7 @@ class Res16UNet(nn.Module):
     remat_policy: str = "full"
     accum: str = "float32"
     grad_mode: str = "native"   # 'scatter_free' = transpose-map backward
+    sorted_gather: bool = False  # sorted-index gather hint (see ops/sparse)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -204,6 +250,7 @@ class Res16UNet(nn.Module):
                  ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         P = self.planes
         gm = self.grad_mode
+        sg = self.sorted_gather
         b, p0, cin = x.shape
         fm = flatten_maps(maps)
         v = [fm[f"valid_{l}"] for l in range(5)]
@@ -215,9 +262,21 @@ class Res16UNet(nn.Module):
         # otherwise save 27 x N x C activations)
         conv_cls = remat_block_cls(SparseConv, self.remat_policy, train)
 
-        # stem (level 0)
-        out = conv_cls(self.init_dim, accum=self.accum, grad_mode=gm,
-                       name="conv0")(x, fm["nbr5_0"], v[0])
+        # stem (level 0): dense-block MXU path when the pipeline shipped a
+        # stem pack (InstSegPipelineConfig.stem_mode='dense_block'),
+        # otherwise the 125-tap gathered conv
+        if "stem_dense" in fm:
+            block = round(
+                (fm["stem_c2v"].shape[0] // fm["stem_nbrblk"].shape[0])
+                ** (1 / 3))
+            out = DenseStemConv(self.init_dim, self.conv1_kernel_size,
+                                block, self.accum, name="conv0")(
+                fm["stem_dense"], fm["stem_nbrblk"], fm["stem_slot"],
+                fm["stem_c2v"], v[0])
+        else:
+            out = conv_cls(self.init_dim, accum=self.accum, grad_mode=gm,
+                           sorted_gather=sg, name="conv0")(x, fm["nbr5_0"],
+                                                           v[0])
         out_p1 = jax.nn.relu(bn("bn0")(out, v[0], not train))
 
         # encoder ladder: stride-2 conv then residual stage
@@ -226,12 +285,12 @@ class Res16UNet(nn.Module):
         enc_planes = [P[0], P[1], P[2], P[3]]
         for l in range(4):
             out = conv_cls(out.shape[-1], accum=self.accum, grad_mode=gm,
-                           name=f"conv{l+1}s2")(
+                           sorted_gather=sg, name=f"conv{l+1}s2")(
                 out, fm[f"child_{l}"], v[l + 1],
                 fm[f"parent_{l}"], fm[f"parent_off_{l}"], v[l])
             out = jax.nn.relu(bn(f"bn{l+1}")(out, v[l + 1], not train))
             out = ResStage(enc_planes[l], self.layers[l], self.bn_momentum,
-                           self.remat_policy, self.accum, gm,
+                           self.remat_policy, self.accum, gm, sg,
                            name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train)
             skips.append(out)
 
@@ -242,13 +301,14 @@ class Res16UNet(nn.Module):
         for i in range(4):
             lvl = 3 - i  # output level of this upsample
             out = SparseConvTranspose(dec_planes[i], grad_mode=gm,
+                                      sorted_gather=sg,
                                       name=f"convtr{i+4}")(
                 out, fm[f"parent_{lvl}"], fm[f"parent_off_{lvl}"], v[lvl],
                 fm[f"child_{lvl}"], v[lvl + 1])
             out = jax.nn.relu(bn(f"bntr{i+4}")(out, v[lvl], not train))
             out = jnp.concatenate([out, skips[lvl]], axis=-1)
             out = ResStage(dec_planes[i], self.layers[i + 4], self.bn_momentum,
-                           self.remat_policy, self.accum, gm,
+                           self.remat_policy, self.accum, gm, sg,
                            name=f"stage{i+5}")(out, n[lvl], v[lvl], train)
             feature_maps.append(out)
 

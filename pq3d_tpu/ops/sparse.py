@@ -43,11 +43,28 @@ def fast_row_gather(x: jnp.ndarray, idx: jnp.ndarray,
         mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
 
 
+def sorted_conv_maps(nbr: jnp.ndarray) -> tuple:
+    """(N, K) neighbor map -> (idx, valid) with per-tap MONOTONE indices.
+
+    Voxel coords are ravel-key sorted (ops/voxelize.quantize, ascending at
+    every hierarchy level), so each tap's valid neighbor indices are already
+    monotone in the output row; missing rows (-1) carry the previous index
+    via a running max, making the whole column sorted so the gather can use
+    ``indices_are_sorted=True`` (the TPU fast-path hint).  Flat-batch maps
+    stay monotone: per-scene offsets are non-decreasing and every scene-0
+    index < the scene-1 offset.
+    """
+    valid = nbr >= 0
+    idx = jax.lax.cummax(jnp.where(valid, nbr, -1), axis=0)
+    return jnp.maximum(idx, 0), valid
+
+
 def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None,
                 out_valid: Optional[jnp.ndarray] = None,
                 compute_dtype=jnp.bfloat16,
-                accum_dtype=jnp.float32) -> jnp.ndarray:
+                accum_dtype=jnp.float32,
+                sorted_maps: bool = False) -> jnp.ndarray:
     """Sparse convolution via gather->GEMM.
 
     Args:
@@ -66,7 +83,8 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
         def per_scene(carry, inp):
             xs, ns = inp
             return carry, sparse_conv(xs, ns, w, bias, None,
-                                      compute_dtype, accum_dtype)
+                                      compute_dtype, accum_dtype,
+                                      sorted_maps)
         _, out = jax.lax.scan(per_scene, 0, (x, nbr))
         if out_valid is not None:
             out = jnp.where(out_valid[..., None], out, 0)
@@ -75,11 +93,12 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
     k_total = nbr.shape[1]
     xb = x.astype(compute_dtype)
     wb = w.astype(compute_dtype)
+    if sorted_maps:
+        mono_idx, mono_valid = sorted_conv_maps(nbr)
 
     def body(acc, inputs):
-        idx, wk = inputs  # idx: (N_out,), wk: (Cin, Cout)
-        m = idx >= 0
-        xi = fast_row_gather(xb, jnp.maximum(idx, 0))
+        idx, m, wk = inputs  # idx: (N_out,), wk: (Cin, Cout)
+        xi = fast_row_gather(xb, idx, indices_are_sorted=sorted_maps)
         xi = jnp.where(m[:, None], xi, 0)
         # named for the 'gather_only' remat policy: these (N, Cin)-per-tap
         # residuals dominate training memory (~K x N x Cin); the policy
@@ -89,7 +108,11 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
         return acc, None
 
     init = jnp.zeros((nbr.shape[0], w.shape[-1]), dtype=accum_dtype)
-    acc, _ = jax.lax.scan(body, init, (nbr.T, wb), length=k_total)
+    if sorted_maps:
+        scan_in = (mono_idx.T, mono_valid.T, wb)
+    else:
+        scan_in = (jnp.maximum(nbr, 0).T, (nbr >= 0).T, wb)
+    acc, _ = jax.lax.scan(body, init, scan_in, length=k_total)
     if bias is not None:
         acc = acc + bias
     if out_valid is not None:
@@ -164,6 +187,91 @@ def avg_pool_stride2(x: jnp.ndarray, child: jnp.ndarray) -> jnp.ndarray:
     return xi.sum(axis=1) / cnt
 
 
+def _unpack_cells(y_cells: jnp.ndarray, slot: jnp.ndarray,
+                  c2v: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-cell rows back to per-voxel rows with a scatter-free VJP.
+
+    ``slot[i]`` is voxel i's flat cell index (-1 = padded voxel); ``c2v[s]``
+    is the voxel occupying cell s (-1 = empty).  The backward runs the dual
+    gather through ``c2v`` instead of XLA's scatter-add.
+    """
+
+    @jax.custom_vjp
+    def f(y):
+        out = fast_row_gather(y, jnp.maximum(slot, 0))
+        return jnp.where((slot >= 0)[:, None], out, 0)
+
+    def fwd(y):
+        return f(y), None
+
+    def bwd(_, dy):
+        dyc = fast_row_gather(dy, jnp.maximum(c2v, 0))
+        return (jnp.where((c2v >= 0)[:, None], dyc, 0),)
+
+    f.defvjp(fwd, bwd)
+    return f(y_cells)
+
+
+def conv0_dense_block(dense_in: jnp.ndarray, nbr_win: jnp.ndarray,
+                      slot: jnp.ndarray, c2v: jnp.ndarray, w: jnp.ndarray,
+                      out_valid: Optional[jnp.ndarray] = None,
+                      block: int = 8, kernel: int = 5,
+                      compute_dtype=jnp.bfloat16,
+                      accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Stem convolution as a dense block conv (MXU path, no per-row gathers).
+
+    The 125-tap gathered stem (``sparse_conv`` on the 5^3 map) is
+    row-fetch-bound: 125 x N tiny-row gathers dominate the U-Net forward
+    (PERF.md "conv0 5^3 stem").  Here the host packs level-0 voxels into
+    dense ``block^3`` cells (ops/window_maps.py with_neighbors=True); on
+    device each block DMAs whole-block halos from its 26 neighbors (27
+    LARGE-row gathers of ``block^3 * Cin`` each) and the 5^3 conv runs as a
+    dense ``lax.conv_general_dilated`` — pure MXU work whose FLOP waste at
+    surface occupancy is trivially repaid at Cin=3.
+
+    Args:
+      dense_in: (NB, block^3 * Cin) packed blocks, empty cells zero.
+      nbr_win:  (NB, 27) neighbor block ids (kernel_offsets(3) order, -1
+                missing; center tap = the block itself).
+      slot:     (N,) flat cell index per voxel (-1 padded voxel).
+      c2v:      (NB * block^3,) voxel id per cell (-1 empty) — backward map.
+      w:        (kernel^3, Cin, Cout) in kernel_offsets(kernel) order.
+    Returns: (N, Cout).
+    """
+    p = kernel // 2
+    nb = dense_in.shape[0]
+    cin = dense_in.shape[1] // block ** 3
+    cout = w.shape[-1]
+    h = block + 2 * p
+    xb = dense_in.astype(compute_dtype)
+
+    halo = jnp.zeros((nb, h, h, h, cin), compute_dtype)
+    # src/dst slice per axis offset: o=-1 -> src [block-p, block) dst [0, p)
+    ax = {-1: (block - p, p, 0), 0: (0, block, p), 1: (0, p, p + block)}
+    t = 0
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            for oz in (-1, 0, 1):
+                idx = nbr_win[:, t]
+                src = fast_row_gather(xb, jnp.maximum(idx, 0))
+                src = jnp.where((idx >= 0)[:, None], src, 0)
+                src = src.reshape(nb, block, block, block, cin)
+                (sx, lx, dx), (sy, ly, dy), (sz, lz, dz) = ax[ox], ax[oy], ax[oz]
+                halo = halo.at[:, dx:dx + lx, dy:dy + ly, dz:dz + lz, :].set(
+                    src[:, sx:sx + lx, sy:sy + ly, sz:sz + lz, :])
+                t += 1
+    w5 = w.reshape(kernel, kernel, kernel, cin, cout).astype(compute_dtype)
+    y = jax.lax.conv_general_dilated(
+        halo, w5, window_strides=(1, 1, 1), padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=accum_dtype)
+    y = y.reshape(nb * block ** 3, cout).astype(compute_dtype)
+    out = _unpack_cells(y, slot, c2v)
+    if out_valid is not None:
+        out = jnp.where(out_valid[:, None], out, 0)
+    return out.astype(dense_in.dtype)
+
+
 # ---------------------------------------------------------------------------
 # scatter-free training convs (custom VJPs)
 #
@@ -184,26 +292,32 @@ def _mask_rows(dy: jnp.ndarray, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
 
 
 def _conv_weight_grad(x: jnp.ndarray, nbr: jnp.ndarray, dy: jnp.ndarray,
-                      compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                      compute_dtype=jnp.bfloat16,
+                      sorted_maps: bool = False) -> jnp.ndarray:
     """dW[k] = gather(x, nbr[:, k])^T @ dy, one (Cin, N)@(N, Cout) GEMM per
     tap (re-gathers instead of using stored activations)."""
     xb = x.astype(compute_dtype)
     dyb = dy.astype(compute_dtype)
+    if sorted_maps:
+        idx_all, valid_all = sorted_conv_maps(nbr)
+    else:
+        idx_all, valid_all = jnp.maximum(nbr, 0), nbr >= 0
 
-    def body(_, idx):
-        m = idx >= 0
-        xi = fast_row_gather(xb, jnp.maximum(idx, 0))
+    def body(_, inp):
+        idx, m = inp
+        xi = fast_row_gather(xb, idx, indices_are_sorted=sorted_maps)
         xi = jnp.where(m[:, None], xi, 0)
         return _, jnp.dot(xi.T, dyb, preferred_element_type=jnp.float32)
 
-    _, dw = jax.lax.scan(body, 0, nbr.T)
+    _, dw = jax.lax.scan(body, 0, (idx_all.T, valid_all.T))
     return dw
 
 
 def sparse_conv_sym(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
                     out_valid: Optional[jnp.ndarray] = None,
                     compute_dtype=jnp.bfloat16,
-                    accum_dtype=jnp.float32) -> jnp.ndarray:
+                    accum_dtype=jnp.float32,
+                    sorted_maps: bool = False) -> jnp.ndarray:
     """Same-level symmetric-stencil conv with a scatter-free backward.
 
     dx = conv(dy, nbr, flip_k(W)^T): valid because for lexicographic odd
@@ -213,7 +327,7 @@ def sparse_conv_sym(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
     @jax.custom_vjp
     def f(x, w):
         return sparse_conv(x, nbr, w, None, out_valid,
-                           compute_dtype, accum_dtype)
+                           compute_dtype, accum_dtype, sorted_maps)
 
     def fwd(x, w):
         return f(x, w), (x, w)
@@ -227,8 +341,9 @@ def sparse_conv_sym(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
         dy = _mask_rows(dy, out_valid)
         w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
         dx = sparse_conv(dy, nbr, w_t, None, None,
-                         compute_dtype, accum_dtype).astype(x.dtype)
-        dw = _conv_weight_grad(x, nbr, dy, compute_dtype).astype(w.dtype)
+                         compute_dtype, accum_dtype, sorted_maps).astype(x.dtype)
+        dw = _conv_weight_grad(x, nbr, dy, compute_dtype,
+                               sorted_maps).astype(w.dtype)
         return dx, dw
 
     f.defvjp(fwd, bwd)
@@ -240,14 +355,15 @@ def sparse_conv_down(x: jnp.ndarray, child: jnp.ndarray, w: jnp.ndarray,
                      out_valid: Optional[jnp.ndarray] = None,
                      in_valid: Optional[jnp.ndarray] = None,
                      compute_dtype=jnp.bfloat16,
-                     accum_dtype=jnp.float32) -> jnp.ndarray:
+                     accum_dtype=jnp.float32,
+                     sorted_maps: bool = False) -> jnp.ndarray:
     """Stride-2 down conv over the child map (N_coarse, 8) with the
     transpose realized through the dual parent/parent_off maps."""
 
     @jax.custom_vjp
     def f(x, w):
         return sparse_conv(x, child, w, None, out_valid,
-                           compute_dtype, accum_dtype)
+                           compute_dtype, accum_dtype, sorted_maps)
 
     def fwd(x, w):
         return f(x, w), (x, w)
@@ -283,7 +399,8 @@ def sparse_conv_transpose_gf(x: jnp.ndarray, parent: jnp.ndarray,
                              out_valid: Optional[jnp.ndarray] = None,
                              in_valid: Optional[jnp.ndarray] = None,
                              compute_dtype=jnp.bfloat16,
-                             accum_dtype=jnp.float32) -> jnp.ndarray:
+                             accum_dtype=jnp.float32,
+                             sorted_maps: bool = False) -> jnp.ndarray:
     """Stride-2 transpose (up) conv with gather-only backward via the dual
     child map: dx[c] = sum_k dy[child[c, k]] @ W[k]^T."""
 
@@ -299,7 +416,7 @@ def sparse_conv_transpose_gf(x: jnp.ndarray, parent: jnp.ndarray,
         x, w = res
         dy = _mask_rows(dy, out_valid)
         dx = sparse_conv(dy, child, w.transpose(0, 2, 1), None, in_valid,
-                         compute_dtype, accum_dtype).astype(x.dtype)
+                         compute_dtype, accum_dtype, sorted_maps).astype(x.dtype)
         # dW[k] = sum_{fine: off==k} x[parent(fine)]^T dy[fine]
         xg = fast_row_gather(x.astype(compute_dtype),
                              jnp.maximum(parent, 0))

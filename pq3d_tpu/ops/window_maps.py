@@ -24,27 +24,53 @@ from typing import Dict, List, Optional
 import numpy as np
 
 
-def build_window_pack(coords: np.ndarray, window: int, shift: int = 0
-                      ) -> Dict[str, np.ndarray]:
+def build_window_pack(coords: np.ndarray, window: int, shift: int = 0,
+                      with_neighbors: bool = False) -> Dict[str, np.ndarray]:
     """Partition voxel ``coords`` (N, 3) int, non-negative) into dense
-    ``window^3`` windows whose grid origin is shifted by ``-shift``."""
+    ``window^3`` windows whose grid origin is shifted by ``-shift``.
+
+    ``with_neighbors`` additionally returns ``nbr_win`` (n_win, 27): the
+    window id at each of the 27 spatial offsets (kernel_offsets(3) order,
+    -1 = no such window) — used by the dense-block stem convolution's halo
+    exchange.
+    """
     w3 = window ** 3
     n = len(coords)
     if n == 0:
-        return {"cell_to_vox": np.full((0,), -1, np.int32),
-                "vox_slot": np.zeros((0,), np.int32), "n_win": 0}
+        out = {"cell_to_vox": np.full((0,), -1, np.int32),
+               "vox_slot": np.zeros((0,), np.int32), "n_win": 0}
+        if with_neighbors:
+            out["nbr_win"] = np.zeros((0, 27), np.int32)
+        return out
     sh = coords.astype(np.int64) + shift
     wc = sh // window
     dims = wc.max(0) + 1
     key = (wc[:, 0] * dims[1] + wc[:, 1]) * dims[2] + wc[:, 2]
-    _, inv = np.unique(key, return_inverse=True)
-    n_win = int(inv.max()) + 1
+    ukeys, inv = np.unique(key, return_inverse=True)
+    n_win = len(ukeys)
     local = sh - wc * window
     cell = (local[:, 0] * window + local[:, 1]) * window + local[:, 2]
     slot = (inv * w3 + cell).astype(np.int32)
     cell_to_vox = np.full(n_win * w3, -1, np.int32)
     cell_to_vox[slot] = np.arange(n, dtype=np.int32)
-    return {"cell_to_vox": cell_to_vox, "vox_slot": slot, "n_win": n_win}
+    out = {"cell_to_vox": cell_to_vox, "vox_slot": slot, "n_win": n_win}
+    if with_neighbors:
+        from pq3d_tpu.ops.kernel_maps import kernel_offsets
+        ub = np.stack([ukeys // (dims[1] * dims[2]),
+                       (ukeys // dims[2]) % dims[1],
+                       ukeys % dims[2]], axis=1)
+        offs = kernel_offsets(3)
+        nbr = np.full((n_win, 27), -1, np.int32)
+        for t, o in enumerate(offs):
+            q = ub + o[None, :]
+            inside = ((q >= 0) & (q < dims[None, :])).all(1)
+            qk = (q[:, 0] * dims[1] + q[:, 1]) * dims[2] + q[:, 2]
+            pos = np.searchsorted(ukeys, qk)
+            pos_c = np.minimum(pos, n_win - 1)
+            hit = (ukeys[pos_c] == qk) & inside
+            nbr[:, t] = np.where(hit, pos_c, -1)
+        out["nbr_win"] = nbr
+    return out
 
 
 def pad_pack(pack: Dict[str, np.ndarray], window: int, n_win_pad: int,

@@ -39,7 +39,9 @@ def build_instseg_trainer(cfg):
         level_caps=[int(x) for x in level_caps] if level_caps else None,
         offline_mask_source=iopt.get("offline_mask_source"),
         filter_out_classes=tuple(iopt.get("filter_out_classes", (0, 2))),
-        ignore_label=int(iopt.get("ignore_label", -100)))
+        ignore_label=int(iopt.get("ignore_label", -100)),
+        stem_mode=iopt.get("stem_mode", "gather"),
+        swin_window=int(iopt.get("swin_window", 0) or 0))
 
     def make_loader(split, train):
         ds_name = cfg.data.get(split)[0]
