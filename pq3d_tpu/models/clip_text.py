@@ -12,6 +12,8 @@ Weight import from HF checkpoints is supported via
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -27,14 +29,15 @@ def quick_gelu(x):
 class CLIPAttention(nn.Module):
     width: int
     heads: int
+    dtype: Optional[jnp.dtype] = None  # bf16 = frozen-tower inference mode
 
     @nn.compact
     def __call__(self, x, attend_mask):
         h = self.heads
         d = self.width // h
-        q = nn.Dense(self.width, name="q_proj")(x)
-        k = nn.Dense(self.width, name="k_proj")(x)
-        v = nn.Dense(self.width, name="v_proj")(x)
+        q = nn.Dense(self.width, dtype=self.dtype, name="q_proj")(x)
+        k = nn.Dense(self.width, dtype=self.dtype, name="k_proj")(x)
+        v = nn.Dense(self.width, dtype=self.dtype, name="v_proj")(x)
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], h, d).transpose(0, 2, 1, 3)
         q, k, v = split(q), split(k), split(v)
@@ -45,22 +48,25 @@ class CLIPAttention(nn.Module):
         probs = masked_softmax(logits, mask)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape)
-        return nn.Dense(self.width, name="out_proj")(out)
+        return nn.Dense(self.width, dtype=self.dtype, name="out_proj")(out)
 
 
 class CLIPBlock(nn.Module):
     width: int
     heads: int
     intermediate: int = 0   # 0 -> 4x width
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x, attend_mask):
-        x = x + CLIPAttention(self.width, self.heads, name="attn")(
+        x = x + CLIPAttention(self.width, self.heads, self.dtype,
+                              name="attn")(
             nn.LayerNorm(epsilon=1e-5, name="ln_1")(x), attend_mask)
         h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
-        h = nn.Dense(self.intermediate or self.width * 4, name="fc1")(h)
+        h = nn.Dense(self.intermediate or self.width * 4, dtype=self.dtype,
+                     name="fc1")(h)
         h = quick_gelu(h)
-        h = nn.Dense(self.width, name="fc2")(h)
+        h = nn.Dense(self.width, dtype=self.dtype, name="fc2")(h)
         return x + h
 
 
@@ -73,9 +79,14 @@ class CLIPTextTower(nn.Module):
     max_positions: int = 77
     projection_dim: int = 768
     intermediate: int = 0   # 0 -> 4x width
+    # 'bfloat16' runs the (frozen) tower's matmuls in bf16 — the unified
+    # inference headline spends ~5 ms/batch on this tower in f32 (PERF.md);
+    # the trainable projection stays f32 either way
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray, attend_mask: jnp.ndarray):
+        cdt = (jnp.bfloat16 if self.compute_dtype == "bfloat16" else None)
         emb = nn.Embed(self.vocab_size, self.width, name="token_embedding")(ids)
         L = ids.shape[1]
         pos = self.param("positional_embedding",
@@ -83,7 +94,7 @@ class CLIPTextTower(nn.Module):
                          (self.max_positions, self.width))
         x = emb + pos[:L]
         for i in range(self.layers):
-            x = CLIPBlock(self.width, self.heads, self.intermediate,
+            x = CLIPBlock(self.width, self.heads, self.intermediate, cdt,
                           name=f"block{i}")(x, attend_mask)
         x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         proj = self.param("text_projection", nn.initializers.normal(0.02),
@@ -105,13 +116,16 @@ class CLIPTextEncoder(nn.Module):
     width: int = 768
     tower_heads: int = 12
     tower_layers: int = 12
+    compute_dtype: str = "float32"   # 'bfloat16' = fast frozen-tower mode
 
     @nn.compact
     def __call__(self, ids: jnp.ndarray, attend_mask: jnp.ndarray,
                  deterministic: bool = True) -> jnp.ndarray:
         txt = CLIPTextTower(vocab_size=self.vocab_size, width=self.width,
                             heads=self.tower_heads, layers=self.tower_layers,
+                            compute_dtype=self.compute_dtype,
                             name="tower")(ids, attend_mask)
+        txt = txt.astype(jnp.float32)
         if self.freeze_backbone:
             txt = jax.lax.stop_gradient(txt)
         txt = txt / jnp.maximum(

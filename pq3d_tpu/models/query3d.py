@@ -96,6 +96,7 @@ class TxtEncoderCfg:
     projection_type: str = "mlp"
     num_projection_layers: int = 1
     freeze_backbone: bool = True
+    compute_dtype: str = "float32"  # 'bfloat16' = fast frozen-tower mode
 
 
 @dataclasses.dataclass(frozen=True)
@@ -355,6 +356,7 @@ class Query3DUnified(nn.Module):
                 use_projection=tc.use_projection,
                 projection_type=tc.projection_type,
                 num_projection_layers=tc.num_projection_layers,
+                compute_dtype=tc.compute_dtype,
                 name="txt_encoder")(
                 prompt.astype(jnp.int32), valid, deterministic=deterministic)
         else:

@@ -1,12 +1,17 @@
 """Training-step throughput at bench scale (fwd+bwd+clip+AdamW).
 
-Usage: python tools/bench_train_step.py [remat_policy] [grad_mode]
+Usage: python tools/bench_train_step.py [remat_policy] [grad_mode] [opts]
   remat_policy: full (default) | dots | gather_only | none
   grad_mode:    native (default) | scatter_free
+  opts:         comma list of 'sorted' (sorted-index gathers) and/or
+                'dense_stem' (dense-block conv0)
 """
 import sys, time, numpy as np, jax, jax.numpy as jnp
 POLICY = sys.argv[1] if len(sys.argv) > 1 else "full"
 GRAD_MODE = sys.argv[2] if len(sys.argv) > 2 else "native"
+OPTS = (sys.argv[3].split(",") if len(sys.argv) > 3 else [])
+SORTED = "sorted" in OPTS
+STEM = "dense_block" if "dense_stem" in OPTS else "gather"
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from pq3d_tpu.data import synthetic
@@ -18,7 +23,8 @@ from pq3d_tpu.train.state import TrainState, make_train_step
 
 rng = np.random.default_rng(0)
 pipe_cfg = InstSegPipelineConfig(voxel_size=0.02, num_queries=120, max_segments=512,
-                                 max_instances=120, voxel_bucket=8192, use_aug=False)
+                                 max_instances=120, voxel_bucket=8192, use_aug=False,
+                                 stem_mode=STEM)
 scenes = [synthetic.make_scene(rng, n_points=80_000, n_instances=24, n_segments=400) for _ in range(4)]
 for s in scenes: s["inst_labels"] = np.minimum(s["inst_labels"], 199)
 batch = make_batch(scenes, pipe_cfg, rng, train=True)
@@ -35,7 +41,7 @@ model = Query3DUnified(memories=("voxel","mv","pc"), heads=("mask",), hidden_siz
     unified=UnifiedEncoderCfg(num_layers=4, num_blocks=3, num_attention_heads=12, structure="parallel",
                               spatial_selfattn=True, use_self_mask=True),
     voxel_enc=VoxelEncoderCfg(hlevels=(0,1,2,3), remat_policy=POLICY,
-                              grad_mode=GRAD_MODE),
+                              grad_mode=GRAD_MODE, sorted_gather=SORTED),
     mask_head_cfg=MaskHeadCfg(num_targets=201, filter_out_classes=(0,2)))
 variables = jax.jit(model.init, static_argnames=("train",))({"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False)
 print("init done", flush=True)
@@ -52,4 +58,5 @@ for _ in range(3):
     state2, metrics = step(state2, batch)
     _ = float(metrics["loss"])
 dt = (time.time()-t0)/3
-print(f"train step [{POLICY}/{GRAD_MODE}]: {dt*1000:.0f} ms -> {4/dt:.2f} scenes/s training", flush=True)
+print(f"train step [{POLICY}/{GRAD_MODE}/{','.join(OPTS) or 'base'}]: "
+      f"{dt*1000:.0f} ms -> {4/dt:.2f} scenes/s training", flush=True)
