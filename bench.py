@@ -149,7 +149,34 @@ def bench_instseg(jax, jnp, rng):
     return batch_size / dt, dt, host_s
 
 
+def wait_for_device(max_wait_s: int = 1800) -> None:
+    """Block until the accelerator answers a subprocess probe.
+
+    The axon tunnel can be transiently unavailable (observed: jax.devices()
+    hangs rather than erroring, and a hang poisons the calling process).
+    Probing in a clean subprocess with a timeout keeps this process usable
+    and retries until the chip grants or ``max_wait_s`` elapses.
+    """
+    import subprocess
+    deadline = time.time() + max_wait_s
+    probe = ("import jax, jax.numpy as jnp; jax.devices(); "
+             "print(float(jnp.ones((8, 8)).sum()))")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, timeout=240)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            raise RuntimeError(
+                f"accelerator unreachable after {max_wait_s}s of probing")
+        time.sleep(60)
+
+
 def main():
+    wait_for_device()
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",

@@ -141,6 +141,14 @@ class SegVoxelEncoder(nn.Module):
         return out
 
 
+@VISION_REGISTRY.register(name="PCDMask3DSwin3DEncoder")
+class SegVoxelSwinEncoder(SegVoxelEncoder):
+    """Registry alias: the reference's Swin3D seg-level encoder
+    (pcd_mask3d_encoder.py:65-112) — SegVoxelEncoder with the TPU-native
+    window-attention backbone selected."""
+    backbone: str = "swin3d"
+
+
 @VISION_REGISTRY.register(name="PCDMask3DEncoder")
 class VoxelLevelEncoder(nn.Module):
     """Voxel-level Mask3D encoder: U-Net -> mask features at level-0 voxels
