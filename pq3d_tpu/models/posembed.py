@@ -49,7 +49,10 @@ class FourierPositionEncoding(nn.Module):
             x = shift_scale_points(x, input_range)
         x = x * (2 * math.pi)
         proj = jnp.einsum("bnd,df->bnf", x, gauss_b)
-        return jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        out = jnp.concatenate([jnp.sin(proj), jnp.cos(proj)], axis=-1)
+        # sin/cos computed in f32 for precision; emit the caller's dtype so
+        # a bf16 serving cast (utils/inference.py) is not re-promoted to f32
+        return out.astype(xyz.dtype)
 
 
 class CoordinateEncoder(nn.Module):

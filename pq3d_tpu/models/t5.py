@@ -119,8 +119,12 @@ class T5Attention(nn.Module):
         """Self-attention decode step: project this token's K/V into the
         cache at ``pos``, then attend.  Returns (out, k_cache, v_cache)."""
         k_new, v_new = self.kv_proj(x)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, 0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, 0, pos, 0))
+        # mixed-precision serving: promotion can leave the cache and the
+        # step projection at different dtypes; the cache dtype wins
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k_new.astype(k_cache.dtype), (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v_new.astype(v_cache.dtype), (0, 0, pos, 0))
         out = self.step(x, k_cache, v_cache, mask, pos_bias_row)
         return out, k_cache, v_cache
 
@@ -233,11 +237,14 @@ class T5Decoder(nn.Module):
         caches = []
         for blk in blocks:
             ck, cv = blk.cross_attn.kv_proj(enc)
+            # cache dtype follows the PROJECTED dtype (== param compute
+            # dtype), not enc's — under a bf16 param cast enc may still be
+            # f32 while projections run bf16
             caches.append({
                 "self_k": jnp.zeros((b, self.heads, L1, self.d_kv),
-                                    enc.dtype),
+                                    ck.dtype),
                 "self_v": jnp.zeros((b, self.heads, L1, self.d_kv),
-                                    enc.dtype),
+                                    ck.dtype),
                 "cross_k": ck, "cross_v": cv,
             })
         bias_full = blocks[0].self_attn.pos_bias_table(L1, L1)  # (1,h,L1,L1)

@@ -25,3 +25,53 @@ def test_clip_bf16_tower_close_to_f32():
     assert np.abs(o32 - obf).max() < 0.05
     assert np.abs(o32 - obf).mean() < 0.005
     assert obf.dtype == np.float32  # trainable projection output stays f32
+
+
+def test_bf16_param_cast_unified_forward_close():
+    """Whole-model bf16 param cast (utils/inference.py): the unified
+    forward's outputs stay close to f32 and grounding rankings agree."""
+    from pq3d_tpu.data.unified_datasets import SyntheticRefer
+    from pq3d_tpu.data.unified_loader import UnifiedTaskLoader
+    from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
+    from pq3d_tpu.config import Config
+    from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
+                                         EncoderCfg, GroundHeadCfg,
+                                         GenerationHeadCfg, TxtEncoderCfg)
+    from pq3d_tpu.utils.inference import cast_batch_bf16, cast_params_bf16
+
+    cfg = Config({"data": {"synthetic": {"num_train": 2, "n_points": 600,
+                                         "n_instances": 4}},
+                  "debug": {"flag": False}})
+    pipe = UnifiedPipelineConfig(max_obj_len=8, num_points=64,
+                                 prompt_len=12, response_len=8)
+    loader = UnifiedTaskLoader(SyntheticRefer(cfg, "train"), pipe,
+                               batch_size=2, train=False,
+                               feature_dims={"mv": 32, "voxel": 16})
+    batch = next(iter(loader(0)))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()
+             if not k.startswith("_")}
+    model = Query3DUnified(
+        memories=("mv", "voxel", "prompt"), heads=("ground", "generation"),
+        hidden_size=64, dim_loc=6, use_offline_voxel_fts=True,
+        skip_query_encoder_mask_pred=True, mask_head_cfg=None,
+        unified=UnifiedEncoderCfg(num_layers=1, num_blocks=1,
+                                  num_attention_heads=4, structure="mixed"),
+        mv_enc=EncoderCfg(input_feat_size=32),
+        voxel_obj_enc=EncoderCfg(input_feat_size=16),
+        ground_head_cfg=GroundHeadCfg(hidden_size=32),
+        generation_head_cfg=GenerationHeadCfg(
+            vocab_size=100, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+            num_heads=4, max_new_tokens=4),
+        txt_cfg=TxtEncoderCfg(vocab_size=200, width=32, layers=1, heads=4))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    out32 = model.apply(variables, batch, train=False)
+    outbf = model.apply(cast_params_bf16(variables), cast_batch_bf16(batch),
+                        train=False)
+    g32 = np.asarray(out32["ground_logits"], np.float32)
+    gbf = np.asarray(outbf["ground_logits"], np.float32)
+    scale = np.abs(g32).max() + 1e-6
+    assert np.abs(g32 - gbf).max() / scale < 0.1
+    # top-1 grounding choice agrees
+    assert (g32.argmax(-1) == gbf.argmax(-1)).all()
