@@ -123,6 +123,7 @@ class CLIPTextEncoder(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         txt = CLIPTextTower(vocab_size=self.vocab_size, width=self.width,
                             heads=self.tower_heads, layers=self.tower_layers,
+                            projection_dim=self.width,
                             compute_dtype=self.compute_dtype,
                             name="tower")(ids, attend_mask)
         txt = txt.astype(jnp.float32)

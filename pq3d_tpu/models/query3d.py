@@ -179,6 +179,12 @@ class Query3DUnified(nn.Module):
         fts_locs = batch["seg_center"]
         fts_pos = self._loc_embed(fts_locs[..., :self.dim_loc], coord_min,
                                   coord_max, coord_encoder, box_encoder)
+        if self.dim_loc > 3:
+            # the reference adds the box embedding to memory positions TWICE
+            # (query3d_unified.py:126-133: once in the coord+box sum, then
+            # again unconditionally) — replicated so imported reference
+            # checkpoints reproduce (pinned by test_full_model_parity)
+            fts_pos = fts_pos + box_encoder(fts_locs[..., 3:6])
         seg_valid = batch["seg_pad_masks"]
 
         voxel_multi_scale = None

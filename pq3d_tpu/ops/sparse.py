@@ -261,11 +261,13 @@ def conv0_dense_block(dense_in: jnp.ndarray, nbr_win: jnp.ndarray,
                     src[:, sx:sx + lx, sy:sy + ly, sz:sz + lz, :])
                 t += 1
     w5 = w.reshape(kernel, kernel, kernel, cin, cout).astype(compute_dtype)
+    # preferred_element_type == compute dtype keeps fwd/bwd conv dtypes
+    # uniform for autodiff; the MXU still accumulates f32 inside the op
     y = jax.lax.conv_general_dilated(
         halo, w5, window_strides=(1, 1, 1), padding="VALID",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=accum_dtype)
-    y = y.reshape(nb * block ** 3, cout).astype(compute_dtype)
+        preferred_element_type=compute_dtype)
+    y = y.reshape(nb * block ** 3, cout)
     out = _unpack_cells(y, slot, c2v)
     if out_valid is not None:
         out = jnp.where(out_valid[:, None], out, 0)

@@ -152,7 +152,7 @@ def _resolve_query3d_leaf(path: str, collection: str, memories):
     m = re.match(r"unified_encoder/layer(\d+)/(.*)", p)
     if m:
         i, rest = int(m.group(1)), m.group(2)
-        t = f"unified_encoder.layers.{i}"
+        t = f"unified_encoder.unified_encoder.{i}"
         mm = re.match(r"cross_attns_(\w+)/(.*)", rest)
         if mm:
             mem, sub = mm.group(1), mm.group(2)
@@ -320,6 +320,18 @@ def import_query3d(sd, variables, memories=("mv", "pc", "voxel", "prompt"),
     keys never read).
     """
     import jax
+    # canonicalize torch key spellings: strip DDP's 'module.' prefix and
+    # accept the flat 'unified_encoder.layers.{i}' alias for the reference's
+    # layer_repeat nesting 'unified_encoder.unified_encoder.{i}'
+    # (actual reference naming: query_encoder.py layer_repeat ModuleList)
+    canon = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        k = k.replace("unified_encoder.layers.",
+                      "unified_encoder.unified_encoder.")
+        canon[k] = v
+    sd = canon
     used = set()
 
     class _Recording(dict):
