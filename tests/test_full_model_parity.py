@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 B, Q, S, LP, D, HEADS, FEAT = 2, 6, 12, 8, 64, 4, 32
+LT, GVOCAB = 5, 100
 VOCAB, TOWER_LAYERS = 512, 2
 MEMORIES = ["mv", "pc", "prompt"]
 
@@ -119,13 +120,19 @@ def _install_stubs():
 
 
 def _patch_from_pretrained():
-    from transformers import CLIPTextConfig, CLIPTextModelWithProjection
+    from transformers import (CLIPTextConfig, CLIPTextModelWithProjection,
+                              T5Config, T5ForConditionalGeneration)
     cfg = CLIPTextConfig(
         vocab_size=VOCAB, hidden_size=D, intermediate_size=4 * D,
         num_hidden_layers=TOWER_LAYERS, num_attention_heads=HEADS,
         max_position_embeddings=77, projection_dim=D)
     CLIPTextModelWithProjection.from_pretrained = classmethod(
         lambda cls, *a, **k: cls(cfg))
+    t5cfg = T5Config(vocab_size=GVOCAB, d_model=32, d_kv=8, d_ff=64,
+                     num_layers=1, num_heads=4, dropout_rate=0.0,
+                     decoder_start_token_id=0)
+    T5ForConditionalGeneration.from_pretrained = classmethod(
+        lambda cls, *a, **k: cls(t5cfg))
 
 
 @pytest.fixture(scope="module")
@@ -136,12 +143,14 @@ def ref_model():
     # import the module files so their registry decorators run
     for m in ("modules.vision.object_encoder", "modules.language.clip",
               "modules.grounding.query_encoder",
-              "modules.heads.grounding_head", "modules.heads.mask_head"):
+              "modules.heads.grounding_head", "modules.heads.mask_head",
+              "modules.heads.generation_head"):
         importlib.import_module(m)
     q3d = importlib.import_module("model.query3d_unified")
 
     mcfg = Node(
-        memories=MEMORIES, heads=["ground", "mask"], hidden_size=D,
+        memories=MEMORIES, heads=["ground", "generation", "mask"],
+        hidden_size=D,
         use_offline_voxel_fts=False, use_offline_attn_mask=False,
         skip_query_encoder_mask_pred=True,
         obj_loc=Node(dim_loc=6, spatial_dim=5, pairwise_rel_type="center"),
@@ -153,19 +162,21 @@ def ref_model():
             "use_self_mask": False})),
         mv_encoder=Node(name="ObjectEncoder", args=Node(**{
             "backbone": "none", "input_feat_size": FEAT, "hidden_size": D,
-            "use_projection": True, "use_cls_head": False, "dropout": 0.1})),
+            "use_projection": True, "use_cls_head": False, "dropout": 0.0})),
         pc_encoder=Node(name="ObjectEncoder", args=Node(**{
             "backbone": "none", "input_feat_size": FEAT, "hidden_size": D,
-            "use_projection": True, "use_cls_head": False, "dropout": 0.1})),
+            "use_projection": True, "use_cls_head": False, "dropout": 0.0})),
         txt_encoder=Node(name="CLIPLanguageEncoder", args=Node(**{
             "output_dim": D, "use_projection": True,
-            "projection_type": "mlp", "dropout": 0.1})),
+            "projection_type": "mlp", "dropout": 0.0})),
         ground_head=Node(name="GroundHead", args=Node(**{
-            "input_size": D, "hidden_size": 32, "dropout": 0.3})),
+            "input_size": D, "hidden_size": 32, "dropout": 0.0})),
+        generation_head=Node(name="T5", args=Node(**{
+            "input_size": D, "use_projection": True})),
         mask_head=Node(name="MaskHeadSegLevel", args=Node(**{
             "hidden_size": D, "num_targets": 21,
             "memories_for_match": ["mv", "pc"],
-            "filter_out_classes": [0, 2]})))
+            "filter_out_classes": [0, 2], "dropout": 0.0})))
     cfg = Node(model=mcfg)
     torch.manual_seed(0)
     model = q3d.Query3DUnified(cfg)
@@ -197,6 +208,7 @@ def _batch(rng):
         "prompt_pad_masks": prompt_masks,
         "prompt_type": prompt_type,
         "tgt_object_id": np.zeros((B,), np.int64),
+        "response": rng.integers(2, GVOCAB, (B, LT)).astype(np.int64),
     }
 
 
@@ -210,16 +222,31 @@ def test_full_model_forward_parity(ref_model):
     batch_np = _batch(rng)
 
     # ---- reference forward -------------------------------------------------
-    tdict = {k: torch.from_numpy(np.asarray(v)) for k, v in batch_np.items()}
+    # copies: the reference prompt router mutates prompt_pad_masks in place
+    tdict = {k: torch.from_numpy(np.asarray(v).copy())
+             for k, v in batch_np.items()}
+    cap = {}
+    hook = ref_model.unified_encoder.register_forward_hook(
+        lambda m, i, o: cap.update(q=o[0]))
     with torch.no_grad():
         tout = ref_model(dict(tdict))
+        # eval-mode reference runs generate(); teacher-forced logits come
+        # from driving its generation head directly on the captured query
+        # (the unified encoder has a hard-wired 0.1 dropout in train mode,
+        # query_encoder.py:97, so train-mode comparison is impossible)
+        ref_gen = ref_model.generation_head(
+            cap["q"], torch.from_numpy(batch_np["query_pad_masks"].copy()),
+            torch.from_numpy(batch_np["response"].copy())).numpy()
+    hook.remove()
     ref_ground = tout["ground_logits"].numpy()
-    ref_cls = tout["predictions_class"][-1].numpy()
-    ref_mask = tout["predictions_mask"][-1].numpy()
+    ref_cls = tout["predictions_class"][-1].detach().numpy()
+    ref_mask = tout["predictions_mask"][-1].detach().numpy()
 
     # ---- flax model with imported weights ---------------------------------
+    from pq3d_tpu.models.query3d import GenerationHeadCfg
     model = Query3DUnified(
-        memories=tuple(MEMORIES), heads=("ground", "mask"), hidden_size=D,
+        memories=tuple(MEMORIES), heads=("ground", "generation", "mask"),
+        hidden_size=D,
         dim_loc=6, skip_query_encoder_mask_pred=True,
         unified=UnifiedEncoderCfg(num_layers=1, num_blocks=1,
                                   num_attention_heads=HEADS,
@@ -231,6 +258,9 @@ def test_full_model_forward_parity(ref_model):
                                   filter_out_classes=(0, 2),
                                   memories_for_match=("mv", "pc")),
         ground_head_cfg=GroundHeadCfg(hidden_size=32),
+        generation_head_cfg=GenerationHeadCfg(
+            vocab_size=GVOCAB, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+            num_heads=4, max_new_tokens=4, use_projection=True),
         txt_cfg=TxtEncoderCfg(kind="clip", vocab_size=VOCAB, width=D,
                               layers=TOWER_LAYERS, heads=HEADS,
                               use_projection=True, projection_type="mlp"))
@@ -241,13 +271,14 @@ def test_full_model_forward_parity(ref_model):
     sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
     variables, report = import_query3d(sd, variables,
                                        memories=tuple(MEMORIES),
-                                       clip_layers=TOWER_LAYERS)
+                                       clip_layers=TOWER_LAYERS, t5_layers=1)
     assert not report["mismatched"], report["mismatched"][:5]
     missing = [m for m in report["missing"]
                if "num_batches_tracked" not in m]
     assert not missing, missing[:8]
 
     out = model.apply(variables, jbatch, train=False)
+    got_gen = np.asarray(out["generation_logits"], np.float32)
     got_ground = np.asarray(out["ground_logits"], np.float32)
     got_cls = np.asarray(out["predictions_class"][-1], np.float32)
     got_mask = np.asarray(out["predictions_mask"][-1], np.float32)
@@ -264,6 +295,7 @@ def test_full_model_forward_parity(ref_model):
     # reference uses float('-inf') — both eliminate the class
     assert (got_cls[qv][:, ~keep] <= -1e8).all()
     assert np.isneginf(ref_cls[qv][:, ~keep]).all()
+    np.testing.assert_allclose(got_gen, ref_gen, rtol=1e-3, atol=5e-3)
     sv = batch_np["seg_pad_masks"]
     # mask logits: compare on valid (query, segment) pairs
     for b in range(B):
