@@ -297,6 +297,9 @@ def _resolve_query3d_leaf(path: str, collection: str, memories):
         if p.startswith(fb):
             return ln(tb) if ("ln" in fb.lower() or "LayerNorm" in fb) \
                 else lin(tb)
+    if p == "coord_encoder/pos_enc/gauss_B":
+        # Fourier PE buffer (mask3d position_embedding.py gauss_B)
+        return lambda sd: _np(sd["coord_encoder.pos_enc.gauss_B"])
     # dim_loc=3 Fourier coordinate encoder projection
     # (ref mask3d position_embedding PositionEmbeddingCoordsSine has no
     # params; the reference CoordinateEncoder wraps a Linear+LN)

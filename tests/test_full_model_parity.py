@@ -135,8 +135,7 @@ def _patch_from_pretrained():
         lambda cls, *a, **k: cls(t5cfg))
 
 
-@pytest.fixture(scope="module")
-def ref_model():
+def _build_ref(structure="mixed", dim_loc=6):
     _install_stubs()
     _patch_from_pretrained()
     import importlib
@@ -153,11 +152,12 @@ def ref_model():
         hidden_size=D,
         use_offline_voxel_fts=False, use_offline_attn_mask=False,
         skip_query_encoder_mask_pred=True,
-        obj_loc=Node(dim_loc=6, spatial_dim=5, pairwise_rel_type="center"),
+        obj_loc=Node(dim_loc=dim_loc, spatial_dim=5,
+                     pairwise_rel_type="center"),
         unified_encoder=Node(name="QueryMaskEncoder", args=Node(**{
             "memories": MEMORIES, "hidden_size": D,
             "num_attention_heads": HEADS, "num_layers": 1,
-            "structure": "mixed", "spatial_selfattn": True,
+            "structure": structure, "spatial_selfattn": True,
             "memory_dropout": 0.0, "num_blocks": 1,
             "use_self_mask": False})),
         mv_encoder=Node(name="ObjectEncoder", args=Node(**{
@@ -184,16 +184,17 @@ def ref_model():
     return model
 
 
-def _batch(rng):
+def _batch(rng, dim_loc=6):
+    dl = dim_loc
     prompt = np.zeros((B, LP), np.float32)
     prompt[0] = rng.integers(1, VOCAB, LP)            # item 0: TXT
     prompt[1, :6] = rng.standard_normal(6)            # item 1: LOC box
     prompt_type = np.array([1, 3], np.int64)          # TXT, LOC
     prompt_masks = np.ones((B, LP), bool)
     prompt_masks[0, 6:] = False
-    seg_center = rng.standard_normal((B, S, 6)).astype(np.float32)
+    seg_center = rng.standard_normal((B, S, dl)).astype(np.float32)
     return {
-        "query_locs": rng.standard_normal((B, Q, 6)).astype(np.float32),
+        "query_locs": rng.standard_normal((B, Q, dl)).astype(np.float32),
         "query_pad_masks": np.tile([True] * (Q - 1) + [False], (B, 1)),
         "coord_min": np.full((B, 3), -2, np.float32),
         "coord_max": np.full((B, 3), 2, np.float32),
@@ -212,14 +213,17 @@ def _batch(rng):
     }
 
 
-def test_full_model_forward_parity(ref_model):
+@pytest.mark.parametrize("structure,dim_loc", [
+    ("mixed", 6), ("sequential", 6), ("gate", 6), ("mixed", 3)])
+def test_full_model_forward_parity(structure, dim_loc):
     from pq3d_tpu.models.query3d import (EncoderCfg, GroundHeadCfg,
                                          MaskHeadCfg, Query3DUnified,
                                          TxtEncoderCfg, UnifiedEncoderCfg)
     from pq3d_tpu.utils.hf_import import import_query3d
 
+    ref_model = _build_ref(structure, dim_loc)
     rng = np.random.default_rng(0)
-    batch_np = _batch(rng)
+    batch_np = _batch(rng, dim_loc)
 
     # ---- reference forward -------------------------------------------------
     # copies: the reference prompt router mutates prompt_pad_masks in place
@@ -247,10 +251,10 @@ def test_full_model_forward_parity(ref_model):
     model = Query3DUnified(
         memories=tuple(MEMORIES), heads=("ground", "generation", "mask"),
         hidden_size=D,
-        dim_loc=6, skip_query_encoder_mask_pred=True,
+        dim_loc=dim_loc, skip_query_encoder_mask_pred=True,
         unified=UnifiedEncoderCfg(num_layers=1, num_blocks=1,
                                   num_attention_heads=HEADS,
-                                  structure="mixed", spatial_selfattn=True,
+                                  structure=structure, spatial_selfattn=True,
                                   use_self_mask=False),
         mv_enc=EncoderCfg(input_feat_size=FEAT),
         pc_enc=EncoderCfg(input_feat_size=FEAT),
