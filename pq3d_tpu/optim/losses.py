@@ -114,22 +114,27 @@ def instseg_layer_loss(pred_logits, mask_logits, col4row, labels, tgt_masks,
     t = tgt_masks.astype(jnp.float32)
     w_seg = seg_valid.astype(jnp.float32)[:, None, :]
     w_inst = inst_valid.astype(jnp.float32)
-    # GLOBAL per-mask normalization (ref criterion.py:241-243 all-reduces
-    # num_masks across devices): under jit-over-mesh this sum spans the
-    # whole sharded batch, so XLA inserts the cross-device psum for free
-    # and sharded == replicated loss exactly.
-    num_masks = jnp.maximum(w_inst.sum(), 1.0)
+    # PER-SCENE mask normalization, then mean over scenes — the reference's
+    # exact semantics (criterion.py loss_masks: num_masks is shadowed by the
+    # per-scene instance count, then torch.mean over the batch; pinned by
+    # tests/test_criterion_parity.py).  A per-scene mean is dp-invariant
+    # under even batch sharding, so sharded == replicated loss holds.
+    num_per_scene = jnp.maximum(w_inst.sum(-1), 1.0)          # (B,)
+    scene_ok = (w_inst.sum(-1) > 0).astype(jnp.float32)
+    n_scenes = jnp.maximum(scene_ok.sum(), 1.0)
 
     bce = _bce_logits(matched.astype(jnp.float32), t)
     per_inst_bce = (bce * w_seg).sum(-1) / jnp.maximum(w_seg.sum(-1), 1.0)
-    loss_mask = (per_inst_bce * w_inst).sum() / num_masks
+    loss_mask = (((per_inst_bce * w_inst).sum(-1) / num_per_scene)
+                 * scene_ok).sum() / n_scenes
 
     p = jax.nn.sigmoid(matched.astype(jnp.float32)) * w_seg
     tw = t * w_seg
     num = 2 * (p * tw).sum(-1)
     den = p.sum(-1) + tw.sum(-1)
     dice = 1 - (num + 1) / (den + 1)
-    loss_dice = (dice * w_inst).sum() / num_masks
+    loss_dice = (((dice * w_inst).sum(-1) / num_per_scene)
+                 * scene_ok).sum() / n_scenes
 
     return {"loss_ce": loss_ce, "loss_mask": loss_mask, "loss_dice": loss_dice}
 
