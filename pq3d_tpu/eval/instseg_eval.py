@@ -4,7 +4,7 @@ Re-implementation of the reference's instseg evaluation flow (reference:
 evaluator/instseg_eval.py:100-304 + the standard ScanNet benchmark protocol
 in common/eval_instseg.py): per-query (class, score) ranking of
 class-probability x mask-score, thresholded masks, and per-class AP at IoU
-0.25 / 0.5 / [0.5:0.95].
+0.25 / 0.5 / [0.5:0.9].
 
 Round-1 scope notes (documented deviations):
 - masks are scored at **segment level** with segment-size weighting; the
@@ -22,7 +22,7 @@ import numpy as np
 
 from pq3d_tpu.eval.base import BaseEvaluator
 
-OVERLAPS = np.append(np.arange(0.5, 0.96, 0.05), [0.25])
+OVERLAPS = np.append(np.arange(0.5, 0.95, 0.05), 0.25)  # official: 0.5..0.9 + 0.25
 
 
 def mask_iou(pred: np.ndarray, gt: np.ndarray,

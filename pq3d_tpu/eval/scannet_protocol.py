@@ -29,7 +29,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-OVERLAPS = np.append(np.arange(0.5, 0.96, 0.05), [0.25])
+OVERLAPS = np.append(np.arange(0.5, 0.95, 0.05), 0.25)  # 0.5..0.9 + 0.25
 MIN_REGION_SIZE = 100.0
 
 
