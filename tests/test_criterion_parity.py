@@ -112,3 +112,63 @@ def test_set_criterion_matches_reference(ref_criterion):
                 float(metrics[k_ours]),
                 float(losses[k_ref] * weight_dict[k_ref]), rtol=2e-4,
                 err_msg=k_ours)
+
+
+def test_direct_criterion_matches_reference(ref_criterion):
+    """DirectCriterion (GT-matched, no Hungarian) parity vs the reference
+    optim/loss/instseg_loss.py DirectCriterion."""
+    _install_stubs()
+    import importlib
+    for pkg in ("optim", "optim.loss"):
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = ["/root/reference/" + pkg.replace(".", "/")]
+            sys.modules[pkg] = m
+    # the loss registry file imports fvcore via optim.loss.loss
+    if "fvcore" not in sys.modules:
+        reg = types.ModuleType("fvcore.common.registry")
+
+        class _R:
+            def __init__(self, n):
+                pass
+
+            def register(self, o=None, name=None):
+                return (lambda x: x) if o is None else o
+        reg.Registry = _R
+        sys.modules["fvcore"] = types.ModuleType("fvcore")
+        sys.modules["fvcore.common"] = types.ModuleType("fvcore.common")
+        sys.modules["fvcore.common.registry"] = reg
+    ref_mod = importlib.import_module("optim.loss.instseg_loss")
+    crit = ref_mod.DirectCriterion(losses=["labels", "masks"],
+                                   ignore_label=-100)
+
+    from pq3d_tpu.optim.losses import instseg_direct_loss
+    rng = np.random.default_rng(3)
+    m = 6
+    preds_class = [rng.standard_normal((B, m, C + 1)).astype(np.float32)
+                   for _ in range(ROUNDS)]
+    preds_mask = [rng.standard_normal((B, S, m)).astype(np.float32)
+                  for _ in range(ROUNDS)]
+    labels = rng.integers(0, C, (B, m)).astype(np.int64)
+    labels[0, 4:] = -100                       # padded/ignored instances
+    tgt = (rng.random((B, m, S)) < 0.4).astype(np.float32)
+    pad = rng.random((B, m, S)) < 0.9
+    pad[0, 4:] = False
+
+    with torch.no_grad():
+        ref = crit([torch.from_numpy(p) for p in preds_mask],
+                   [torch.from_numpy(p) for p in preds_class],
+                   torch.from_numpy(tgt),
+                   torch.from_numpy(pad),
+                   torch.from_numpy(labels.copy()))
+
+    batch = {"target_labels": jnp.asarray(labels),
+             "target_masks": jnp.asarray(tgt),
+             "target_masks_pad_masks": jnp.asarray(pad)}
+    total, met = instseg_direct_loss(
+        [jnp.asarray(p) for p in preds_class],
+        [jnp.asarray(p) for p in preds_mask], batch)
+    for k in ("loss_ce", "loss_mask", "loss_dice"):
+        np.testing.assert_allclose(float(met[k]) if k in met
+                                   else float(met[k.replace("mask", "bce")]),
+                                   float(ref[k]), rtol=1e-5, err_msg=k)
