@@ -37,18 +37,34 @@ def no_decay_mask(params) -> Any:
 
 
 def make_schedule(name: str, lr: float, total_steps: int,
-                  warmup_steps: int = 0) -> optax.Schedule:
+                  warmup_steps: int = 0, gamma: float = 0.1
+                  ) -> optax.Schedule:
+    """Reference-EXACT LR lambdas (ref optim/scheduler.py:5-17; pinned by
+    tests/test_criterion_parity.py::test_schedule_curves_match_reference):
+    linear warmup to step==warmup_steps, then cosine with a 1e-5 floor /
+    gamma**(step/(total-warmup)) exponential / constant."""
+    import math
     name = name or "constant"
+    denom = max(total_steps - warmup_steps, 1)
     if name == "warmup_cosine":
-        if warmup_steps <= 0:
-            return optax.cosine_decay_schedule(lr, max(total_steps, 1))
-        return optax.warmup_cosine_decay_schedule(
-            0.0, lr, warmup_steps, max(total_steps, warmup_steps + 1))
+        def sched(step):
+            step = jnp.asarray(step, jnp.float32)
+            lin = step / max(warmup_steps, 1)
+            cos = jnp.maximum(
+                0.5 * (1 + jnp.cos((step - warmup_steps) / denom * math.pi)),
+                1e-5)
+            mult = jnp.where((warmup_steps > 0) & (step <= warmup_steps),
+                             lin, cos)
+            return lr * mult
+        return sched
     if name == "warmup_exp":
         def sched(step):
-            warm = jnp.minimum(step / jnp.maximum(warmup_steps, 1), 1.0)
-            decay = jnp.power(0.9995, jnp.maximum(step - warmup_steps, 0))
-            return lr * warm * decay
+            step = jnp.asarray(step, jnp.float32)
+            lin = step / max(warmup_steps, 1)
+            decay = jnp.power(gamma, step / denom)
+            mult = jnp.where((warmup_steps > 0) & (step <= warmup_steps),
+                             lin, decay)
+            return lr * mult
         return sched
     if name == "constant":
         return optax.constant_schedule(lr)

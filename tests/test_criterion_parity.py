@@ -172,3 +172,21 @@ def test_direct_criterion_matches_reference(ref_criterion):
         np.testing.assert_allclose(float(met[k]) if k in met
                                    else float(met[k.replace("mask", "bce")]),
                                    float(ref[k]), rtol=1e-5, err_msg=k)
+
+
+def test_schedule_curves_match_reference():
+    """warmup_cosine / warmup_exp multipliers == the reference's lambdas
+    (optim/scheduler.py — imported directly)."""
+    _install_stubs()
+    import importlib
+    ref = importlib.import_module("optim.scheduler")
+    from pq3d_tpu.optim.optimizers import make_schedule
+
+    total, warm = 1000, 100
+    for name, kw in (("warmup_cosine", {}), ("warmup_exp", {"gamma": 0.1}),
+                     ("constant", {})):
+        ours = make_schedule(name, 1.0, total, warm, **kw)
+        for step in (0, 1, 50, 100, 101, 400, 999):
+            want = getattr(ref, name)(step, warm, total, **kw)
+            np.testing.assert_allclose(float(ours(step)), want, rtol=1e-6,
+                                       err_msg=f"{name}@{step}")
