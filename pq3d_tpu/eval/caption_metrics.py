@@ -79,18 +79,22 @@ def rouge_l(preds: Dict, refs: Dict, beta: float = 1.2) -> float:
     scores = []
     for k, ps in preds.items():
         p = ps[0].split()
-        best = 0.0
+        # official pycocoevalcap semantics (ref capeval/rouge/rouge.py:68-74;
+        # pinned by test_caption_metrics_parity): precision and recall are
+        # EACH maxed over the references (possibly different refs), then
+        # combined into one F-beta
+        prec_max = rec_max = 0.0
         for r in refs[k]:
             rt = r.split()
             lcs = _lcs_len(p, rt)
-            prec = lcs / max(len(p), 1)
-            rec = lcs / max(len(rt), 1)
-            if prec and rec:
-                f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
-            else:
-                f = 0.0
-            best = max(best, f)
-        scores.append(best)
+            prec_max = max(prec_max, lcs / max(len(p), 1))
+            rec_max = max(rec_max, lcs / max(len(rt), 1))
+        if prec_max and rec_max:
+            f = ((1 + beta ** 2) * prec_max * rec_max) / (
+                rec_max + beta ** 2 * prec_max)
+        else:
+            f = 0.0
+        scores.append(f)
     return sum(scores) / max(len(scores), 1)
 
 

@@ -1,0 +1,81 @@
+"""Caption scorer parity vs the reference's VENDORED pycocoevalcap code
+(evaluator/capeval/{bleu,rouge,cider} — pure python, imported directly).
+
+The clean-room BLEU-4 / ROUGE-L / CIDEr-D implementations in
+eval/caption_metrics.py must reproduce the vendored scorers' numbers, since
+Scan2Cap results are reported in these units.
+"""
+import sys
+import types
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def capeval():
+    sys.path.insert(0, "/root/reference")
+    for pkg in ("evaluator", "evaluator.capeval", "evaluator.capeval.bleu",
+                "evaluator.capeval.rouge", "evaluator.capeval.cider"):
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = ["/root/reference/" + pkg.replace(".", "/")]
+            sys.modules[pkg] = m
+    import importlib
+    bleu = importlib.import_module("evaluator.capeval.bleu.bleu")
+    rouge = importlib.import_module("evaluator.capeval.rouge.rouge")
+    cider = importlib.import_module("evaluator.capeval.cider.cider")
+    return bleu.Bleu(4), rouge.Rouge(), cider.Cider()
+
+
+WORDS = ("sos the a red blue chair table lamp is on next to near wooden "
+         "small large eos door window shelf").split()
+
+
+def _corpus(rng, n_items=12):
+    preds, refs = {}, {}
+    for i in range(n_items):
+        k = f"item{i}"
+        ln = rng.integers(3, 12)
+        preds[k] = [" ".join(rng.choice(WORDS, ln))]
+        refs[k] = [" ".join(rng.choice(WORDS, rng.integers(3, 12)))
+                   for _ in range(int(rng.integers(1, 4)))]
+        if rng.random() < 0.3:     # some exact matches
+            preds[k] = [refs[k][0]]
+    return preds, refs
+
+
+def test_caption_scorers_match_vendored(capeval):
+    from pq3d_tpu.eval.caption_metrics import (cider_d, corpus_bleu, rouge_l)
+    bleu_s, rouge_s, cider_s = capeval
+    rng = np.random.default_rng(11)
+    preds, refs = _corpus(rng)
+
+    ref_bleu, _ = bleu_s.compute_score(refs, preds)
+    ref_rouge, _ = rouge_s.compute_score(refs, preds)
+    ref_cider, _ = cider_s.compute_score(refs, preds)
+
+    our_bleu, _ = corpus_bleu(preds, refs)
+    np.testing.assert_allclose(our_bleu, ref_bleu, rtol=1e-6)
+    np.testing.assert_allclose(rouge_l(preds, refs), ref_rouge, rtol=1e-6)
+    np.testing.assert_allclose(cider_d(preds, refs), ref_cider, rtol=1e-6)
+
+
+def test_caption_scorers_match_vendored_empty_preds(capeval):
+    """Scan2Cap scores missing-object entries with empty captions
+    (ref scan2cap_eval.py:27-73) — the scorers must agree there too."""
+    from pq3d_tpu.eval.caption_metrics import cider_d, corpus_bleu, rouge_l
+    bleu_s, rouge_s, cider_s = capeval
+    rng = np.random.default_rng(5)
+    preds, refs = _corpus(rng, 8)
+    for i, k in enumerate(preds):
+        if i % 3 == 0:
+            preds[k] = ["sos eos"]
+
+    ref_bleu, _ = bleu_s.compute_score(refs, preds)
+    ref_rouge, _ = rouge_s.compute_score(refs, preds)
+    ref_cider, _ = cider_s.compute_score(refs, preds)
+    our_bleu, _ = corpus_bleu(preds, refs)
+    np.testing.assert_allclose(our_bleu, ref_bleu, rtol=1e-6)
+    np.testing.assert_allclose(rouge_l(preds, refs), ref_rouge, rtol=1e-6)
+    np.testing.assert_allclose(cider_d(preds, refs), ref_cider, rtol=1e-6)
