@@ -79,3 +79,27 @@ def test_caption_scorers_match_vendored_empty_preds(capeval):
     np.testing.assert_allclose(our_bleu, ref_bleu, rtol=1e-6)
     np.testing.assert_allclose(rouge_l(preds, refs), ref_rouge, rtol=1e-6)
     np.testing.assert_allclose(cider_d(preds, refs), ref_cider, rtol=1e-6)
+
+
+def test_clean_answer_matches_reference():
+    """Gen-QA answer normalization parity vs the reference's clean_answer
+    (data/data_utils.py:450-507) on a battery of tricky strings."""
+    sys.path.insert(0, "/root/reference")
+    for pkg in ("data", "data.datasets"):
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = ["/root/reference/" + pkg.replace(".", "/")]
+            sys.modules[pkg] = m
+    import importlib
+    ref = importlib.import_module("data.data_utils")
+    from pq3d_tpu.eval.text_utils import clean_answer
+
+    cases = [
+        "The Red Chair.", "it's on the table", "there are 3 chairs",
+        "  spaces   everywhere  ", "don't know", "a dog; a cat",
+        "twenty-two", "N/A", "yes!", "next to the window, on the left",
+        "the chair's leg", "CANNOT answer", "1", "on top of the shelf.",
+        "behind you", "two", "tv stand", "whiteboard",
+    ]
+    for s in cases:
+        assert clean_answer(s) == ref.clean_answer(s), s
