@@ -24,6 +24,12 @@ def _install_stubs():
     sys.path.insert(0, "/root/reference")
     # mask3d.misc imports torchvision only for unused box ops
     sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
+    if "omegaconf" not in sys.modules:
+        oc = types.ModuleType("omegaconf")
+        oc.OmegaConf = type("OmegaConf", (), {
+            "to_container": staticmethod(lambda c, **k: dict(c))})
+        oc.DictConfig = dict
+        sys.modules["omegaconf"] = oc
     for pkg, path in (("modules", "/root/reference/modules"),
                       ("modules.third_party",
                        "/root/reference/modules/third_party"),
@@ -190,3 +196,57 @@ def test_schedule_curves_match_reference():
             want = getattr(ref, name)(step, warm, total, **kw)
             np.testing.assert_allclose(float(ours(step)), want, rtol=1e-6,
                                        err_msg=f"{name}@{step}")
+
+
+def test_lion_matches_reference():
+    """One-step + multi-step Lion parity vs the reference implementation
+    (optim/optimizer/lion.py — decoupled wd, sign update, post-update
+    momentum decay)."""
+    _install_stubs()
+    import importlib
+    for pkg in ("optim", "optim.optimizer"):
+        if pkg not in sys.modules:
+            m = types.ModuleType(pkg)
+            m.__path__ = ["/root/reference/" + pkg.replace(".", "/")]
+            sys.modules[pkg] = m
+    if "fvcore" not in sys.modules:
+        reg = types.ModuleType("fvcore.common.registry")
+
+        class _R:
+            def __init__(self, n):
+                pass
+
+            def register(self, o=None, name=None):
+                return (lambda x: x) if o is None else o
+        reg.Registry = _R
+        sys.modules["fvcore"] = types.ModuleType("fvcore")
+        sys.modules["fvcore.common"] = types.ModuleType("fvcore.common")
+        sys.modules["fvcore.common.registry"] = reg
+    # optim.optimizer package __init__ may drag the registry; import module
+    lion_mod = importlib.import_module("optim.optimizer.lion")
+
+    import jax
+    import optax
+
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((5, 4)).astype(np.float32)
+    grads = [rng.standard_normal((5, 4)).astype(np.float32)
+             for _ in range(4)]
+    lr, wd = 1e-2, 0.1
+
+    tp = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = lion_mod.Lion([tp], lr=lr, betas=(0.9, 0.99), weight_decay=wd)
+    for g in grads:
+        tp.grad = torch.from_numpy(g.copy())
+        opt.step()
+    ref_w = tp.detach().numpy()
+
+    tx = optax.chain(
+        optax.lion(lr, b1=0.9, b2=0.99, weight_decay=wd))
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]), ref_w, rtol=1e-5,
+                               atol=1e-6)
