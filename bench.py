@@ -25,6 +25,10 @@ import time
 
 import numpy as np
 
+# BENCH_SMOKE=1 shrinks every scale so the whole script executes on CPU in
+# minutes — a pre-flight check of the bench itself, not a measurement.
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+
 
 def _time_calls(fn, *args, n1=2, n2=12):
     """Slope timing (see PERF.md): dispatch k independent steps, read back
@@ -57,13 +61,15 @@ def bench_unified(jax, jnp, rng):
                                          EncoderCfg, GroundHeadCfg,
                                          GenerationHeadCfg, TxtEncoderCfg)
 
-    batch_size = 8
+    batch_size = 2 if SMOKE else 8
     cfg = Config({"data": {"synthetic": {"num_train": batch_size,
-                                         "n_points": 2000,
+                                         "n_points": 300 if SMOKE else 2000,
                                          "n_instances": 8}},
                   "debug": {"flag": False}})
-    pipe = UnifiedPipelineConfig(max_obj_len=80, num_points=1024,
-                                 prompt_len=77, response_len=50)
+    pipe = UnifiedPipelineConfig(max_obj_len=8 if SMOKE else 80,
+                                 num_points=64 if SMOKE else 1024,
+                                 prompt_len=12 if SMOKE else 77,
+                                 response_len=4 if SMOKE else 50)
     loader = UnifiedTaskLoader(SyntheticRefer(cfg, "train"), pipe,
                                batch_size=batch_size, train=False,
                                feature_dims={"mv": 768, "voxel": 128})
@@ -76,9 +82,10 @@ def bench_unified(jax, jnp, rng):
     model = Query3DUnified(
         memories=("mv", "pc", "voxel", "prompt"),
         heads=("ground", "generation"),
-        hidden_size=768, dim_loc=6, use_offline_voxel_fts=True,
+        hidden_size=96 if SMOKE else 768, dim_loc=6,
+        use_offline_voxel_fts=True,
         skip_query_encoder_mask_pred=True, mask_head_cfg=None,
-        unified=UnifiedEncoderCfg(num_layers=4, num_blocks=1,
+        unified=UnifiedEncoderCfg(num_layers=1 if SMOKE else 4, num_blocks=1,
                                   num_attention_heads=12, structure="mixed",
                                   memory_dropout=0.6),
         mv_enc=EncoderCfg(input_feat_size=768),
@@ -86,8 +93,12 @@ def bench_unified(jax, jnp, rng):
                           freeze_backbone=True),
         voxel_obj_enc=EncoderCfg(input_feat_size=128),
         ground_head_cfg=GroundHeadCfg(),
-        generation_head_cfg=GenerationHeadCfg(max_new_tokens=50),
-        txt_cfg=TxtEncoderCfg())
+        generation_head_cfg=GenerationHeadCfg(
+            max_new_tokens=4 if SMOKE else 50,
+            **({"d_model": 64, "d_kv": 16, "d_ff": 128, "num_layers": 1,
+                "num_heads": 4} if SMOKE else {})),
+        txt_cfg=TxtEncoderCfg(**({"width": 96, "layers": 1, "heads": 12}
+                                 if SMOKE else {})))
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         batch, train=False)
@@ -109,52 +120,75 @@ def bench_unified(jax, jnp, rng):
 
 
 def bench_instseg(jax, jnp, rng):
+    """Online-voxel instseg forward; A/Bs the conv0 stem (125-tap gathered
+    vs dense-block MXU) and the sorted-index gather hint, reporting the
+    fastest and the per-variant times."""
     from pq3d_tpu.data import synthetic
     from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig,
                                                 make_batch)
     from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
                                          MaskHeadCfg, VoxelEncoderCfg)
 
-    batch_size = 4
-    pipe_cfg = InstSegPipelineConfig(
-        voxel_size=0.02, num_queries=120, max_segments=512,
-        max_instances=120, voxel_bucket=8192, use_aug=False)
-    scenes = [synthetic.make_scene(rng, n_points=80_000, n_instances=24,
-                                   n_segments=400) for _ in range(batch_size)]
+    batch_size = 2 if SMOKE else 4
+    scenes = [synthetic.make_scene(
+        rng, n_points=800 if SMOKE else 80_000, n_instances=6 if SMOKE else 24,
+        n_segments=24 if SMOKE else 400) for _ in range(batch_size)]
     for s in scenes:
         s["inst_labels"] = np.minimum(s["inst_labels"], 199)
-    t0 = time.time()
-    batch = make_batch(scenes, pipe_cfg, rng, train=False)
-    host_s = time.time() - t0
-    S = pipe_cfg.max_segments
-    batch["mv_seg_fts"] = rng.standard_normal(
-        (batch_size, S, 768)).astype(np.float32)
-    batch["mv_seg_pad_masks"] = batch["seg_pad_masks"]
-    batch["pc_seg_fts"] = rng.standard_normal(
-        (batch_size, S, 768)).astype(np.float32)
-    batch["pc_seg_pad_masks"] = batch["seg_pad_masks"]
-    batch = {k: v for k, v in batch.items() if not k.startswith("_")}
-    batch = {k: (jnp.asarray(v) if not isinstance(v, dict) else
-                 {kk: jnp.asarray(vv) for kk, vv in v.items()})
-             for k, v in batch.items()}
 
-    model = Query3DUnified(
-        memories=("voxel", "mv", "pc"), heads=("mask",), hidden_size=768,
-        dim_loc=3,
-        unified=UnifiedEncoderCfg(num_layers=4, num_blocks=3,
-                                  num_attention_heads=12,
-                                  structure="parallel",
-                                  spatial_selfattn=True, use_self_mask=True),
-        voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16"),
-        mask_head_cfg=MaskHeadCfg(num_targets=201,
-                                  filter_out_classes=(0, 2)))
-    variables = jax.jit(model.init, static_argnames=("train",))(
-        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
-        batch, train=False)
-    fwd = jax.jit(lambda v, b: sum(
-        jnp.sum(x) for x in jax.tree.leaves(model.apply(v, b, train=False))))
-    dt = _time_calls(fwd, variables, batch)
-    return batch_size / dt, dt, host_s
+    variants = {}
+    host_s = 0.0
+    for stem, sorted_g in (("dense_block", False), ("gather", False),
+                           ("dense_block", True)):
+        pipe_cfg = InstSegPipelineConfig(
+            voxel_size=0.15 if SMOKE else 0.02,
+            num_queries=16 if SMOKE else 120,
+            max_segments=64 if SMOKE else 512,
+            max_instances=16 if SMOKE else 120,
+            voxel_bucket=256 if SMOKE else 8192, use_aug=False,
+            stem_mode=stem)
+        t0 = time.time()
+        batch = make_batch(scenes, pipe_cfg, rng, train=False)
+        host_s = time.time() - t0
+        S = pipe_cfg.max_segments
+        batch["mv_seg_fts"] = rng.standard_normal(
+            (batch_size, S, 768)).astype(np.float32)
+        batch["mv_seg_pad_masks"] = batch["seg_pad_masks"]
+        batch["pc_seg_fts"] = rng.standard_normal(
+            (batch_size, S, 768)).astype(np.float32)
+        batch["pc_seg_pad_masks"] = batch["seg_pad_masks"]
+        batch = {k: v for k, v in batch.items() if not k.startswith("_")}
+        batch = {k: (jnp.asarray(v) if not isinstance(v, dict) else
+                     {kk: jnp.asarray(vv) for kk, vv in v.items()})
+                 for k, v in batch.items()}
+
+        model = Query3DUnified(
+            memories=("voxel", "mv", "pc"), heads=("mask",),
+            hidden_size=96 if SMOKE else 768,
+            dim_loc=3,
+            unified=UnifiedEncoderCfg(num_layers=1 if SMOKE else 4,
+                                      num_blocks=1 if SMOKE else 3,
+                                      num_attention_heads=12,
+                                      structure="parallel",
+                                      spatial_selfattn=True,
+                                      use_self_mask=True),
+            voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3),
+                                      accum="bfloat16",
+                                      sorted_gather=sorted_g),
+            mask_head_cfg=MaskHeadCfg(num_targets=201,
+                                      filter_out_classes=(0, 2)))
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+            batch, train=False)
+        fwd = jax.jit(lambda v, b: sum(
+            jnp.sum(x) for x in jax.tree.leaves(
+                model.apply(v, b, train=False))))
+        key = f"{stem}{'+sorted' if sorted_g else ''}"
+        variants[key] = _time_calls(fwd, variables, batch)
+
+    dt = min(variants.values())
+    return batch_size / dt, dt, host_s, {
+        k: round(v * 1000, 2) for k, v in variants.items()}
 
 
 def wait_for_device(max_wait_s: int = 1800) -> None:
@@ -184,7 +218,12 @@ def wait_for_device(max_wait_s: int = 1800) -> None:
 
 
 def main():
-    wait_for_device()
+    if SMOKE:
+        os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") +             " --xla_force_host_platform_device_count=1"
+        import jax as _jax
+        _jax.config.update("jax_platforms", "cpu")
+    else:
+        wait_for_device()
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
@@ -193,7 +232,7 @@ def main():
     rng = np.random.default_rng(0)
 
     uni_sps, uni_dt, uni_host, uni_dt_f32 = bench_unified(jax, jnp, rng)
-    seg_sps, seg_dt, seg_host = bench_instseg(jax, jnp, rng)
+    seg_sps, seg_dt, seg_host, seg_variants = bench_instseg(jax, jnp, rng)
 
     result = {
         "metric": "unified_task_inference_throughput",
@@ -206,6 +245,7 @@ def main():
             "unified_batch": 8,
             "instseg_scenes_per_sec": round(seg_sps, 3),
             "instseg_step_ms": round(seg_dt * 1000, 2),
+            "instseg_variants_ms": seg_variants,
             "instseg_batch": 4,
             "instseg_voxels_pad": 65536,
             "host_s_unified": round(uni_host, 2),
