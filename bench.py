@@ -138,8 +138,13 @@ def bench_instseg(jax, jnp, rng):
 
     variants = {}
     host_s = 0.0
-    for stem, sorted_g in (("dense_block", False), ("gather", False),
-                           ("dense_block", True)):
+    # each variant is a separate full-scale compile (~minutes on this 1-CPU
+    # box): keep the default ladder short; extend via env for manual runs
+    spec = {"gather": ("gather", False), "dense_block": ("dense_block", False),
+            "gather+sorted": ("gather", True),
+            "dense_block+sorted": ("dense_block", True)}
+    names = os.environ.get("BENCH_VARIANTS", "gather,dense_block").split(",")
+    for stem, sorted_g in (spec[n.strip()] for n in names):
         pipe_cfg = InstSegPipelineConfig(
             voxel_size=0.15 if SMOKE else 0.02,
             num_queries=16 if SMOKE else 120,
@@ -185,6 +190,8 @@ def bench_instseg(jax, jnp, rng):
                 model.apply(v, b, train=False))))
         key = f"{stem}{'+sorted' if sorted_g else ''}"
         variants[key] = _time_calls(fwd, variables, batch)
+        print(f"# instseg {key}: {variants[key]*1000:.1f} ms",
+              file=sys.stderr, flush=True)
 
     dt = min(variants.values())
     return batch_size / dt, dt, host_s, {
