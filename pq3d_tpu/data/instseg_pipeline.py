@@ -53,6 +53,14 @@ class InstSegPipelineConfig:
     # hierarchy levels 1-4 at this window size (ops/window_maps.py); needed
     # by the 'swin3d' voxel backbone
     swin_window: int = 0
+    # flat-packed SERVING layout: per-level voxel arrays are the
+    # CONCATENATION of the true (unpadded) per-scene rows — one bucketed
+    # total instead of B x max(scene) padding (removes ~15-40% pad waste on
+    # varied scenes).  Maps ship pre-offset with no batch dim plus
+    # 'voxel_scene' / 'anc_local' / 'rect_{l}' side arrays; single-device
+    # inference/training only (the dp shard-by-batch-dim rule does not
+    # apply to flat arrays).
+    flat_pack: bool = False
     # 'gather' ships the 125-tap nbr5 map for conv0; 'dense_block' instead
     # packs level-0 voxels + features into dense 8^3 blocks so conv0 runs
     # as a dense MXU conv (ops/sparse.conv0_dense_block) — no 125-tap map
@@ -333,7 +341,136 @@ def _repad_hierarchy(h: kernel_maps.SparseHierarchy, pad: List[int]
     )
 
 
+def collate_flat(scenes: List[Dict[str, np.ndarray]],
+                 cfg: InstSegPipelineConfig) -> Dict[str, np.ndarray]:
+    """Flat-packed variant of :func:`collate` (cfg.flat_pack): voxel-level
+    arrays concatenate true per-scene rows; everything segment/instance/
+    query-level stays rectangular (B, ...) so the decoder, losses and
+    evaluators are untouched."""
+    b = len(scenes)
+    n_levels = kernel_maps.NUM_LEVELS
+    hs = [s["hierarchy"] for s in scenes]
+    counts = [[h.num_voxels[l] for h in hs] for l in range(n_levels)]
+    starts = [np.concatenate([[0], np.cumsum(c)]).astype(np.int64)
+              for c in counts]
+    tot = [window_maps.bucket(int(st[-1]), cfg.voxel_bucket)
+           for st in starts]
+
+    maps: Dict[str, np.ndarray] = {}
+    for l in range(n_levels):
+        valid = np.zeros(tot[l], bool)
+        valid[:starts[l][-1]] = True
+        nbr = np.full((tot[l], 27), -1, np.int32)
+        for i, h in enumerate(hs):
+            n = counts[l][i]
+            sl = slice(starts[l][i], starts[l][i] + n)
+            src = h.nbr3[l][:n]
+            nbr[sl] = np.where(src >= 0, src + starts[l][i], -1)
+        maps[f"valid_{l}"] = valid
+        maps[f"nbr3_{l}"] = nbr
+    for l in range(n_levels - 1):
+        child = np.full((tot[l + 1], 8), -1, np.int32)
+        parent = np.full(tot[l], -1, np.int32)
+        poff = np.zeros(tot[l], np.int32)
+        for i, h in enumerate(hs):
+            nf, nc = counts[l][i], counts[l + 1][i]
+            cs = h.child[l][:nc]
+            child[starts[l + 1][i]:starts[l + 1][i] + nc] = np.where(
+                cs >= 0, cs + starts[l][i], -1)
+            ps = h.parent[l][:nf]
+            parent[starts[l][i]:starts[l][i] + nf] = np.where(
+                ps >= 0, ps + starts[l + 1][i], -1)
+            poff[starts[l][i]:starts[l][i] + nf] = h.parent_off[l][:nf]
+        maps[f"child_{l}"] = child
+        maps[f"parent_{l}"] = parent
+        maps[f"parent_off_{l}"] = poff
+    # flat + scene-local ancestors, scene ids, rectangularization gathers
+    anc = np.zeros((n_levels, tot[0]), np.int32)
+    anc_local = np.zeros((n_levels, tot[0]), np.int32)
+    scene_id = np.zeros(tot[0], np.int32)
+    for i, h in enumerate(hs):
+        n0 = counts[0][i]
+        sl = slice(starts[0][i], starts[0][i] + n0)
+        scene_id[sl] = i
+        for l in range(n_levels):
+            a = h.ancestor[l, :n0]
+            anc[l, sl] = a + starts[l][i]
+            anc_local[l, sl] = a
+    maps["ancestor"] = anc
+    maps["anc_local"] = anc_local
+    maps["voxel_scene"] = scene_id
+    for l in range(n_levels):
+        pmax = max(counts[l]) if counts[l] else 1
+        rect = np.full((b, pmax), -1, np.int32)
+        for i in range(b):
+            rect[i, :counts[l][i]] = np.arange(
+                starts[l][i], starts[l][i] + counts[l][i], dtype=np.int32)
+        maps[f"rect_{l}"] = rect
+
+    if cfg.stem_mode == "dense_block":
+        blk = cfg.stem_block
+        b3 = blk ** 3
+        packs = [window_maps.build_window_pack(
+            s["vox_coords"], blk, 0, with_neighbors=True) for s in scenes]
+        nwin = [p["n_win"] for p in packs]
+        wstart = np.concatenate([[0], np.cumsum(nwin)]).astype(np.int64)
+        nb_tot = window_maps.bucket(int(wstart[-1]))
+        cin = scenes[0]["voxel_feats"].shape[1]
+        dense = np.zeros((nb_tot * b3, cin), np.float32)
+        c2v = np.full(nb_tot * b3, -1, np.int32)
+        slot = np.full(tot[0], -1, np.int32)
+        nbrblk = np.full((nb_tot, 27), -1, np.int32)
+        for i, (sc, pk) in enumerate(zip(scenes, packs)):
+            cell0 = wstart[i] * b3
+            dense[cell0 + pk["vox_slot"]] = sc["voxel_feats"]
+            cv = pk["cell_to_vox"]
+            c2v[cell0:cell0 + len(cv)] = np.where(
+                cv >= 0, cv + starts[0][i], -1)
+            slot[starts[0][i]:starts[0][i] + counts[0][i]] = \
+                pk["vox_slot"] + cell0
+            nb = pk["nbr_win"]
+            nbrblk[wstart[i]:wstart[i] + nwin[i]] = np.where(
+                nb >= 0, nb + wstart[i], -1)
+        maps["stem_dense"] = dense.reshape(nb_tot, b3 * cin)
+        maps["stem_c2v"] = c2v
+        maps["stem_slot"] = slot
+        maps["stem_nbrblk"] = nbrblk
+    elif cfg.stem_mode == "gather":
+        nbr5 = np.full((tot[0], len(kernel_maps.kernel_offsets(
+            cfg.conv0_kernel))), -1, np.int32)
+        for i, s in enumerate(scenes):
+            n0 = counts[0][i]
+            m = kernel_maps.build_neighbor_map(s["vox_coords"],
+                                               cfg.conv0_kernel)
+            nbr5[starts[0][i]:starts[0][i] + n0] = np.where(
+                m >= 0, m + starts[0][i], -1)
+        maps["nbr5_0"] = nbr5
+
+    S = cfg.max_segments
+    vf = np.zeros((tot[0], scenes[0]["voxel_feats"].shape[1]), np.float32)
+    v2s = np.full(tot[0], S, np.int32)
+    for i, s in enumerate(scenes):
+        n0 = counts[0][i]
+        sl = slice(starts[0][i], starts[0][i] + n0)
+        vf[sl] = s["voxel_feats"]
+        v2s[sl] = np.minimum(s["voxel2segment"], S)
+
+    # rectangular (B, ...) keys via the standard collate (stem 'none' so no
+    # rectangular conv0 arrays get built), then override the voxel-level
+    # arrays with the flat ones
+    out = collate(scenes, dataclasses.replace(cfg, flat_pack=False,
+                                              swin_window=0,
+                                              stem_mode="none"))
+    out["maps"] = maps
+    out["voxel_feats"] = vf
+    out["voxel2segment"] = v2s
+    return out
+
+
 def make_batch(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
                rng: np.random.Generator, train: bool = True
                ) -> Dict[str, np.ndarray]:
-    return collate([process_scene(s, cfg, rng, train) for s in scenes], cfg)
+    processed = [process_scene(s, cfg, rng, train) for s in scenes]
+    if cfg.flat_pack:
+        return collate_flat(processed, cfg)
+    return collate(processed, cfg)

@@ -90,15 +90,23 @@ class SegVoxelEncoder(nn.Module):
             feature_maps = [jax.lax.stop_gradient(f) for f in feature_maps]
 
         fm = flatten_maps(maps)  # XLA dedups with the backbone's copy
-        b, p0 = maps["valid_0"].shape
+        flat_in = maps["valid_0"].ndim == 1
+        if flat_in:
+            # flat-packed layout: scene ids / local ancestors / rect
+            # gathers come from the host (instseg_pipeline.collate_flat)
+            b = maps["rect_0"].shape[0]
+            p0 = maps["valid_0"].shape[0]
+            scene = maps["voxel_scene"]
+        else:
+            b, p0 = maps["valid_0"].shape
+            scene = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p0)
         valid0 = fm["valid_0"]
         # flat per-scene segment ids: b*S + seg (trash bucket -> B*S)
-        scene = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p0)
         v2s = voxel2segment.reshape(-1)
         flat_seg = jnp.where(v2s < max_seg, scene * max_seg + v2s,
                              b * max_seg)
         # per-segment level-0 voxel count (shared by every scale's mean)
-        n_s = segment.segment_sum(jnp.ones((b * p0,), jnp.float32),
+        n_s = segment.segment_sum(jnp.ones(flat_seg.shape, jnp.float32),
                                   flat_seg, b * max_seg)
         n_s = jnp.maximum(n_s, 1.0).reshape(b, max_seg, 1)
 
@@ -120,15 +128,31 @@ class SegVoxelEncoder(nn.Module):
             feat = feature_maps[hlevel]          # (B*P_{4-hlevel}, C)
             lvl = 4 - hlevel
             if lvl > 0:
-                p_l = maps[f"valid_{lvl}"].shape[1]
-                anc = jnp.maximum(fm[f"ancestor_{lvl}"], 0)
+                if flat_in:
+                    # rectangularize the flat coarse level with one gather
+                    # so the count-matrix contraction stays per-scene
+                    rect = maps[f"rect_{lvl}"]          # (B, Pmax_l)
+                    p_l = rect.shape[1]
+                    from pq3d_tpu.ops.sparse import fast_row_gather
+                    featr = fast_row_gather(feat, jnp.maximum(
+                        rect.reshape(-1), 0))
+                    featr = jnp.where((rect.reshape(-1) >= 0)[:, None],
+                                      featr, 0)
+                    anc = (scene.astype(jnp.int32) * p_l
+                           + maps["anc_local"][lvl])
+                    feat_b = featr.reshape(b, p_l, -1)
+                else:
+                    p_l = maps[f"valid_{lvl}"].shape[1]
+                    anc = jnp.maximum(fm[f"ancestor_{lvl}"], 0)
+                    feat_b = feat.reshape(b, p_l, -1)
                 key = anc * s1 + sl              # (B*P0,) pair ids
                 counts = segment.segment_sum(
-                    jnp.ones((b * p0,), jnp.float32), key, b * p_l * s1)
+                    jnp.ones((key.shape[0],), jnp.float32), key,
+                    b * p_l * s1)
                 counts = counts.reshape(b, p_l, s1)[:, :, :max_seg]
                 seg_sum = jnp.einsum(
                     "bjs,bjc->bsc", counts.astype(cdt),
-                    feat.reshape(b, p_l, -1).astype(cdt),
+                    feat_b.astype(cdt),
                     preferred_element_type=jnp.float32)
                 seg_feat = seg_sum / n_s
             else:

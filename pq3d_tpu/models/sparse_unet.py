@@ -34,6 +34,10 @@ def flatten_maps(maps: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     Neighbor/child/parent indices get a per-scene offset; -1 stays -1.
     The ancestor table becomes absolute flat indices per level.
     """
+    if maps["valid_0"].ndim == 1:
+        # flat-packed layout (InstSegPipelineConfig.flat_pack): the host
+        # already concatenated scenes and applied offsets
+        return maps
     out: Dict[str, jnp.ndarray] = {}
     b = maps["valid_0"].shape[0]
 
@@ -251,12 +255,20 @@ class Res16UNet(nn.Module):
         P = self.planes
         gm = self.grad_mode
         sg = self.sorted_gather
-        b, p0, cin = x.shape
+        flat_in = x.ndim == 2            # flat-packed layout
+        if flat_in:
+            b, (p0, cin) = 1, x.shape
+        else:
+            b, p0, cin = x.shape
         fm = flatten_maps(maps)
         v = [fm[f"valid_{l}"] for l in range(5)]
         n = [fm[f"nbr3_{l}"] for l in range(5)]
         x = x.reshape(b * p0, cin)
         bn = lambda name: MaskedBatchNorm(self.bn_momentum, name=name)
+        if flat_in:
+            p0 = fm["valid_0"].shape[0]
+            x = jnp.pad(x, ((0, p0 - x.shape[0]), (0, 0))) \
+                if x.shape[0] != p0 else x
         # ladder convs share the stage remat policy so their per-tap gather
         # residuals are not stored either (e.g. conv1s2 at 64k voxels would
         # otherwise save 27 x N x C activations)
