@@ -41,7 +41,17 @@ def build_instseg_trainer(cfg):
         filter_out_classes=tuple(iopt.get("filter_out_classes", (0, 2))),
         ignore_label=int(iopt.get("ignore_label", -100)),
         stem_mode=iopt.get("stem_mode", "gather"),
-        swin_window=int(iopt.get("swin_window", 0) or 0))
+        swin_window=int(iopt.get("swin_window", 0) or 0),
+        flat_pack=bool(iopt.get("flat_pack", False)))
+    if pipe_cfg.flat_pack:
+        import jax as _jax
+        if len(_jax.devices()) > 1 and not bool(
+                cfg.dataloader.get("allow_single_device", False)):
+            # flat voxel arrays have no batch dim — the dp shard-by-batch
+            # rule cannot split them; serving layout is single-device
+            raise ValueError(
+                "data.instseg_options.flat_pack is a single-device serving "
+                "layout; unset it or set dataloader.allow_single_device")
 
     def make_loader(split, train):
         ds_name = cfg.data.get(split)[0]
