@@ -135,7 +135,9 @@ def _patch_from_pretrained():
         lambda cls, *a, **k: cls(t5cfg))
 
 
-def _build_ref(structure="mixed", dim_loc=6):
+def _build_ref(structure="mixed", dim_loc=6, self_mask=False,
+               memories=None):
+    memories = memories or MEMORIES
     _install_stubs()
     _patch_from_pretrained()
     import importlib
@@ -148,18 +150,18 @@ def _build_ref(structure="mixed", dim_loc=6):
     q3d = importlib.import_module("model.query3d_unified")
 
     mcfg = Node(
-        memories=MEMORIES, heads=["ground", "generation", "mask"],
+        memories=memories, heads=["ground", "generation", "mask"],
         hidden_size=D,
         use_offline_voxel_fts=False, use_offline_attn_mask=False,
-        skip_query_encoder_mask_pred=True,
+        skip_query_encoder_mask_pred=not self_mask,
         obj_loc=Node(dim_loc=dim_loc, spatial_dim=5,
                      pairwise_rel_type="center"),
         unified_encoder=Node(name="QueryMaskEncoder", args=Node(**{
-            "memories": MEMORIES, "hidden_size": D,
+            "memories": memories, "hidden_size": D,
             "num_attention_heads": HEADS, "num_layers": 1,
             "structure": structure, "spatial_selfattn": True,
-            "memory_dropout": 0.0, "num_blocks": 1,
-            "use_self_mask": False})),
+            "memory_dropout": 0.0, "num_blocks": 2 if self_mask else 1,
+            "use_self_mask": self_mask})),
         mv_encoder=Node(name="ObjectEncoder", args=Node(**{
             "backbone": "none", "input_feat_size": FEAT, "hidden_size": D,
             "use_projection": True, "use_cls_head": False, "dropout": 0.0})),
@@ -213,15 +215,20 @@ def _batch(rng, dim_loc=6):
     }
 
 
-@pytest.mark.parametrize("structure,dim_loc", [
-    ("mixed", 6), ("sequential", 6), ("gate", 6), ("mixed", 3)])
-def test_full_model_forward_parity(structure, dim_loc):
+@pytest.mark.parametrize("structure,dim_loc,self_mask", [
+    ("mixed", 6, False), ("sequential", 6, False), ("gate", 6, False),
+    ("mixed", 3, False),
+    # stage-1-style iterative decoder: per-round mask predictions feed the
+    # sigmoid<0.5 cross-attention masks (ref query_encoder.py:69-94)
+    ("parallel", 3, True)])
+def test_full_model_forward_parity(structure, dim_loc, self_mask):
     from pq3d_tpu.models.query3d import (EncoderCfg, GroundHeadCfg,
                                          MaskHeadCfg, Query3DUnified,
                                          TxtEncoderCfg, UnifiedEncoderCfg)
     from pq3d_tpu.utils.hf_import import import_query3d
 
-    ref_model = _build_ref(structure, dim_loc)
+    memories = ["mv", "pc"] if self_mask else MEMORIES
+    ref_model = _build_ref(structure, dim_loc, self_mask, memories)
     rng = np.random.default_rng(0)
     batch_np = _batch(rng, dim_loc)
 
@@ -245,17 +252,19 @@ def test_full_model_forward_parity(structure, dim_loc):
     ref_ground = tout["ground_logits"].numpy()
     ref_cls = tout["predictions_class"][-1].detach().numpy()
     ref_mask = tout["predictions_mask"][-1].detach().numpy()
+    n_rounds_ref = len(tout["predictions_class"])
 
     # ---- flax model with imported weights ---------------------------------
     from pq3d_tpu.models.query3d import GenerationHeadCfg
     model = Query3DUnified(
-        memories=tuple(MEMORIES), heads=("ground", "generation", "mask"),
+        memories=tuple(memories), heads=("ground", "generation", "mask"),
         hidden_size=D,
-        dim_loc=dim_loc, skip_query_encoder_mask_pred=True,
-        unified=UnifiedEncoderCfg(num_layers=1, num_blocks=1,
+        dim_loc=dim_loc, skip_query_encoder_mask_pred=not self_mask,
+        unified=UnifiedEncoderCfg(num_layers=1,
+                                  num_blocks=2 if self_mask else 1,
                                   num_attention_heads=HEADS,
                                   structure=structure, spatial_selfattn=True,
-                                  use_self_mask=False),
+                                  use_self_mask=self_mask),
         mv_enc=EncoderCfg(input_feat_size=FEAT),
         pc_enc=EncoderCfg(input_feat_size=FEAT),
         mask_head_cfg=MaskHeadCfg(num_targets=21,
@@ -274,7 +283,7 @@ def test_full_model_forward_parity(structure, dim_loc):
         jbatch, train=False)
     sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
     variables, report = import_query3d(sd, variables,
-                                       memories=tuple(MEMORIES),
+                                       memories=tuple(memories),
                                        clip_layers=TOWER_LAYERS, t5_layers=1)
     assert not report["mismatched"], report["mismatched"][:5]
     missing = [m for m in report["missing"]
@@ -282,6 +291,7 @@ def test_full_model_forward_parity(structure, dim_loc):
     assert not missing, missing[:8]
 
     out = model.apply(variables, jbatch, train=False)
+    assert len(out["predictions_class"]) == n_rounds_ref
     got_gen = np.asarray(out["generation_logits"], np.float32)
     got_ground = np.asarray(out["ground_logits"], np.float32)
     got_cls = np.asarray(out["predictions_class"][-1], np.float32)
