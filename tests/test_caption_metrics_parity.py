@@ -103,3 +103,45 @@ def test_clean_answer_matches_reference():
     ]
     for s in cases:
         assert clean_answer(s) == ref.clean_answer(s), s
+
+
+def test_voxel_hashes_match_reference():
+    """fnv/ravel hashes and voxelize-with-inverse grouping parity vs the
+    reference's pure-numpy data/voxelize.py."""
+    sys.path.insert(0, "/root/reference")
+    if "data" not in sys.modules:
+        m = types.ModuleType("data")
+        m.__path__ = ["/root/reference/data"]
+        sys.modules["data"] = m
+    # reference voxelize.py imports MinkowskiEngine only for an unused alias
+    if "MinkowskiEngine" not in sys.modules:
+        me = types.ModuleType("MinkowskiEngine")
+        me.utils = types.SimpleNamespace(sparse_quantize=None)
+        sys.modules["MinkowskiEngine"] = me
+    import collections
+    import collections.abc
+    import importlib
+    if not hasattr(collections, "Sequence"):
+        # py<3.10 alias the reference file still uses
+        collections.Sequence = collections.abc.Sequence
+    ref = importlib.import_module("data.voxelize")
+    from pq3d_tpu.ops import voxelize as ours
+
+    rng = np.random.default_rng(0)
+    coords = rng.integers(-40, 40, (2000, 3))
+    np.testing.assert_array_equal(ours.fnv_hash(coords.astype(np.int64)),
+                                  ref.fnv_hash_vec(coords.copy()))
+    np.testing.assert_array_equal(ours.ravel_hash(coords.astype(np.int64)),
+                                  ref.ravel_hash_vec(coords.astype(
+                                      np.float64)))
+
+    # grouping semantics: same unique voxel SET and consistent inverse
+    pts = rng.standard_normal((3000, 3)).astype(np.float32) * 2
+    vox, uniq, inv = ours.quantize(pts, 0.1)
+    ref_uniq, ref_inv = ref.voxelize_and_inverse(
+        np.floor(pts / 0.1).astype(np.int64), hash_type="ravel")
+    assert len(uniq) == len(ref_uniq)
+    # every point maps to the same voxel as its group representative
+    grid = np.floor(pts / 0.1).astype(np.int64)
+    np.testing.assert_array_equal(grid[uniq][inv], grid)
+    np.testing.assert_array_equal(np.sort(uniq), np.sort(ref_uniq))
