@@ -2,7 +2,8 @@
 gathers (the round-2 conv optimization ladder, PERF.md).
 
 Usage: python tools/bench_instseg_fwd.py [variants...]
-  variants: base | dense | sorted | dense_sorted   (default: all)
+  variants: base | dense | sorted | dense_sorted | flat | flat_sorted
+  (default: all non-flat)
 Prints ms/step and scenes/s for each variant using slope timing.
 """
 import sys
@@ -23,12 +24,12 @@ from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
 BATCH = 4
 
 
-def build_batch(stem_mode):
+def build_batch(stem_mode, flat=False):
     rng = np.random.default_rng(0)
     cfg = InstSegPipelineConfig(
         voxel_size=0.02, num_queries=120, max_segments=512,
         max_instances=120, voxel_bucket=8192, use_aug=False,
-        stem_mode=stem_mode)
+        stem_mode=stem_mode, flat_pack=flat)
     scenes = [synthetic.make_scene(rng, n_points=80_000, n_instances=24,
                                    n_segments=400) for _ in range(BATCH)]
     for s in scenes:
@@ -77,15 +78,18 @@ def slope(fn, *args, r1=3, r2=10):
 
 def main():
     variants = sys.argv[1:] or ["base", "dense", "sorted", "dense_sorted"]
-    spec = {"base": ("gather", False), "dense": ("dense_block", False),
-            "sorted": ("gather", True),
-            "dense_sorted": ("dense_block", True)}
+    spec = {"base": ("gather", False, False),
+            "dense": ("dense_block", False, False),
+            "sorted": ("gather", True, False),
+            "dense_sorted": ("dense_block", True, False),
+            "flat": ("dense_block", False, True),
+            "flat_sorted": ("dense_block", True, True)}
     batches = {}
     for name in variants:
-        stem, sg = spec[name]
-        if stem not in batches:
-            batches[stem] = build_batch(stem)
-        batch, host_s = batches[stem]
+        stem, sg, flat = spec[name]
+        if (stem, flat) not in batches:
+            batches[(stem, flat)] = build_batch(stem, flat)
+        batch, host_s = batches[(stem, flat)]
         model = build_model(sg)
         variables = jax.jit(model.init, static_argnames=("train",))(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
