@@ -61,6 +61,11 @@ class InstSegPipelineConfig:
     # inference/training only (the dp shard-by-batch-dim rule does not
     # apply to flat arrays).
     flat_pack: bool = False
+    # with flat_pack: also build tap-compacted conv plans (CSR; gathers only
+    # valid (output, tap) pairs — ~2x fewer random fetches at surface
+    # occupancy, ops/kernel_maps.build_compact_conv).  Inference-oriented
+    # (the compact conv's backward is native autodiff).
+    compact_conv: bool = False
     # 'gather' ships the 125-tap nbr5 map for conv0; 'dense_block' instead
     # packs level-0 voxels + features into dense 8^3 blocks so conv0 runs
     # as a dense MXU conv (ops/sparse.conv0_dense_block) — no 125-tap map
@@ -454,6 +459,14 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
         sl = slice(starts[0][i], starts[0][i] + n0)
         vf[sl] = s["voxel_feats"]
         v2s[sl] = np.minimum(s["voxel2segment"], S)
+
+    if cfg.compact_conv:
+        for l in range(n_levels):
+            plan = kernel_maps.build_compact_conv(maps[f"nbr3_{l}"])
+            maps[f"cmp{l}_in"] = plan["in_idx"]
+            maps[f"cmp{l}_sa"] = plan["slots_a"]
+            maps[f"cmp{l}_sb"] = plan["slots_b"]
+            maps[f"cmp{l}_src"] = plan["src"]
 
     # rectangular (B, ...) keys via the standard collate (stem 'none' so no
     # rectangular conv0 arrays get built), then override the voxel-level

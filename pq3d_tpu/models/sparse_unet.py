@@ -96,6 +96,18 @@ class SparseConv(nn.Module):
     @nn.compact
     def __call__(self, x, nbr, valid, parent=None, parent_off=None,
                  in_valid=None):
+        if isinstance(nbr, dict):
+            # tap-compacted plan (flat_pack + compact_conv); native autodiff
+            k = nbr["in_idx"].shape[0]
+            w = self.param("kernel", conv_init,
+                           (k, x.shape[-1], self.out_channels))
+            y = sparse.sparse_conv_compact(
+                x, nbr, w, valid, accum_dtype=jnp.dtype(self.accum))
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.out_channels,))
+                y = jnp.where(valid[..., None], y + b, 0)
+            return y
         k = nbr.shape[-1]
         w = self.param("kernel", conv_init, (k, x.shape[-1], self.out_channels))
         acc = jnp.dtype(self.accum)
@@ -262,7 +274,12 @@ class Res16UNet(nn.Module):
             b, p0, cin = x.shape
         fm = flatten_maps(maps)
         v = [fm[f"valid_{l}"] for l in range(5)]
-        n = [fm[f"nbr3_{l}"] for l in range(5)]
+        if "cmp0_in" in fm:
+            n = [{"in_idx": fm[f"cmp{l}_in"], "slots_a": fm[f"cmp{l}_sa"],
+                  "slots_b": fm[f"cmp{l}_sb"], "src": fm[f"cmp{l}_src"]}
+                 for l in range(5)]
+        else:
+            n = [fm[f"nbr3_{l}"] for l in range(5)]
         x = x.reshape(b * p0, cin)
         bn = lambda name: MaskedBatchNorm(self.bn_momentum, name=name)
         if flat_in:

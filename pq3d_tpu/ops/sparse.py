@@ -434,3 +434,51 @@ def sparse_conv_transpose_gf(x: jnp.ndarray, parent: jnp.ndarray,
 
     f.defvjp(fwd, bwd)
     return f(x, w)
+
+
+def sparse_conv_compact(x: jnp.ndarray, plan: dict, w: jnp.ndarray,
+                        out_valid: Optional[jnp.ndarray] = None,
+                        compute_dtype=jnp.bfloat16,
+                        accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Tap-compacted conv (ops/kernel_maps.build_compact_conv plan).
+
+    Gathers ONLY valid (output, tap) pairs (~valid_frac*K*N rows instead of
+    K*N), runs one GEMM per tap on the compacted rows, and each output row
+    collects its <=K partial products by static addresses — light rows
+    (<=8 taps) and heavy rows are separate fixed-width groups, then one
+    inverse-permutation gather re-orders to the output layout.  No scatter
+    anywhere.  Inference-oriented: the backward is native autodiff (gather
+    VJPs -> scatter-add); use the padded scatter-free convs for training.
+    """
+    k, m = plan["in_idx"].shape
+    cout = w.shape[-1]
+    xb = x.astype(compute_dtype)
+    wb = w.astype(compute_dtype)
+
+    def tap(_, inp):
+        idx, wk = inp
+        ok = idx >= 0
+        xi = fast_row_gather(xb, jnp.maximum(idx, 0))
+        xi = jnp.where(ok[:, None], xi, 0)
+        return _, jnp.dot(xi, wk, preferred_element_type=compute_dtype)
+
+    _, z = jax.lax.scan(tap, 0, (plan["in_idx"], wb))      # (K, M, Cout)
+    z = jnp.concatenate([z.reshape(k * m, cout),
+                         jnp.zeros((1, cout), compute_dtype)])
+
+    def collect(slots):
+        acc = jnp.zeros((slots.shape[0], cout), accum_dtype)
+        for s in range(slots.shape[1]):                     # static unroll
+            a = slots[:, s]
+            zi = fast_row_gather(z, jnp.where(a >= 0, a, k * m))
+            acc = acc + zi.astype(accum_dtype)
+        return acc
+
+    acc_a = collect(plan["slots_a"])
+    acc_b = collect(plan["slots_b"])
+    allacc = jnp.concatenate(
+        [acc_a, acc_b, jnp.zeros((1, cout), accum_dtype)])
+    out = fast_row_gather(allacc, plan["src"])
+    if out_valid is not None:
+        out = jnp.where(out_valid[:, None], out, 0)
+    return out.astype(x.dtype)

@@ -127,3 +127,33 @@ def test_flat_pack_gradients_match_rectangular(monkeypatch):
         scale = np.abs(np.asarray(a)).max() + 1e-6
         np.testing.assert_allclose(np.asarray(c) / scale,
                                    np.asarray(a) / scale, atol=1e-4)
+
+
+def test_compact_conv_matches_rectangular():
+    """flat_pack + compact_conv (tap-compacted CSR convs) == rectangular."""
+    rng = np.random.default_rng(0)
+    scenes = _scenes(rng)
+    kw = dict(voxel_size=0.15, num_queries=8, max_segments=32,
+              max_instances=8, voxel_bucket=128, use_aug=False,
+              stem_mode="dense_block")
+    br = _prep(make_batch(scenes, InstSegPipelineConfig(**kw),
+                          np.random.default_rng(1), train=False))
+    bc = _prep(make_batch(scenes,
+                          InstSegPipelineConfig(flat_pack=True,
+                                                compact_conv=True, **kw),
+                          np.random.default_rng(1), train=False))
+    assert "cmp0_in" in bc["maps"]
+    model = _model()
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        br, train=False)
+    out_r = model.apply(variables, br, train=False)
+    out_c = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables,
+                                                                 bc)
+    for k in ("predictions_class", "predictions_mask"):
+        a = np.asarray(out_r[k][-1])
+        c = np.asarray(out_c[k][-1])
+        ok = np.isfinite(a) & np.isfinite(c)
+        # partial products are stored bf16 (the padded conv accumulates all
+        # taps in f32 directly) -> bf16-rounding-level differences
+        np.testing.assert_allclose(c[ok], a[ok], atol=5e-3)
