@@ -140,22 +140,23 @@ def bench_instseg(jax, jnp, rng):
     host_s = 0.0
     # each variant is a separate full-scale compile (~minutes on this 1-CPU
     # box): keep the default ladder short; extend via env for manual runs
-    spec = {"gather": ("gather", False, False),
-            "dense_block": ("dense_block", False, False),
-            "gather+sorted": ("gather", True, False),
-            "dense_block+sorted": ("dense_block", True, False),
-            "flat": ("dense_block", False, True),
-            "flat+sorted": ("dense_block", True, True)}
+    spec = {"gather": ("gather", False, False, False),
+            "dense_block": ("dense_block", False, False, False),
+            "gather+sorted": ("gather", True, False, False),
+            "dense_block+sorted": ("dense_block", True, False, False),
+            "flat": ("dense_block", False, True, False),
+            "flat+sorted": ("dense_block", True, True, False),
+            "compact": ("dense_block", False, True, True)}
     names = os.environ.get("BENCH_VARIANTS",
                            "gather,dense_block,flat").split(",")
-    for stem, sorted_g, flat in (spec[n.strip()] for n in names):
+    for stem, sorted_g, flat, compact in (spec[n.strip()] for n in names):
         pipe_cfg = InstSegPipelineConfig(
             voxel_size=0.15 if SMOKE else 0.02,
             num_queries=16 if SMOKE else 120,
             max_segments=64 if SMOKE else 512,
             max_instances=16 if SMOKE else 120,
             voxel_bucket=256 if SMOKE else 8192, use_aug=False,
-            stem_mode=stem, flat_pack=flat)
+            stem_mode=stem, flat_pack=flat, compact_conv=compact)
         t0 = time.time()
         batch = make_batch(scenes, pipe_cfg, rng, train=False)
         host_s = time.time() - t0
@@ -192,8 +193,8 @@ def bench_instseg(jax, jnp, rng):
         fwd = jax.jit(lambda v, b: sum(
             jnp.sum(x) for x in jax.tree.leaves(
                 model.apply(v, b, train=False))))
-        key = (("flat" if flat else stem)
-               + ("+sorted" if sorted_g else ""))
+        key = ("compact" if compact else ("flat" if flat else stem)) \
+            + ("+sorted" if sorted_g else "")
         variants[key] = _time_calls(fwd, variables, batch)
         print(f"# instseg {key}: {variants[key]*1000:.1f} ms",
               file=sys.stderr, flush=True)
