@@ -9,11 +9,8 @@ import pytest
 
 @pytest.fixture(scope="module")
 def ref_det():
-    sys.path.insert(0, "/root/reference")
-    if "common" not in sys.modules:
-        m = types.ModuleType("common")
-        m.__path__ = ["/root/reference/common"]
-        sys.modules["common"] = m
+    from _ref_stubs import install
+    install()
     import importlib
     return importlib.import_module("common.eval_det")
 

@@ -14,13 +14,8 @@ import pytest
 
 @pytest.fixture(scope="module")
 def capeval():
-    sys.path.insert(0, "/root/reference")
-    for pkg in ("evaluator", "evaluator.capeval", "evaluator.capeval.bleu",
-                "evaluator.capeval.rouge", "evaluator.capeval.cider"):
-        if pkg not in sys.modules:
-            m = types.ModuleType(pkg)
-            m.__path__ = ["/root/reference/" + pkg.replace(".", "/")]
-            sys.modules[pkg] = m
+    from _ref_stubs import install
+    install()
     import importlib
     bleu = importlib.import_module("evaluator.capeval.bleu.bleu")
     rouge = importlib.import_module("evaluator.capeval.rouge.rouge")
@@ -84,12 +79,8 @@ def test_caption_scorers_match_vendored_empty_preds(capeval):
 def test_clean_answer_matches_reference():
     """Gen-QA answer normalization parity vs the reference's clean_answer
     (data/data_utils.py:450-507) on a battery of tricky strings."""
-    sys.path.insert(0, "/root/reference")
-    for pkg in ("data", "data.datasets"):
-        if pkg not in sys.modules:
-            m = types.ModuleType(pkg)
-            m.__path__ = ["/root/reference/" + pkg.replace(".", "/")]
-            sys.modules[pkg] = m
+    from _ref_stubs import install
+    install()
     import importlib
     ref = importlib.import_module("data.data_utils")
     from pq3d_tpu.eval.text_utils import clean_answer
@@ -108,26 +99,9 @@ def test_clean_answer_matches_reference():
 def test_voxel_hashes_match_reference():
     """fnv/ravel hashes and voxelize-with-inverse grouping parity vs the
     reference's pure-numpy data/voxelize.py."""
-    sys.path.insert(0, "/root/reference")
-    if "data" not in sys.modules:
-        m = types.ModuleType("data")
-        m.__path__ = ["/root/reference/data"]
-        sys.modules["data"] = m
-    # reference voxelize.py imports MinkowskiEngine only for an unused alias
-    if "MinkowskiEngine.utils" not in sys.modules:
-        me = types.ModuleType("MinkowskiEngine")
-        me.__path__ = []
-        meu = types.ModuleType("MinkowskiEngine.utils")
-        meu.sparse_quantize = None
-        me.utils = meu
-        sys.modules["MinkowskiEngine"] = me
-        sys.modules["MinkowskiEngine.utils"] = meu
-    import collections
-    import collections.abc
+    from _ref_stubs import install
+    install()
     import importlib
-    if not hasattr(collections, "Sequence"):
-        # py<3.10 alias the reference file still uses
-        collections.Sequence = collections.abc.Sequence
     ref = importlib.import_module("data.voxelize")
     from pq3d_tpu.ops import voxelize as ours
 

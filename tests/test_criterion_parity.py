@@ -21,24 +21,8 @@ SS = [12, 14]                      # true segments per scene
 
 
 def _install_stubs():
-    sys.path.insert(0, "/root/reference")
-    # mask3d.misc imports torchvision only for unused box ops
-    sys.modules.setdefault("torchvision", types.ModuleType("torchvision"))
-    if "omegaconf" not in sys.modules:
-        oc = types.ModuleType("omegaconf")
-        oc.OmegaConf = type("OmegaConf", (), {
-            "to_container": staticmethod(lambda c, **k: dict(c))})
-        oc.DictConfig = dict
-        sys.modules["omegaconf"] = oc
-    for pkg, path in (("modules", "/root/reference/modules"),
-                      ("modules.third_party",
-                       "/root/reference/modules/third_party"),
-                      ("modules.third_party.mask3d",
-                       "/root/reference/modules/third_party/mask3d")):
-        if pkg not in sys.modules:
-            m = types.ModuleType(pkg)
-            m.__path__ = [path]
-            sys.modules[pkg] = m
+    from _ref_stubs import install
+    install()
 
 
 @pytest.fixture(scope="module")
@@ -125,25 +109,6 @@ def test_direct_criterion_matches_reference(ref_criterion):
     optim/loss/instseg_loss.py DirectCriterion."""
     _install_stubs()
     import importlib
-    for pkg in ("optim", "optim.loss"):
-        if pkg not in sys.modules:
-            m = types.ModuleType(pkg)
-            m.__path__ = ["/root/reference/" + pkg.replace(".", "/")]
-            sys.modules[pkg] = m
-    # the loss registry file imports fvcore via optim.loss.loss
-    if "fvcore" not in sys.modules:
-        reg = types.ModuleType("fvcore.common.registry")
-
-        class _R:
-            def __init__(self, n):
-                pass
-
-            def register(self, o=None, name=None):
-                return (lambda x: x) if o is None else o
-        reg.Registry = _R
-        sys.modules["fvcore"] = types.ModuleType("fvcore")
-        sys.modules["fvcore.common"] = types.ModuleType("fvcore.common")
-        sys.modules["fvcore.common.registry"] = reg
     ref_mod = importlib.import_module("optim.loss.instseg_loss")
     crit = ref_mod.DirectCriterion(losses=["labels", "masks"],
                                    ignore_label=-100)
@@ -204,25 +169,6 @@ def test_lion_matches_reference():
     momentum decay)."""
     _install_stubs()
     import importlib
-    for pkg in ("optim", "optim.optimizer"):
-        if pkg not in sys.modules:
-            m = types.ModuleType(pkg)
-            m.__path__ = ["/root/reference/" + pkg.replace(".", "/")]
-            sys.modules[pkg] = m
-    if "fvcore" not in sys.modules:
-        reg = types.ModuleType("fvcore.common.registry")
-
-        class _R:
-            def __init__(self, n):
-                pass
-
-            def register(self, o=None, name=None):
-                return (lambda x: x) if o is None else o
-        reg.Registry = _R
-        sys.modules["fvcore"] = types.ModuleType("fvcore")
-        sys.modules["fvcore.common"] = types.ModuleType("fvcore.common")
-        sys.modules["fvcore.common.registry"] = reg
-    # optim.optimizer package __init__ may drag the registry; import module
     lion_mod = importlib.import_module("optim.optimizer.lion")
 
     import jax

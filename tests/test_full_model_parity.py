@@ -46,77 +46,8 @@ class Node(types.SimpleNamespace):
 
 
 def _install_stubs():
-    sys.path.insert(0, "/root/reference")
-
-    class Registry:
-        def __init__(self, name):
-            self._m = {}
-            self._name = name
-
-        def register(self, obj=None, name=None):
-            if obj is None:
-                def deco(o):
-                    self._m[o.__name__] = o
-                    return o
-                return deco
-            self._m[obj.__name__] = obj
-            return obj
-
-        def get(self, name):
-            return self._m[name]
-
-        def __contains__(self, name):
-            return name in self._m
-
-    reg = types.ModuleType("fvcore.common.registry")
-    reg.Registry = Registry
-    oc = types.ModuleType("omegaconf")
-    oc.OmegaConf = type(
-        "OmegaConf", (),
-        {"to_container": staticmethod(lambda c, **k: dict(c))})
-    oc.DictConfig = dict
-    me = types.ModuleType("MinkowskiEngine")
-    me_pool = types.ModuleType("MinkowskiEngine.MinkowskiPooling")
-    me_pool.MinkowskiAvgPooling = object
-    me_pool.MinkowskiMaxPooling = object
-    me.MinkowskiPooling = me_pool
-    me.SparseTensor = object
-    pn2 = types.ModuleType(
-        "modules.third_party.pointnet2.pointnet2_modules")
-    pn2.PointnetSAModule = object
-    pn2.PointnetSAModuleMSG = object
-    for name, mod in {
-            "fvcore": types.ModuleType("fvcore"),
-            "fvcore.common": types.ModuleType("fvcore.common"),
-            "fvcore.common.registry": reg,
-            "omegaconf": oc,
-            "MinkowskiEngine": me,
-            "MinkowskiEngine.MinkowskiPooling": me_pool,
-            "modules.third_party.pointnet2.pointnet2_modules": pn2}.items():
-        sys.modules.setdefault(name, mod)
-    # parent packages with explicit __path__ so wildcard __init__ files
-    # (which drag in CUDA/dataset deps) never execute
-    for pkg, path in (
-            ("modules", "/root/reference/modules"),
-            ("modules.layers", "/root/reference/modules/layers"),
-            ("modules.vision", "/root/reference/modules/vision"),
-            ("modules.language", "/root/reference/modules/language"),
-            ("modules.grounding", "/root/reference/modules/grounding"),
-            ("modules.heads", "/root/reference/modules/heads"),
-            ("modules.third_party", "/root/reference/modules/third_party"),
-            ("modules.third_party.mask3d",
-             "/root/reference/modules/third_party/mask3d"),
-            ("modules.third_party.pointnet2",
-             "/root/reference/modules/third_party/pointnet2"),
-            ("model", "/root/reference/model"),
-            ("optim", "/root/reference/optim"),
-            ("data", "/root/reference/data"),
-            ("data.datasets", "/root/reference/data/datasets"),
-            ("common", "/root/reference/common")):
-        if pkg not in sys.modules:
-            m = types.ModuleType(pkg)
-            m.__path__ = [path]
-            sys.modules[pkg] = m
+    from _ref_stubs import install
+    install()
 
 
 def _patch_from_pretrained():

@@ -14,7 +14,8 @@ import pytest
 
 @pytest.fixture(scope="module")
 def ref_eval():
-    sys.path.insert(0, "/root/reference")
+    from _ref_stubs import install
+    install()
     import importlib
     mod = importlib.import_module("common.eval_instseg")
     return mod
