@@ -389,6 +389,21 @@ class Query3DUnified(nn.Module):
         is_txt = (ptype == PROMPT_TXT)[:, None]
         feat = jnp.where(is_txt[..., None], txt_feat, loc_feat)
         mask = jnp.where(is_txt, valid, loc_valid)
+
+        # image path (BEYOND the reference: PromptType.IMAGE is declared at
+        # data/datasets/constant.py:628-631 but never implemented there).
+        # Rows of type IMAGE carry precomputed image features in
+        # batch["prompt_img_fts"] (B, L, D_img) — e.g. CLIP vision-tower
+        # tokens — projected into the decoder width.
+        if "prompt_img_fts" in batch:
+            img_feat = ObjectEncoder(
+                hidden_size=self.hidden_size,
+                input_feat_size=batch["prompt_img_fts"].shape[-1],
+                use_projection=True, dropout=0.0, name="img_encoder")(
+                batch["prompt_img_fts"], deterministic)
+            is_img = (ptype == PROMPT_IMAGE)[:, None]
+            feat = jnp.where(is_img[..., None], img_feat, feat)
+            mask = jnp.where(is_img, valid, mask)
         return feat, mask
 
 

@@ -124,3 +124,57 @@ def test_pointnet_backbone():
         v, jnp.asarray(pts))
     assert out.shape == (3, 24)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_image_prompt_routing():
+    """IMAGE prompts (BEYOND the reference, which declares PromptType.IMAGE
+    but never implements it): rows of type 2 attend projected image tokens
+    from batch['prompt_img_fts'], other rows are unaffected."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from pq3d_tpu.config import Config
+    from pq3d_tpu.data.unified_datasets import SyntheticRefer
+    from pq3d_tpu.data.unified_loader import UnifiedTaskLoader
+    from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
+    from pq3d_tpu.models.query3d import (EncoderCfg, GroundHeadCfg,
+                                         Query3DUnified, TxtEncoderCfg,
+                                         UnifiedEncoderCfg)
+
+    cfg = Config({"data": {"synthetic": {"num_train": 2, "n_points": 400,
+                                         "n_instances": 4}},
+                  "debug": {"flag": False}})
+    pipe = UnifiedPipelineConfig(max_obj_len=8, num_points=32,
+                                 prompt_len=10, response_len=4)
+    loader = UnifiedTaskLoader(SyntheticRefer(cfg, "train"), pipe,
+                               batch_size=2, train=False,
+                               feature_dims={"mv": 32, "voxel": 16})
+    batch = {k: jnp.asarray(v) for k, v in next(iter(loader(0))).items()
+             if not k.startswith("_")}
+    rng = np.random.default_rng(0)
+    batch["prompt_type"] = jnp.asarray([1, 2])      # TXT, IMAGE
+    batch["prompt_img_fts"] = jnp.asarray(
+        rng.standard_normal((2, 10, 24)).astype(np.float32))
+
+    model = Query3DUnified(
+        memories=("mv", "prompt"), heads=("ground",), hidden_size=32,
+        dim_loc=6, use_offline_voxel_fts=True,
+        skip_query_encoder_mask_pred=True, mask_head_cfg=None,
+        unified=UnifiedEncoderCfg(num_layers=1, num_blocks=1,
+                                  num_attention_heads=4, structure="mixed"),
+        mv_enc=EncoderCfg(input_feat_size=32),
+        ground_head_cfg=GroundHeadCfg(hidden_size=16),
+        txt_cfg=TxtEncoderCfg(vocab_size=64, width=32, layers=1, heads=4))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+    out = model.apply(variables, batch, train=False)
+    g = np.asarray(out["ground_logits"])
+    assert np.isfinite(g[np.asarray(batch["query_pad_masks"])]).all()
+    # image features must matter for the IMAGE row only
+    b2 = dict(batch)
+    b2["prompt_img_fts"] = batch["prompt_img_fts"] + 1.0
+    g2 = np.asarray(model.apply(variables, b2, train=False)["ground_logits"])
+    qv = np.asarray(batch["query_pad_masks"])
+    assert not np.allclose(g[1][qv[1]], g2[1][qv[1]])   # IMAGE row changes
+    np.testing.assert_allclose(g[0][qv[0]], g2[0][qv[0]])  # TXT row stable
