@@ -97,12 +97,16 @@ class SparseConv(nn.Module):
     def __call__(self, x, nbr, valid, parent=None, parent_off=None,
                  in_valid=None):
         if isinstance(nbr, dict):
-            # tap-compacted plan (flat_pack + compact_conv); native autodiff
+            # tap-compacted plan (flat_pack + compact_conv); symmetric
+            # stencils get the scatter-free compact backward under
+            # grad_mode='scatter_free'
             k = nbr["in_idx"].shape[0]
             w = self.param("kernel", conv_init,
                            (k, x.shape[-1], self.out_channels))
-            y = sparse.sparse_conv_compact(
-                x, nbr, w, valid, accum_dtype=jnp.dtype(self.accum))
+            conv = (sparse.sparse_conv_compact_sym
+                    if self.grad_mode == "scatter_free"
+                    else sparse.sparse_conv_compact)
+            y = conv(x, nbr, w, valid, accum_dtype=jnp.dtype(self.accum))
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros,
                                (self.out_channels,))

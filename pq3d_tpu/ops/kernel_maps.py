@@ -430,11 +430,13 @@ def build_compact_conv(nbr: np.ndarray, m_bucket: int = 1024,
     m = int(valid.sum(0).max()) if n else 0
     m = max(m_bucket, int(np.ceil(m / m_bucket)) * m_bucket)
     in_idx = np.full((k, m), -1, np.int32)
+    out_idx = np.full((k, m), -1, np.int32)   # pair's OUTPUT row (for dW)
     # flat partial address per (row, tap) pair
     addr = np.full((n, k), -1, np.int64)
     for t in range(k):
         rows = np.nonzero(valid[:, t])[0]
         in_idx[t, :len(rows)] = nbr[rows, t]
+        out_idx[t, :len(rows)] = rows
         addr[rows, t] = t * m + np.arange(len(rows))
 
     light = (cnt <= light_slots) & (cnt > 0)
@@ -469,5 +471,6 @@ def build_compact_conv(nbr: np.ndarray, m_bucket: int = 1024,
     src = np.full(n, na + nb, np.int32)
     src[la] = np.arange(len(la), dtype=np.int32)
     src[hb] = na + np.arange(len(hb), dtype=np.int32)
-    return {"in_idx": in_idx, "slots_a": slots_a, "slots_b": slots_b,
-            "row_a": row_a, "row_b": row_b, "src": src, "n_out": n}
+    return {"in_idx": in_idx, "out_idx": out_idx, "slots_a": slots_a,
+            "slots_b": slots_b, "row_a": row_a, "row_b": row_b, "src": src,
+            "n_out": n}

@@ -482,3 +482,49 @@ def sparse_conv_compact(x: jnp.ndarray, plan: dict, w: jnp.ndarray,
     if out_valid is not None:
         out = jnp.where(out_valid[:, None], out, 0)
     return out.astype(x.dtype)
+
+
+def sparse_conv_compact_sym(x: jnp.ndarray, plan: dict, w: jnp.ndarray,
+                            out_valid: Optional[jnp.ndarray] = None,
+                            compute_dtype=jnp.bfloat16,
+                            accum_dtype=jnp.float32) -> jnp.ndarray:
+    """Tap-compacted conv with a scatter-free SYMMETRIC-stencil backward.
+
+    For an odd lexicographic stencil the pair relation is self-dual
+    (``nbr[i,k]=j <=> nbr[j,K-1-k]=i``), so the SAME compact plan computes
+    dx with flipped+transposed weights, and dW re-gathers only the valid
+    pairs: ``dW[k] = gather(x, in_idx[k])^T @ gather(dy, out_idx[k])``.
+    The backward's random fetches shrink by the same ~2x as the forward's.
+    """
+
+    @jax.custom_vjp
+    def f(x, w):
+        return sparse_conv_compact(x, plan, w, out_valid,
+                                   compute_dtype, accum_dtype)
+
+    def fwd(x, w):
+        return f(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dy = _mask_rows(dy, out_valid)
+        w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
+        dx = sparse_conv_compact(dy, plan, w_t, None,
+                                 compute_dtype, accum_dtype).astype(x.dtype)
+        xb = x.astype(compute_dtype)
+        dyb = dy.astype(compute_dtype)
+
+        def tap(_, inp):
+            iidx, oidx = inp
+            ok = iidx >= 0
+            xi = fast_row_gather(xb, jnp.maximum(iidx, 0))
+            xi = jnp.where(ok[:, None], xi, 0)
+            gi = fast_row_gather(dyb, jnp.maximum(oidx, 0))
+            gi = jnp.where(ok[:, None], gi, 0)
+            return _, jnp.dot(xi.T, gi, preferred_element_type=jnp.float32)
+
+        _, dw = jax.lax.scan(tap, 0, (plan["in_idx"], plan["out_idx"]))
+        return dx, dw.astype(w.dtype)
+
+    f.defvjp(fwd, bwd)
+    return f(x, w)

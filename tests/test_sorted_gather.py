@@ -76,3 +76,36 @@ def test_sorted_scatter_free_grads_match():
     for a, b in zip(jax.tree.leaves(g_got), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_compact_sym_grads_match_native():
+    """Scatter-free compact backward == native autodiff of the padded conv
+    (exact in f32)."""
+    h, rng = _maps(seed=4)
+    p0 = h.pad_sizes[0]
+    x = jnp.asarray(rng.standard_normal((p0, 8)).astype(np.float32)
+                    * np.asarray(h.valid[0])[:, None])
+    w = jnp.asarray(rng.standard_normal((27, 8, 8)).astype(np.float32))
+    nbr = h.nbr3[0]
+    v0 = jnp.asarray(h.valid[0])
+    plan = kernel_maps.build_compact_conv(nbr, m_bucket=128, row_bucket=64)
+    plan_j = {k: jnp.asarray(v) for k, v in plan.items() if k != "n_out"}
+
+    def loss_ref(args):
+        x_, w_ = args
+        y = sparse.sparse_conv(x_, jnp.asarray(nbr), w_, None, v0,
+                               compute_dtype=jnp.float32)
+        return jnp.sum(y ** 2)
+
+    def loss_cmp(args):
+        x_, w_ = args
+        y = sparse.sparse_conv_compact_sym(x_, plan_j, w_, v0,
+                                           compute_dtype=jnp.float32)
+        return jnp.sum(y ** 2)
+
+    lr_, g_ref = jax.value_and_grad(loss_ref)((x, w))
+    lc_, g_cmp = jax.value_and_grad(loss_cmp)((x, w))
+    np.testing.assert_allclose(float(lc_), float(lr_), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_cmp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

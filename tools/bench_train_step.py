@@ -3,8 +3,9 @@
 Usage: python tools/bench_train_step.py [remat_policy] [grad_mode] [opts]
   remat_policy: full (default) | dots | gather_only | none
   grad_mode:    native (default) | scatter_free
-  opts:         comma list of 'sorted' (sorted-index gathers) and/or
-                'dense_stem' (dense-block conv0)
+  opts:         comma list of 'sorted' (sorted-index gathers),
+                'dense_stem' (dense-block conv0), 'flat' (flat-packed
+                layout), 'compact' (tap-compacted convs; implies flat)
 """
 import sys, time, numpy as np, jax, jax.numpy as jnp
 POLICY = sys.argv[1] if len(sys.argv) > 1 else "full"
@@ -12,6 +13,8 @@ GRAD_MODE = sys.argv[2] if len(sys.argv) > 2 else "native"
 OPTS = (sys.argv[3].split(",") if len(sys.argv) > 3 else [])
 SORTED = "sorted" in OPTS
 STEM = "dense_block" if "dense_stem" in OPTS else "gather"
+COMPACT = "compact" in OPTS
+FLAT = COMPACT or ("flat" in OPTS)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from pq3d_tpu.data import synthetic
@@ -24,7 +27,8 @@ from pq3d_tpu.train.state import TrainState, make_train_step
 rng = np.random.default_rng(0)
 pipe_cfg = InstSegPipelineConfig(voxel_size=0.02, num_queries=120, max_segments=512,
                                  max_instances=120, voxel_bucket=8192, use_aug=False,
-                                 stem_mode=STEM)
+                                 stem_mode=STEM, flat_pack=FLAT,
+                                 compact_conv=COMPACT)
 scenes = [synthetic.make_scene(rng, n_points=80_000, n_instances=24, n_segments=400) for _ in range(4)]
 for s in scenes: s["inst_labels"] = np.minimum(s["inst_labels"], 199)
 batch = make_batch(scenes, pipe_cfg, rng, train=True)
