@@ -165,7 +165,7 @@ def test_ffn_layer_parity(refmods, rng):
                                rtol=2e-4, atol=2e-5)
 
 
-@pytest.mark.parametrize("fusion", ["mul", "bias", "cond"])
+@pytest.mark.parametrize("fusion", ["mul", "bias", "add", "ctx", "cond"])
 def test_spatial_attention_parity(refmods, rng, fusion):
     from pq3d_tpu.models.layers import MultiHeadAttentionSpatial
     ref = refmods.tr.MultiHeadAttentionSpatial(
