@@ -1,7 +1,5 @@
 """Box-detection AP parity vs the reference's eval_det (common/eval_det.py
 VOC-style AP with greedy confidence-ordered matching — pure numpy)."""
-import sys
-import types
 
 import numpy as np
 import pytest

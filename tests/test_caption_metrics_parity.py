@@ -5,8 +5,6 @@ The clean-room BLEU-4 / ROUGE-L / CIDEr-D implementations in
 eval/caption_metrics.py must reproduce the vendored scorers' numbers, since
 Scan2Cap results are reported in these units.
 """
-import sys
-import types
 
 import numpy as np
 import pytest

@@ -5,8 +5,6 @@ HungarianMatcher — pure torch + scipy, importable on CPU).
 Runs both criteria on identical multi-round predictions and targets and
 compares every weighted loss component and the matching indices.
 """
-import sys
-import types
 
 import numpy as np
 import pytest

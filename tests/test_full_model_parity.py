@@ -15,7 +15,6 @@ External deps the reference files import but this path never executes
 ``from_pretrained`` is patched to construct small local HF models
 (zero-egress image).
 """
-import sys
 import types
 
 import numpy as np

@@ -6,7 +6,6 @@ points, group instances, noisy + spurious predictions) through both
 implementations and compares the full (overlap x class) AP matrix and the
 all_ap / ap50 / ap25 averages.
 """
-import sys
 
 import numpy as np
 import pytest
