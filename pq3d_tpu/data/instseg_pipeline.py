@@ -464,6 +464,7 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
         for l in range(n_levels):
             plan = kernel_maps.build_compact_conv(maps[f"nbr3_{l}"])
             maps[f"cmp{l}_in"] = plan["in_idx"]
+            maps[f"cmp{l}_out"] = plan["out_idx"]
             maps[f"cmp{l}_sa"] = plan["slots_a"]
             maps[f"cmp{l}_sb"] = plan["slots_b"]
             maps[f"cmp{l}_src"] = plan["src"]

@@ -279,8 +279,9 @@ class Res16UNet(nn.Module):
         fm = flatten_maps(maps)
         v = [fm[f"valid_{l}"] for l in range(5)]
         if "cmp0_in" in fm:
-            n = [{"in_idx": fm[f"cmp{l}_in"], "slots_a": fm[f"cmp{l}_sa"],
-                  "slots_b": fm[f"cmp{l}_sb"], "src": fm[f"cmp{l}_src"]}
+            n = [{"in_idx": fm[f"cmp{l}_in"], "out_idx": fm[f"cmp{l}_out"],
+                  "slots_a": fm[f"cmp{l}_sa"], "slots_b": fm[f"cmp{l}_sb"],
+                  "src": fm[f"cmp{l}_src"]}
                  for l in range(5)]
         else:
             n = [fm[f"nbr3_{l}"] for l in range(5)]

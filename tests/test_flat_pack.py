@@ -157,3 +157,48 @@ def test_compact_conv_matches_rectangular():
         # partial products are stored bf16 (the padded conv accumulates all
         # taps in f32 directly) -> bf16-rounding-level differences
         np.testing.assert_allclose(c[ok], a[ok], atol=5e-3)
+
+
+def test_compact_scatter_free_training_step():
+    """compact_conv + grad_mode='scatter_free' trains (the self-dual compact
+    backward needs out_idx shipped through the maps)."""
+    from pq3d_tpu.optim.losses import instseg_direct_loss
+    rng = np.random.default_rng(4)
+    scenes = _scenes(rng)
+    kw = dict(voxel_size=0.15, num_queries=8, max_segments=32,
+              max_instances=8, voxel_bucket=128, use_aug=False,
+              stem_mode="dense_block")
+    bc = _prep(make_batch(scenes,
+                          InstSegPipelineConfig(flat_pack=True,
+                                                compact_conv=True, **kw),
+                          np.random.default_rng(1), train=True))
+    model = Query3DUnified(
+        memories=("voxel", "mv", "pc"), heads=("mask",), hidden_size=32,
+        dim_loc=3,
+        unified=UnifiedEncoderCfg(num_layers=1, num_blocks=1,
+                                  num_attention_heads=4,
+                                  structure="parallel",
+                                  spatial_selfattn=True, use_self_mask=True),
+        mv_enc=EncoderCfg(input_feat_size=16),
+        pc_enc=EncoderCfg(input_feat_size=16),
+        voxel_enc=VoxelEncoderCfg(hlevels=(0, 1), out_channels=20,
+                                  grad_mode="scatter_free",
+                                  remat_policy="none"),
+        mask_head_cfg=MaskHeadCfg(num_targets=21,
+                                  filter_out_classes=(0, 2)))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        bc, train=False)
+
+    def loss(params):
+        out, _ = model.apply({**variables, "params": params}, bc, train=True,
+                             mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.key(3)})
+        total, _ = instseg_direct_loss(out["predictions_class"],
+                                       out["predictions_mask"], bc)
+        return total
+
+    val, grads = jax.value_and_grad(loss)(variables["params"])
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree.leaves(grads))
