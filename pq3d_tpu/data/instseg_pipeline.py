@@ -348,6 +348,10 @@ def _repad_hierarchy(h: kernel_maps.SparseHierarchy, pad: List[int]
 
 def collate_flat(scenes: List[Dict[str, np.ndarray]],
                  cfg: InstSegPipelineConfig) -> Dict[str, np.ndarray]:
+    if cfg.swin_window:
+        raise NotImplementedError(
+            "flat_pack does not ship Swin window packs yet — use the "
+            "rectangular layout with the swin3d backbone")
     """Flat-packed variant of :func:`collate` (cfg.flat_pack): voxel-level
     arrays concatenate true per-scene rows; everything segment/instance/
     query-level stays rectangular (B, ...) so the decoder, losses and
