@@ -72,21 +72,60 @@ extern "C" {
 
 // coords (n,3) int32 -> out (n_pad, k) int32 neighbor map (-1 missing;
 // rows >= n are all -1).  offsets (k,3) int32.
+//
+// Fast path: hierarchy levels arrive sorted by packed key (quantize /
+// downsample emit ascending-key order), and pack() is linear — the key of
+// coord+offset is key+delta with a per-tap constant delta (field arithmetic
+// is exact while each axis stays in its 21-bit range).  Each tap then
+// resolves by a sequential two-pointer merge of the sorted keys against
+// their delta-shifted selves instead of k random hash probes per row:
+// ~7.5M scattered lookups for the 125-tap conv0 map at 60k voxels become
+// 125 streaming passes.  Rows are tiled so the output block stays in cache
+// across taps.  Unsorted input falls back to the hash.
 void pq3d_neighbor_map(const int32_t* coords, int64_t n,
                        const int32_t* offsets, int64_t k,
                        int64_t n_pad, int32_t* out) {
-    CoordHash h(n);
-    for (int64_t i = 0; i < n; ++i)
-        h.insert(pack(coords[3 * i], coords[3 * i + 1], coords[3 * i + 2]),
-                 (int32_t)i);
-    for (int64_t i = 0; i < n; ++i) {
-        const int32_t x = coords[3 * i], y = coords[3 * i + 1],
-                      z = coords[3 * i + 2];
-        int32_t* row = out + i * k;
-        for (int64_t j = 0; j < k; ++j)
-            row[j] = h.find(pack(x + offsets[3 * j],
-                                 y + offsets[3 * j + 1],
-                                 z + offsets[3 * j + 2]));
+    if (n > 0) {
+        std::vector<uint64_t> key(n);
+        bool sorted = true;
+        for (int64_t i = 0; i < n; ++i) {
+            key[i] = pack(coords[3 * i], coords[3 * i + 1],
+                          coords[3 * i + 2]);
+            if (i && key[i] <= key[i - 1]) sorted = false;
+        }
+        if (sorted) {
+            const int64_t TILE = 2048;  // out tile ~1 MB at k=125
+            for (int64_t b0 = 0; b0 < n; b0 += TILE) {
+                const int64_t b1 = std::min(b0 + TILE, n);
+                for (int64_t j = 0; j < k; ++j) {
+                    const int64_t d =
+                        ((int64_t)offsets[3 * j] << 42) +
+                        ((int64_t)offsets[3 * j + 1] << 21) +
+                        (int64_t)offsets[3 * j + 2];
+                    const uint64_t t0 = (uint64_t)((int64_t)key[b0] + d);
+                    int64_t p = std::lower_bound(key.begin(), key.end(), t0)
+                                - key.begin();
+                    for (int64_t i = b0; i < b1; ++i) {
+                        const uint64_t t = (uint64_t)((int64_t)key[i] + d);
+                        while (p < n && key[p] < t) ++p;
+                        out[i * k + j] =
+                            (p < n && key[p] == t) ? (int32_t)p : -1;
+                    }
+                }
+            }
+        } else {
+            CoordHash h(n);
+            for (int64_t i = 0; i < n; ++i) h.insert(key[i], (int32_t)i);
+            for (int64_t i = 0; i < n; ++i) {
+                const int32_t x = coords[3 * i], y = coords[3 * i + 1],
+                              z = coords[3 * i + 2];
+                int32_t* row = out + i * k;
+                for (int64_t j = 0; j < k; ++j)
+                    row[j] = h.find(pack(x + offsets[3 * j],
+                                         y + offsets[3 * j + 1],
+                                         z + offsets[3 * j + 2]));
+            }
+        }
     }
     if (n_pad > n)
         std::memset(out + n * k, 0xff, (size_t)(n_pad - n) * k * 4);

@@ -348,10 +348,6 @@ def _repad_hierarchy(h: kernel_maps.SparseHierarchy, pad: List[int]
 
 def collate_flat(scenes: List[Dict[str, np.ndarray]],
                  cfg: InstSegPipelineConfig) -> Dict[str, np.ndarray]:
-    if cfg.swin_window:
-        raise NotImplementedError(
-            "flat_pack does not ship Swin window packs yet — use the "
-            "rectangular layout with the swin3d backbone")
     """Flat-packed variant of :func:`collate` (cfg.flat_pack): voxel-level
     arrays concatenate true per-scene rows; everything segment/instance/
     query-level stays rectangular (B, ...) so the decoder, losses and
@@ -415,6 +411,31 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
             rect[i, :counts[l][i]] = np.arange(
                 starts[l][i], starts[l][i] + counts[l][i], dtype=np.int32)
         maps[f"rect_{l}"] = rect
+
+    if cfg.swin_window:
+        # flat swin packs: per-scene window packs concatenated, window cells
+        # offset by the running window count, voxel ids by the level starts
+        # (mirrors the dense-block stem packing below)
+        w3 = cfg.swin_window ** 3
+        for l in (1, 2, 3, 4):
+            for j in (0, 1):
+                key = f"win{l}s{j}"
+                nwin = [int(s["swin_packs"][f"{key}_nwin"]) for s in scenes]
+                wstart = np.concatenate([[0], np.cumsum(nwin)]).astype(
+                    np.int64)
+                nw_tot = window_maps.bucket(int(wstart[-1]))
+                c2v = np.full(nw_tot * w3, -1, np.int32)
+                slot = np.full(tot[l], -1, np.int32)
+                for i, s in enumerate(scenes):
+                    sc = s["swin_packs"][f"{key}_c2v"]
+                    cell0 = wstart[i] * w3
+                    c2v[cell0:cell0 + len(sc)] = np.where(
+                        sc >= 0, sc + starts[l][i], -1)
+                    ss = s["swin_packs"][f"{key}_slot"]
+                    slot[starts[l][i]:starts[l][i] + counts[l][i]] = \
+                        ss + cell0
+                maps[f"{key}_c2v"] = c2v
+                maps[f"{key}_slot"] = slot
 
     if cfg.stem_mode == "dense_block":
         blk = cfg.stem_block

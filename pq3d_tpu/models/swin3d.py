@@ -38,7 +38,13 @@ def flatten_window_maps(maps: Dict[str, jnp.ndarray],
     ``c2v`` entries index level-l rows -> offset by ``scene * P_l``;
     ``slot`` entries index window cells -> offset by
     ``scene * n_win_pad * w3``; -1 stays -1.
+
+    Flat-packed batches (InstSegPipelineConfig.flat_pack) ship the packs
+    already concatenated with offsets applied (collate_flat) — pass through.
     """
+    if maps[f"win{levels[0]}s0_c2v"].ndim == 1:
+        return {f"win{l}s{j}_{t}": maps[f"win{l}s{j}_{t}"]
+                for l in levels for j in (0, 1) for t in ("c2v", "slot")}
     out: Dict[str, jnp.ndarray] = {}
 
     def off(idx: jnp.ndarray, target: int) -> jnp.ndarray:
@@ -155,11 +161,19 @@ class Swin3DUNet(nn.Module):
     def __call__(self, x: jnp.ndarray, maps: Dict[str, jnp.ndarray],
                  train: bool = False
                  ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
-        b, p0, cin = x.shape
+        flat_in = x.ndim == 2            # flat-packed layout
+        if flat_in:
+            b, (p0, cin) = 1, x.shape
+        else:
+            b, p0, cin = x.shape
         fm = flatten_maps(maps)
         wm = flatten_window_maps(maps, levels=(1, 2, 3, 4))
         v = [fm[f"valid_{l}"] for l in range(5)]
         x = x.reshape(b * p0, cin)
+        if flat_in:
+            p0 = fm["valid_0"].shape[0]
+            x = jnp.pad(x, ((0, p0 - x.shape[0]), (0, 0))) \
+                if x.shape[0] != p0 else x
         bn = lambda name: MaskedBatchNorm(self.bn_momentum, name=name)
         gm = self.grad_mode
 

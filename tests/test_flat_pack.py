@@ -129,6 +129,49 @@ def test_flat_pack_gradients_match_rectangular(monkeypatch):
                                    np.asarray(a) / scale, atol=1e-4)
 
 
+def test_flat_pack_swin_matches_rectangular():
+    """flat_pack + swin_window (flat window packs in collate_flat) produces
+    the same swin3d-backbone outputs as the rectangular layout."""
+    rng = np.random.default_rng(0)
+    scenes = _scenes(rng)
+    kw = dict(voxel_size=0.15, num_queries=8, max_segments=32,
+              max_instances=8, voxel_bucket=128, use_aug=False,
+              stem_mode="gather", swin_window=4)
+    br = _prep(make_batch(scenes, InstSegPipelineConfig(**kw),
+                          np.random.default_rng(1), train=False))
+    bf = _prep(make_batch(scenes, InstSegPipelineConfig(flat_pack=True, **kw),
+                          np.random.default_rng(1), train=False))
+    assert bf["maps"]["win1s0_c2v"].ndim == 1
+
+    model = Query3DUnified(
+        memories=("voxel", "mv", "pc"), heads=("mask",), hidden_size=32,
+        dim_loc=3,
+        unified=UnifiedEncoderCfg(num_layers=1, num_blocks=1,
+                                  num_attention_heads=4,
+                                  structure="parallel",
+                                  spatial_selfattn=True, use_self_mask=True),
+        mv_enc=EncoderCfg(input_feat_size=16),
+        pc_enc=EncoderCfg(input_feat_size=16),
+        voxel_enc=VoxelEncoderCfg(hlevels=(0, 1), out_channels=20,
+                                  backbone="swin3d"),
+        mask_head_cfg=MaskHeadCfg(num_targets=21,
+                                  filter_out_classes=(0, 2)))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        br, train=False)
+    out_r = model.apply(variables, br, train=False)
+    out_f = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables,
+                                                                 bf)
+    for k in ("predictions_class", "predictions_mask"):
+        a = np.asarray(out_r[k][-1])
+        c = np.asarray(out_f[k][-1])
+        ok = np.isfinite(a) & np.isfinite(c)
+        # the swin backbone stacks ~20 dense/attention matmuls whose f32
+        # reduction tiling depends on the (layout-dependent) row count, so
+        # rounding noise accumulates beyond the conv-only backbone's 2e-5
+        np.testing.assert_allclose(c[ok], a[ok], atol=1e-3)
+
+
 def test_compact_conv_matches_rectangular():
     """flat_pack + compact_conv (tap-compacted CSR convs) == rectangular."""
     rng = np.random.default_rng(0)
