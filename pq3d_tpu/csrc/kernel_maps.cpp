@@ -164,4 +164,29 @@ int64_t pq3d_downsample(const int32_t* coords, int64_t n,
     return m;
 }
 
+// Farthest-point sampling: pts (n,3) float32 -> out (m,) int64 indices.
+// Exact iterative FPS (the Python caller applies candidate subsampling for
+// the approximate large-cloud mode before calling in).
+void pq3d_fps(const float* pts, int64_t n, int64_t m, int64_t start,
+              int64_t* out) {
+    if (n <= 0 || m <= 0) return;
+    std::vector<float> mind(n, 3.4e38f);
+    int64_t last = start % n;
+    for (int64_t i = 0; i < m; ++i) {
+        out[i] = last;
+        const float x = pts[3 * last], y = pts[3 * last + 1],
+                    z = pts[3 * last + 2];
+        float best = -1.f;
+        int64_t arg = 0;
+        for (int64_t p = 0; p < n; ++p) {
+            const float dx = pts[3 * p] - x, dy = pts[3 * p + 1] - y,
+                        dz = pts[3 * p + 2] - z;
+            const float d = dx * dx + dy * dy + dz * dz;
+            if (d < mind[p]) mind[p] = d;
+            if (mind[p] > best) { best = mind[p]; arg = p; }
+        }
+        last = arg;
+    }
+}
+
 }  // extern "C"

@@ -123,11 +123,17 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
     n_inst = len(inst_labels)
     obj_center = np.zeros((n_inst, 3), np.float32)
     segment_masks = np.zeros((n_inst, n_seg), bool)
-    for i in range(n_inst):
-        m = inst_point == i
-        if m.any():
-            obj_center[i] = points[m].mean(0)
-            segment_masks[i, np.unique(segment_id[m])] = True
+    own = (inst_point >= 0) & (inst_point < n_inst)
+    if own.any():
+        ip = inst_point[own]
+        cnt = np.bincount(ip, minlength=n_inst).astype(np.float32)
+        nz = cnt > 0
+        for c in range(3):
+            sums = np.bincount(ip, weights=points[own, c], minlength=n_inst)
+            obj_center[nz, c] = (sums[nz] / cnt[nz]).astype(np.float32)
+        pair = ip.astype(np.int64) * n_seg + segment_id[own]
+        up = np.unique(pair)
+        segment_masks[up // n_seg, up % n_seg] = True
 
     # voxelize
     vox_coords, unique_map, inverse_map = voxelize.quantize(points, cfg.voxel_size)
@@ -208,7 +214,20 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
                for l in range(n_levels)]
     S, M, Q = cfg.max_segments, cfg.max_instances, cfg.num_queries
 
-    maps: Dict[str, List[np.ndarray]] = {}
+    # hierarchy maps: preallocate the (B, ...) batch arrays at fill value and
+    # write each scene's true rows directly — the old repad-then-stack path
+    # copied every map twice (measured host hot spot after the native
+    # neighbor builds)
+    maps: Dict[str, np.ndarray] = {}
+    for l in range(n_levels):
+        maps[f"valid_{l}"] = np.zeros((b, pad[l]), bool)
+        maps[f"nbr3_{l}"] = np.full((b, pad[l], 27), -1, np.int32)
+    for l in range(n_levels - 1):
+        maps[f"child_{l}"] = np.full((b, pad[l + 1], 8), -1, np.int32)
+        maps[f"parent_{l}"] = np.full((b, pad[l]), -1, np.int32)
+        maps[f"parent_off_{l}"] = np.zeros((b, pad[l]), np.int32)
+    maps["ancestor"] = np.zeros((b, n_levels, pad[0]), np.int32)
+
     batch: Dict[str, List[np.ndarray]] = {k: [] for k in [
         "voxel_feats", "voxel2segment", "seg_center", "seg_pad_masks",
         "segment_sizes", "query_locs", "query_pad_masks", "coord_min",
@@ -216,11 +235,17 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
         "obj_center", "obj_pad_masks",
     ]}
 
-    for s in scenes:
+    for i, s in enumerate(scenes):
         h: kernel_maps.SparseHierarchy = s["hierarchy"]
-        h = _repad_hierarchy(h, pad)
-        for k, v in h.device_arrays().items():
-            maps.setdefault(k, []).append(v)
+        nv = [min(n, p) for n, p in zip(h.num_voxels, pad)]
+        for l in range(n_levels):
+            maps[f"valid_{l}"][i, :nv[l]] = h.valid[l][:nv[l]]
+            maps[f"nbr3_{l}"][i, :nv[l]] = h.nbr3[l][:nv[l]]
+        for l in range(n_levels - 1):
+            maps[f"child_{l}"][i, :nv[l + 1]] = h.child[l][:nv[l + 1]]
+            maps[f"parent_{l}"][i, :nv[l]] = h.parent[l][:nv[l]]
+            maps[f"parent_off_{l}"][i, :nv[l]] = h.parent_off[l][:nv[l]]
+        maps["ancestor"][i, :, :nv[0]] = h.ancestor[:, :nv[0]]
         n0 = h.num_voxels[0]
         batch["voxel_feats"].append(kernel_maps.pad_rows(s["voxel_feats"], pad[0]))
         v2s = kernel_maps.pad_rows(s["voxel2segment"], pad[0], S)
@@ -252,7 +277,7 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
             kernel_maps.pad_rows(np.ones(min(no, M), bool), M, False))
 
     out = {k: np.stack(v) for k, v in batch.items()}
-    out["maps"] = {k: np.stack(v) for k, v in maps.items()}
+    out["maps"] = maps
     if cfg.swin_window:
         w = cfg.swin_window
         for l in (1, 2, 3, 4):
@@ -317,33 +342,6 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
         "scan_id": [s.get("scan_id", "") for s in scenes],
     }
     return out
-
-
-def _repad_hierarchy(h: kernel_maps.SparseHierarchy, pad: List[int]
-                     ) -> kernel_maps.SparseHierarchy:
-    if h.pad_sizes == pad:
-        return h
-    # only grow (pads are per-level maxima over the batch)
-    assert all(p >= q for p, q in zip(pad, h.pad_sizes)), \
-        "cannot shrink hierarchy pads"
-    anc = np.zeros((kernel_maps.NUM_LEVELS, pad[0]), h.ancestor.dtype)
-    anc[:, :h.ancestor.shape[1]] = h.ancestor
-    return kernel_maps.SparseHierarchy(
-        num_voxels=h.num_voxels,
-        pad_sizes=pad,
-        coords=[kernel_maps.pad_rows(c, p) for c, p in zip(h.coords, pad)],
-        valid=[kernel_maps.pad_rows(v, p, False) for v, p in zip(h.valid, pad)],
-        nbr3=[kernel_maps.pad_rows(n, p, -1) for n, p in zip(h.nbr3, pad)],
-        nbr5_l0=(kernel_maps.pad_rows(h.nbr5_l0, pad[0], -1)
-                 if h.nbr5_l0 is not None else None),
-        child=[kernel_maps.pad_rows(c, pad[l + 1], -1)
-               for l, c in enumerate(h.child)],
-        parent=[kernel_maps.pad_rows(p_, pad[l], -1)
-                for l, p_ in enumerate(h.parent)],
-        parent_off=[kernel_maps.pad_rows(o, pad[l], 0)
-                    for l, o in enumerate(h.parent_off)],
-        ancestor=anc,
-    )
 
 
 def collate_flat(scenes: List[Dict[str, np.ndarray]],

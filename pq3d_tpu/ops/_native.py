@@ -59,6 +59,10 @@ def lib():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p]
             L.pq3d_downsample.restype = ctypes.c_int64
+            L.pq3d_fps.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_void_p]
+            L.pq3d_fps.restype = None
             _LIB = L
         except Exception:
             _LIB = None

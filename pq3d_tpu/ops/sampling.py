@@ -149,6 +149,15 @@ def fps_numpy(points: np.ndarray, npoint: int, start: int = 0,
         rng = rng or np.random.default_rng(0)
         cand = rng.choice(n, size=subsample, replace=False)
         return cand[fps_numpy(points[cand], npoint, start)]
+    if points.ndim == 2 and points.shape[1] == 3:
+        from pq3d_tpu.ops._native import lib
+        L = lib()
+        if L is not None:
+            pts = np.ascontiguousarray(points, np.float32)
+            picks = np.empty(npoint, dtype=np.int64)
+            L.pq3d_fps(pts.ctypes.data, n, npoint, start % n,
+                       picks.ctypes.data)
+            return picks
     picks = np.empty(npoint, dtype=np.int64)
     mind = np.full(n, np.inf)
     last = start % n
