@@ -14,8 +14,8 @@ from typing import Dict, Iterator, Optional
 import numpy as np
 
 from pq3d_tpu.data import synthetic
-from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig, collate,
-                                            process_scene)
+from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig,
+                                            make_batch)
 from pq3d_tpu.registry import DATASET_REGISTRY
 
 
@@ -155,44 +155,103 @@ class SceneVerseInstSeg:
         return scene
 
 
+def _assemble_instseg_batch(dataset, pipe_cfg: InstSegPipelineConfig,
+                            extra_features: Dict[str, int], idxs,
+                            rng: np.random.Generator,
+                            train: bool) -> Dict[str, np.ndarray]:
+    """One batch: scenes -> host pipeline -> fixed arrays (+ offline
+    per-segment features, random-projected synthetics when real feature
+    files are absent)."""
+    scenes = [dataset.get_scene(int(i)) for i in idxs]
+    batch = make_batch(scenes, pipe_cfg, rng, train)
+    S = pipe_cfg.max_segments
+    for name, dim in extra_features.items():
+        key = f"{name}_seg_fts"
+        feats = [s.get(key) for s in scenes]
+        if feats[0] is None:
+            srng = np.random.default_rng(int(idxs[0]))
+            batch[key] = srng.standard_normal(
+                (len(idxs), S, dim)).astype(np.float32)
+        else:
+            batch[key] = np.stack([
+                np.pad(f[:S], ((0, max(0, S - len(f))), (0, 0)))
+                for f in feats])
+        batch[f"{name}_seg_pad_masks"] = batch["seg_pad_masks"]
+    return batch
+
+
+# worker-process state for the multi-worker loader (set by the spawn
+# initializer — the dataset is pickled ONCE per worker, not per batch)
+_WORKER: Dict[str, object] = {}
+
+
+def _init_instseg_worker(dataset, pipe_cfg, extra_features):
+    _WORKER["args"] = (dataset, pipe_cfg, extra_features)
+
+
+def _instseg_worker_batch(idxs, seed_key, train):
+    dataset, pipe_cfg, extra = _WORKER["args"]
+    rng = np.random.default_rng(np.random.SeedSequence(seed_key))
+    return _assemble_instseg_batch(dataset, pipe_cfg, extra, idxs, rng, train)
+
+
 class InstSegLoader:
     """Batch iterator: dataset scenes -> host pipeline -> fixed batches.
-    Callable(epoch) so the trainer can reshuffle per epoch."""
+    Callable(epoch) so the trainer can reshuffle per epoch.
+
+    ``num_workers`` > 0 builds batches in a spawn-based process pool (the
+    TPU-native counterpart of the reference's torch DataLoader workers,
+    ref data/build.py:70-80): batch order is deterministic and identical
+    for any worker count (per-batch seeded rng), with a bounded in-flight
+    window so device-side backpressure caps host memory.  The default 0
+    keeps the exact in-process behavior (one sequential rng)."""
 
     def __init__(self, dataset, pipe_cfg: InstSegPipelineConfig,
                  batch_size: int, train: bool, seed: int = 0,
-                 extra_features: Optional[Dict[str, int]] = None):
+                 extra_features: Optional[Dict[str, int]] = None,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.pipe_cfg = pipe_cfg
         self.batch_size = batch_size
         self.train = train
         self.seed = seed
+        self.num_workers = num_workers
         # offline per-segment features (mv/pc) are random-projected synthetics
         # when real feature files are absent
         self.extra_features = extra_features or {"mv": 768, "pc": 768}
 
-    def __call__(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+    def _batch_indices(self, epoch: int):
         rng = np.random.default_rng(self.seed + epoch)
         order = rng.permutation(len(self.dataset)) if self.train \
             else np.arange(len(self.dataset))
         bs = self.batch_size
-        for start in range(0, len(order) - bs + 1, bs):
-            idxs = order[start:start + bs]
-            scenes = [self.dataset.get_scene(int(i)) for i in idxs]
-            processed = [process_scene(s, self.pipe_cfg, rng, self.train)
-                         for s in scenes]
-            batch = collate(processed, self.pipe_cfg)
-            S = self.pipe_cfg.max_segments
-            for name, dim in self.extra_features.items():
-                key = f"{name}_seg_fts"
-                feats = [s.get(key) for s in scenes]
-                if feats[0] is None:
-                    srng = np.random.default_rng(int(idxs[0]))
-                    batch[key] = srng.standard_normal(
-                        (bs, S, dim)).astype(np.float32)
-                else:
-                    batch[key] = np.stack([
-                        np.pad(f[:S], ((0, max(0, S - len(f))), (0, 0)))
-                        for f in feats])
-                batch[f"{name}_seg_pad_masks"] = batch["seg_pad_masks"]
-            yield batch
+        return [order[s:s + bs]
+                for s in range(0, len(order) - bs + 1, bs)], rng
+
+    def __call__(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
+        batches, rng = self._batch_indices(epoch)
+        if self.num_workers <= 0:
+            for idxs in batches:
+                yield _assemble_instseg_batch(
+                    self.dataset, self.pipe_cfg, self.extra_features,
+                    idxs, rng, self.train)
+            return
+        import concurrent.futures as cf
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")  # fork after XLA init can deadlock
+        with cf.ProcessPoolExecutor(
+                self.num_workers, mp_context=ctx,
+                initializer=_init_instseg_worker,
+                initargs=(self.dataset, self.pipe_cfg,
+                          self.extra_features)) as pool:
+            from collections import deque
+            window = self.num_workers + 2
+            pending: deque = deque()
+            it = iter(enumerate(batches))
+            for b, idxs in it:
+                pending.append(pool.submit(_instseg_worker_batch, idxs,
+                                           [self.seed, epoch, b], self.train))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()

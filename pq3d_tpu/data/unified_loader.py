@@ -14,17 +14,58 @@ from pq3d_tpu.data.unified_pipeline import (UnifiedPipelineConfig,
                                             collate_unified, process_item)
 
 
+def _assemble_unified_batch(dataset, cfg: UnifiedPipelineConfig,
+                            feature_dims: Dict[str, int], idxs,
+                            rng: np.random.Generator,
+                            train: bool) -> Dict[str, np.ndarray]:
+    items = []
+    metas: Dict[str, List] = {}
+    for i in idxs:
+        scene, lang = dataset.get_item(int(i))
+        item = process_item(scene, lang, cfg, rng, train, feature_dims)
+        for k in list(item.keys()):
+            if k.startswith("meta_"):
+                metas.setdefault(k[5:], []).append(item.pop(k))
+        items.append(item)
+    batch = collate_unified(items, cfg, feature_dims, train=train)
+    batch["_meta"] = metas  # host-only side channel for evaluators
+    return batch
+
+
+# worker-process state (spawn initializer; dataset pickled once per worker)
+_WORKER: Dict[str, object] = {}
+
+
+def _init_unified_worker(dataset, cfg, feature_dims):
+    _WORKER["args"] = (dataset, cfg, feature_dims)
+
+
+def _unified_worker_batch(idxs, seed_key, train):
+    dataset, cfg, feature_dims = _WORKER["args"]
+    rng = np.random.default_rng(np.random.SeedSequence(seed_key))
+    return _assemble_unified_batch(dataset, cfg, feature_dims, idxs, rng,
+                                   train)
+
+
 class UnifiedTaskLoader:
-    """Batches from one task dataset."""
+    """Batches from one task dataset.
+
+    ``num_workers`` > 0 builds batches in a spawn-based process pool with
+    deterministic per-batch seeding (see InstSegLoader for the rationale);
+    0 keeps the in-process sequential-rng path.  The pool path requires a
+    picklable dataset — HF tokenizers pickle fine, the synthetic lambda
+    tokenizers do not (keep num_workers=0 there)."""
 
     def __init__(self, dataset, cfg: UnifiedPipelineConfig, batch_size: int,
                  train: bool, seed: int = 0,
-                 feature_dims: Optional[Dict[str, int]] = None):
+                 feature_dims: Optional[Dict[str, int]] = None,
+                 num_workers: int = 0):
         self.dataset = dataset
         self.cfg = cfg
         self.batch_size = batch_size
         self.train = train
         self.seed = seed
+        self.num_workers = num_workers
         self.feature_dims = feature_dims or {"mv": 768, "voxel": 128}
 
     def __call__(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
@@ -32,22 +73,32 @@ class UnifiedTaskLoader:
         order = rng.permutation(len(self.dataset)) if self.train \
             else np.arange(len(self.dataset))
         bs = self.batch_size
-        for start in range(0, len(order) - bs + 1, bs):
-            idxs = order[start:start + bs]
-            items = []
-            metas: Dict[str, List] = {}
-            for i in idxs:
-                scene, lang = self.dataset.get_item(int(i))
-                item = process_item(scene, lang, self.cfg, rng, self.train,
-                                    self.feature_dims)
-                for k in list(item.keys()):
-                    if k.startswith("meta_"):
-                        metas.setdefault(k[5:], []).append(item.pop(k))
-                items.append(item)
-            batch = collate_unified(items, self.cfg, self.feature_dims,
-                                    train=self.train)
-            batch["_meta"] = metas  # host-only side channel for evaluators
-            yield batch
+        batches = [order[s:s + bs]
+                   for s in range(0, len(order) - bs + 1, bs)]
+        if self.num_workers <= 0:
+            for idxs in batches:
+                yield _assemble_unified_batch(self.dataset, self.cfg,
+                                              self.feature_dims, idxs, rng,
+                                              self.train)
+            return
+        import concurrent.futures as cf
+        import multiprocessing as mp
+        from collections import deque
+        ctx = mp.get_context("spawn")  # fork after XLA init can deadlock
+        with cf.ProcessPoolExecutor(
+                self.num_workers, mp_context=ctx,
+                initializer=_init_unified_worker,
+                initargs=(self.dataset, self.cfg,
+                          self.feature_dims)) as pool:
+            window = self.num_workers + 2
+            pending: deque = deque()
+            for b, idxs in enumerate(batches):
+                pending.append(pool.submit(_unified_worker_batch, idxs,
+                                           [self.seed, epoch, b], self.train))
+                if len(pending) >= window:
+                    yield pending.popleft().result()
+            while pending:
+                yield pending.popleft().result()
 
 
 class MixedTaskLoader:

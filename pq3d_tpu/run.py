@@ -60,7 +60,9 @@ def build_instseg_trainer(cfg):
                  else cfg.dataloader.get("batchsize_eval",
                                          cfg.dataloader.batchsize))
         return InstSegLoader(ds, pipe_cfg, bs, train,
-                             seed=int(cfg.get("rng_seed", 42))), len(ds) // bs
+                             seed=int(cfg.get("rng_seed", 42)),
+                             num_workers=int(cfg.dataloader.get(
+                                 "num_workers", 0))), len(ds) // bs
 
     train_loader, steps_per_epoch = make_loader("train", True)
     val_loader, _ = make_loader("val", False)
@@ -154,8 +156,9 @@ def build_multitask_trainer(cfg):
     for ds_name in cfg.data.train:
         ds_cls = DATASET_REGISTRY.get(ds_name)
         train_ds = make_ds(ds_cls, "train")
+        nw = int(cfg.dataloader.get("num_workers", 0))
         train_loaders.append(UnifiedTaskLoader(train_ds, pipe_cfg, bs, True,
-                                               seed=seed))
+                                               seed=seed, num_workers=nw))
         steps_per_epoch += len(train_ds) // bs
         val_ds = make_ds(ds_cls, "val")
         val_loader = UnifiedTaskLoader(val_ds, pipe_cfg, bs_eval, False,
