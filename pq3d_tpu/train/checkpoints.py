@@ -18,10 +18,18 @@ from pq3d_tpu.train.state import TrainState
 
 
 class CheckpointManager:
-    def __init__(self, ckpt_dir: str, max_to_keep: int = 5):
+    """``async_save=True`` lets orbax commit the snapshot in the background
+    so the next train step starts immediately (the functional train step
+    builds a NEW state pytree, so the saved one stays immutable while the
+    write completes); each save waits for the previous one first, since
+    latest/best are overwritten in place."""
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 5,
+                 async_save: bool = False):
         self.ckpt_dir = os.path.abspath(ckpt_dir)
         os.makedirs(self.ckpt_dir, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self.async_save = async_save
 
     def _path(self, name: str) -> str:
         return os.path.join(self.ckpt_dir, name)
@@ -32,7 +40,13 @@ class CheckpointManager:
         if tracker:
             payload["tracker"] = {k: np.asarray(v) for k, v in tracker.items()}
         path = self._path(name)
+        self._ckptr.wait_until_finished()   # in-place overwrite of prior save
         self._ckptr.save(path, payload, force=True)
+        if not self.async_save:
+            self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        """Block until any in-flight async save is durably committed."""
         self._ckptr.wait_until_finished()
 
     def restore(self, name: str, state: TrainState

@@ -69,7 +69,9 @@ class Query3DTrainer:
             cfg.get("base_dir", "outputs"), cfg.get("name", "exp"))
         self.logger = MetricsLogger(self.exp_dir)
         self.tracker = ExpTracker()
-        self.ckpt = CheckpointManager(os.path.join(self.exp_dir, "ckpt"))
+        self.ckpt = CheckpointManager(
+            os.path.join(self.exp_dir, "ckpt"),
+            async_save=bool(cfg.solver.get("async_ckpt", False)))
         # opt-in XLA trace, schedule like the reference's torch.profiler
         # (ref trainer/multitask_trainer.py:30-44 wait/warmup/active)
         from pq3d_tpu.utils.profiling import StepProfiler
@@ -199,6 +201,7 @@ class Query3DTrainer:
             return False
         if self._state is not None:
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
+            self.ckpt.close()   # must be durable before the requeue kill
         print("[trainer] latest checkpoint saved; exiting for requeue")
         return True
 
@@ -262,6 +265,7 @@ class Query3DTrainer:
                                    self.tracker.state_dict())
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
         self.profiler.close()
+        self.ckpt.close()   # async saves must be durable before returning
         return self._state
 
 
@@ -348,4 +352,5 @@ class MultitaskTrainer(Query3DTrainer):
                                    self.tracker.state_dict())
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
         self.profiler.close()
+        self.ckpt.close()   # async saves must be durable before returning
         return self._state

@@ -68,3 +68,20 @@ def test_checkpoint_roundtrip(trainer):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_roundtrip(trainer, tmp_path):
+    """async_save overlaps the orbax commit with training; close() makes it
+    durable, and consecutive overwrites of the same name stay serialized."""
+    from pq3d_tpu.train.checkpoints import CheckpointManager
+    state = trainer._state
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
+    mgr.save("latest", state, {"epoch": 1, "best_result": 0.5})
+    mgr.save("latest", state, {"epoch": 2, "best_result": 0.7})  # overwrite
+    mgr.close()
+    import jax
+    restored, tr = mgr.restore("latest", state)
+    assert tr["epoch"] == 2 and tr["best_result"] == 0.7
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
