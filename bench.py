@@ -140,24 +140,29 @@ def bench_instseg(jax, jnp, rng):
     host_s = 0.0
     # each variant is a separate full-scale compile (~minutes on this 1-CPU
     # box): keep the default ladder short; extend via env for manual runs
-    spec = {"gather": ("gather", False, False, False),
-            "dense_block": ("dense_block", False, False, False),
-            "gather+sorted": ("gather", True, False, False),
-            "dense_block+sorted": ("dense_block", True, False, False),
-            "flat": ("dense_block", False, True, False),
-            "flat+sorted": ("dense_block", True, True, False),
-            "compact": ("dense_block", False, True, True)}
+    # (stem, sorted_gather, flat_pack, compact_conv, swin_window)
+    spec = {"gather": ("gather", False, False, False, 0),
+            "dense_block": ("dense_block", False, False, False, 0),
+            "gather+sorted": ("gather", True, False, False, 0),
+            "dense_block+sorted": ("dense_block", True, False, False, 0),
+            "flat": ("dense_block", False, True, False, 0),
+            "flat+sorted": ("dense_block", True, True, False, 0),
+            "compact": ("dense_block", False, True, True, 0),
+            # window-attention backbone (models/swin3d.py)
+            "swin": ("gather", False, False, False, 4)}
     # default ladder kept to TWO full-scale compiles (~5-15 min each on
     # this 1-CPU box); the full ladder runs via BENCH_VARIANTS (NEXTSTEPS.md)
     names = os.environ.get("BENCH_VARIANTS", "gather,dense_block").split(",")
-    for stem, sorted_g, flat, compact in (spec[n.strip()] for n in names):
+    for stem, sorted_g, flat, compact, swin in (spec[n.strip()]
+                                                for n in names):
         pipe_cfg = InstSegPipelineConfig(
             voxel_size=0.15 if SMOKE else 0.02,
             num_queries=16 if SMOKE else 120,
             max_segments=64 if SMOKE else 512,
             max_instances=16 if SMOKE else 120,
             voxel_bucket=256 if SMOKE else 8192, use_aug=False,
-            stem_mode=stem, flat_pack=flat, compact_conv=compact)
+            stem_mode=stem, flat_pack=flat, compact_conv=compact,
+            swin_window=swin)
         t0 = time.time()
         batch = make_batch(scenes, pipe_cfg, rng, train=False)
         host_s = time.time() - t0
@@ -185,7 +190,9 @@ def bench_instseg(jax, jnp, rng):
                                       use_self_mask=True),
             voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3),
                                       accum="bfloat16",
-                                      sorted_gather=sorted_g),
+                                      sorted_gather=sorted_g,
+                                      backbone="swin3d" if swin
+                                      else "res16unet"),
             mask_head_cfg=MaskHeadCfg(num_targets=201,
                                       filter_out_classes=(0, 2)))
         variables = jax.jit(model.init, static_argnames=("train",))(
@@ -194,8 +201,9 @@ def bench_instseg(jax, jnp, rng):
         fwd = jax.jit(lambda v, b: sum(
             jnp.sum(x) for x in jax.tree.leaves(
                 model.apply(v, b, train=False))))
-        key = ("compact" if compact else ("flat" if flat else stem)) \
-            + ("+sorted" if sorted_g else "")
+        key = "swin" if swin else (
+            ("compact" if compact else ("flat" if flat else stem))
+            + ("+sorted" if sorted_g else ""))
         variants[key] = _time_calls(fwd, variables, batch)
         print(f"# instseg {key}: {variants[key]*1000:.1f} ms",
               file=sys.stderr, flush=True)

@@ -2,19 +2,26 @@
 gathers (the round-2 conv optimization ladder, PERF.md).
 
 Usage: python tools/bench_instseg_fwd.py [variants...]
-  variants: base | dense | sorted | dense_sorted | flat | flat_sorted
-  (default: all non-flat)
+  variants: base | dense | sorted | dense_sorted | flat | flat_sorted |
+            compact | swin | flat_swin
+  (default: all non-flat conv ladder)
 Prints ms/step and scenes/s for each variant using slope timing.
 """
+import os
 import sys
 import time
 
 import numpy as np
+
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from pq3d_tpu.data import synthetic
 from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
@@ -24,14 +31,20 @@ from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
 BATCH = 4
 
 
-def build_batch(stem_mode, flat=False):
+def build_batch(stem_mode, flat=False, compact=False, swin=0):
     rng = np.random.default_rng(0)
     cfg = InstSegPipelineConfig(
-        voxel_size=0.02, num_queries=120, max_segments=512,
-        max_instances=120, voxel_bucket=8192, use_aug=False,
-        stem_mode=stem_mode, flat_pack=flat)
-    scenes = [synthetic.make_scene(rng, n_points=80_000, n_instances=24,
-                                   n_segments=400) for _ in range(BATCH)]
+        voxel_size=0.15 if SMOKE else 0.02,
+        num_queries=16 if SMOKE else 120,
+        max_segments=64 if SMOKE else 512,
+        max_instances=16 if SMOKE else 120,
+        voxel_bucket=256 if SMOKE else 8192, use_aug=False,
+        stem_mode=stem_mode, flat_pack=flat, compact_conv=compact,
+        swin_window=swin)
+    scenes = [synthetic.make_scene(
+        rng, n_points=800 if SMOKE else 80_000,
+        n_instances=6 if SMOKE else 24,
+        n_segments=24 if SMOKE else 400) for _ in range(BATCH)]
     for s in scenes:
         s["inst_labels"] = np.minimum(s["inst_labels"], 199)
     t0 = time.time()
@@ -48,16 +61,19 @@ def build_batch(stem_mode, flat=False):
     return jax.tree.map(jnp.asarray, batch), host_s
 
 
-def build_model(sorted_gather):
+def build_model(sorted_gather, backbone="res16unet"):
     return Query3DUnified(
-        memories=("voxel", "mv", "pc"), heads=("mask",), hidden_size=768,
+        memories=("voxel", "mv", "pc"), heads=("mask",),
+        hidden_size=96 if SMOKE else 768,
         dim_loc=3,
-        unified=UnifiedEncoderCfg(num_layers=4, num_blocks=3,
+        unified=UnifiedEncoderCfg(num_layers=1 if SMOKE else 4,
+                                  num_blocks=1 if SMOKE else 3,
                                   num_attention_heads=12,
                                   structure="parallel",
                                   spatial_selfattn=True, use_self_mask=True),
         voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16",
-                                  sorted_gather=sorted_gather),
+                                  sorted_gather=sorted_gather,
+                                  backbone=backbone),
         mask_head_cfg=MaskHeadCfg(num_targets=201,
                                   filter_out_classes=(0, 2)))
 
@@ -78,19 +94,26 @@ def slope(fn, *args, r1=3, r2=10):
 
 def main():
     variants = sys.argv[1:] or ["base", "dense", "sorted", "dense_sorted"]
-    spec = {"base": ("gather", False, False),
-            "dense": ("dense_block", False, False),
-            "sorted": ("gather", True, False),
-            "dense_sorted": ("dense_block", True, False),
-            "flat": ("dense_block", False, True),
-            "flat_sorted": ("dense_block", True, True)}
+    # (stem, sorted_gather, flat, compact, swin_window, backbone)
+    spec = {"base": ("gather", False, False, False, 0, "res16unet"),
+            "dense": ("dense_block", False, False, False, 0, "res16unet"),
+            "sorted": ("gather", True, False, False, 0, "res16unet"),
+            "dense_sorted": ("dense_block", True, False, False, 0,
+                             "res16unet"),
+            "flat": ("dense_block", False, True, False, 0, "res16unet"),
+            "flat_sorted": ("dense_block", True, True, False, 0,
+                            "res16unet"),
+            "compact": ("dense_block", False, True, True, 0, "res16unet"),
+            "swin": ("gather", False, False, False, 4, "swin3d"),
+            "flat_swin": ("gather", False, True, False, 4, "swin3d")}
     batches = {}
     for name in variants:
-        stem, sg, flat = spec[name]
-        if (stem, flat) not in batches:
-            batches[(stem, flat)] = build_batch(stem, flat)
-        batch, host_s = batches[(stem, flat)]
-        model = build_model(sg)
+        stem, sg, flat, compact, swin, backbone = spec[name]
+        bkey = (stem, flat, compact, swin)
+        if bkey not in batches:
+            batches[bkey] = build_batch(stem, flat, compact, swin)
+        batch, host_s = batches[bkey]
+        model = build_model(sg, backbone)
         variables = jax.jit(model.init, static_argnames=("train",))(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             batch, train=False)
