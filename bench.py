@@ -149,7 +149,7 @@ def bench_instseg(jax, jnp, rng):
             "flat+sorted": ("dense_block", True, True, False, 0),
             "compact": ("dense_block", False, True, True, 0),
             # window-attention backbone (models/swin3d.py)
-            "swin": ("gather", False, False, False, 4)}
+            "swin": ("none", False, False, False, 4)}
     # default ladder kept to TWO full-scale compiles (~5-15 min each on
     # this 1-CPU box); the full ladder runs via BENCH_VARIANTS (NEXTSTEPS.md)
     names = os.environ.get("BENCH_VARIANTS", "gather,dense_block").split(",")

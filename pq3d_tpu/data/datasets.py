@@ -216,6 +216,7 @@ class InstSegLoader:
         self.train = train
         self.seed = seed
         self.num_workers = num_workers
+        self._pool = None   # epoch-persistent BatchPool (lazy)
         # offline per-segment features (mv/pc) are random-projected synthetics
         # when real feature files are absent
         self.extra_features = extra_features or {"mv": 768, "pc": 768}
@@ -236,22 +237,12 @@ class InstSegLoader:
                     self.dataset, self.pipe_cfg, self.extra_features,
                     idxs, rng, self.train)
             return
-        import concurrent.futures as cf
-        import multiprocessing as mp
-        ctx = mp.get_context("spawn")  # fork after XLA init can deadlock
-        with cf.ProcessPoolExecutor(
-                self.num_workers, mp_context=ctx,
-                initializer=_init_instseg_worker,
-                initargs=(self.dataset, self.pipe_cfg,
-                          self.extra_features)) as pool:
-            from collections import deque
-            window = self.num_workers + 2
-            pending: deque = deque()
-            it = iter(enumerate(batches))
-            for b, idxs in it:
-                pending.append(pool.submit(_instseg_worker_batch, idxs,
-                                           [self.seed, epoch, b], self.train))
-                if len(pending) >= window:
-                    yield pending.popleft().result()
-            while pending:
-                yield pending.popleft().result()
+        if self._pool is None:
+            from pq3d_tpu.data.pool import BatchPool
+            self._pool = BatchPool(self.num_workers, _init_instseg_worker,
+                                   (self.dataset, self.pipe_cfg,
+                                    self.extra_features))
+        yield from self._pool.run(
+            _instseg_worker_batch,
+            ((idxs, [self.seed, epoch, b], self.train)
+             for b, idxs in enumerate(batches)))

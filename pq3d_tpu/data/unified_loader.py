@@ -66,6 +66,7 @@ class UnifiedTaskLoader:
         self.train = train
         self.seed = seed
         self.num_workers = num_workers
+        self._pool = None   # epoch-persistent BatchPool (lazy)
         self.feature_dims = feature_dims or {"mv": 768, "voxel": 128}
 
     def __call__(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
@@ -81,24 +82,15 @@ class UnifiedTaskLoader:
                                               self.feature_dims, idxs, rng,
                                               self.train)
             return
-        import concurrent.futures as cf
-        import multiprocessing as mp
-        from collections import deque
-        ctx = mp.get_context("spawn")  # fork after XLA init can deadlock
-        with cf.ProcessPoolExecutor(
-                self.num_workers, mp_context=ctx,
-                initializer=_init_unified_worker,
-                initargs=(self.dataset, self.cfg,
-                          self.feature_dims)) as pool:
-            window = self.num_workers + 2
-            pending: deque = deque()
-            for b, idxs in enumerate(batches):
-                pending.append(pool.submit(_unified_worker_batch, idxs,
-                                           [self.seed, epoch, b], self.train))
-                if len(pending) >= window:
-                    yield pending.popleft().result()
-            while pending:
-                yield pending.popleft().result()
+        if self._pool is None:
+            from pq3d_tpu.data.pool import BatchPool
+            self._pool = BatchPool(self.num_workers, _init_unified_worker,
+                                   (self.dataset, self.cfg,
+                                    self.feature_dims))
+        yield from self._pool.run(
+            _unified_worker_batch,
+            ((idxs, [self.seed, epoch, b], self.train)
+             for b, idxs in enumerate(batches)))
 
 
 class MixedTaskLoader:

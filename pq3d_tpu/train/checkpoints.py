@@ -51,6 +51,7 @@ class CheckpointManager:
 
     def restore(self, name: str, state: TrainState
                 ) -> tuple[TrainState, Dict[str, Any]]:
+        self._ckptr.wait_until_finished()   # an async save may be in flight
         target = {"state": state,
                   "tracker": {"epoch": np.asarray(0),
                               "best_result": np.asarray(-np.inf)}}
@@ -66,6 +67,7 @@ class CheckpointManager:
                                    for k, v in tracker.items()}
 
     def exists(self, name: str) -> bool:
+        self._ckptr.wait_until_finished()   # an async save may be in flight
         return os.path.isdir(self._path(name))
 
 

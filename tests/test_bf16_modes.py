@@ -78,5 +78,5 @@ def test_bf16_param_cast_unified_forward_close():
     # other, and which one wins then depends on the host's rounding — only
     # rows whose top-2 margin exceeds the bf16 noise floor are stable
     srt = np.sort(g32, -1)
-    decided = (srt[:, -1] - srt[:, -2]) / scale > 0.1
+    decided = (srt[:, -1] - srt[:, -2]) / scale > 0.03
     assert (g32.argmax(-1) == gbf.argmax(-1))[decided].all()

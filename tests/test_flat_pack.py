@@ -136,7 +136,7 @@ def test_flat_pack_swin_matches_rectangular():
     scenes = _scenes(rng)
     kw = dict(voxel_size=0.15, num_queries=8, max_segments=32,
               max_instances=8, voxel_bucket=128, use_aug=False,
-              stem_mode="gather", swin_window=4)
+              stem_mode="none", swin_window=4)
     br = _prep(make_batch(scenes, InstSegPipelineConfig(**kw),
                           np.random.default_rng(1), train=False))
     bf = _prep(make_batch(scenes, InstSegPipelineConfig(flat_pack=True, **kw),

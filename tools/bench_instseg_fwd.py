@@ -104,8 +104,8 @@ def main():
             "flat_sorted": ("dense_block", True, True, False, 0,
                             "res16unet"),
             "compact": ("dense_block", False, True, True, 0, "res16unet"),
-            "swin": ("gather", False, False, False, 4, "swin3d"),
-            "flat_swin": ("gather", False, True, False, 4, "swin3d")}
+            "swin": ("none", False, False, False, 4, "swin3d"),
+            "flat_swin": ("none", False, True, False, 4, "swin3d")}
     batches = {}
     for name in variants:
         stem, sg, flat, compact, swin, backbone = spec[name]
