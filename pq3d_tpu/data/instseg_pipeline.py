@@ -76,20 +76,30 @@ class InstSegPipelineConfig:
 
 
 def _augment(points, colors, rng: np.random.Generator):
-    """Train-time augmentation: mean-center + random shift, x/y flips,
-    z-rotation, slight scale, color jitter (replaces the reference's
-    volumentations/albumentations queue, sceneverse_instseg.py:139-167)."""
+    """Train-time augmentation matching the reference recipe
+    (sceneverse_instseg.py:139-167 + configs/instseg/augmentation/*.yaml;
+    every transform there sets always_apply): mean-center + random shift,
+    x/y flips (p=0.5 each), then the volumentations queue — per-axis scale
+    +-10%, rotation around z +-pi and tilts around y/x +-pi/24 — then the
+    albumentations color queue: brightness/contrast +-0.2 and RGB shift
+    +-20/255 (applied in the [0, 1] color domain; ours is [-1, 1])."""
     points = points - points.mean(0)
     points = points + rng.uniform(points.min(0), points.max(0)) / 2
     for i in (0, 1):
         if rng.random() < 0.5:
             points[:, i] = points[:, i].max() - points[:, i]
-    theta = rng.uniform(0, 2 * np.pi)
-    c, s = np.cos(theta), np.sin(theta)
-    rot = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
-    points = points @ rot.T
-    points = points * rng.uniform(0.9, 1.1)
-    colors = np.clip(colors + rng.normal(0, 0.05, colors.shape), -1, 1)
+    points = points * rng.uniform(0.9, 1.1, size=3)
+    for axis, lim in ((2, np.pi), (1, np.pi / 24), (0, np.pi / 24)):
+        t = rng.uniform(-lim, lim)
+        c, s = np.cos(t), np.sin(t)
+        rot = {2: [[c, -s, 0], [s, c, 0], [0, 0, 1]],
+               1: [[c, 0, s], [0, 1, 0], [-s, 0, c]],
+               0: [[1, 0, 0], [0, c, -s], [0, s, c]]}[axis]
+        points = points @ np.asarray(rot, np.float32).T
+    x = (colors + 1) / 2
+    x = x * (1 + rng.uniform(-0.2, 0.2)) + rng.uniform(-0.2, 0.2)
+    x = x + rng.uniform(-20 / 255, 20 / 255, size=3)
+    colors = np.clip(x, 0, 1) * 2 - 1
     return points.astype(np.float32), colors.astype(np.float32)
 
 
