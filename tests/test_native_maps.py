@@ -57,6 +57,43 @@ def test_hierarchy_parity(coords, monkeypatch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_sorted_merge_fuzz(monkeypatch):
+    """The sorted-key two-pointer fast path must equal the hash path across
+    its edge cases: tile boundaries (>2048 rows), tiny n, even kernels,
+    unsorted input (falls back to the hash), and coords spanning negatives."""
+    rng = np.random.default_rng(11)
+    import pq3d_tpu.ops._native as nat
+    assert nat.lib() is not None
+    for n, lo, hi, ksz in [(1, -5, 5, 3), (7, -2, 2, 3), (3000, -40, 40, 3),
+                           (5000, -15, 15, 5), (4096, 0, 25, 2),
+                           (2500, -1000, 1000, 3)]:
+        pts = np.unique(rng.integers(lo, hi, (n, 3)).astype(np.int32), axis=0)
+        key = ((pts[:, 0].astype(np.int64) << 42)
+               + (pts[:, 1].astype(np.int64) << 21) + pts[:, 2])
+        srt = pts[np.argsort(key)]
+        shuf = srt[rng.permutation(len(srt))]
+        for coords in (srt, shuf):
+            got = km.build_neighbor_map(coords, ksz)
+            table = km.CoordTable(coords, margin=max(3, ksz))
+            ref = table.lookup_offsets(coords, km.kernel_offsets(ksz))
+            np.testing.assert_array_equal(got, ref,
+                                          err_msg=f"n={n} k={ksz}")
+
+
+def test_native_fps_parity(monkeypatch):
+    """Native FPS must pick exactly the numpy loop's indices (same f32
+    distance math, same first-max tie-breaking)."""
+    from pq3d_tpu.ops import sampling
+    rng = np.random.default_rng(7)
+    for n, m, start in [(1, 1, 0), (50, 8, 3), (3000, 64, 0), (500, 500, 1)]:
+        pts = rng.standard_normal((n, 3)).astype(np.float32)
+        nat = sampling.fps_numpy(pts, m, start=start)
+        _force_numpy(monkeypatch)
+        ref = sampling.fps_numpy(pts, m, start=start)
+        monkeypatch.undo()
+        np.testing.assert_array_equal(nat, ref, err_msg=f"n={n} m={m}")
+
+
 def test_negative_coords(monkeypatch):
     rng = np.random.default_rng(5)
     coords = np.unique(rng.integers(-300, -100, (800, 3)).astype(np.int32),
