@@ -4,8 +4,10 @@ Isolates: U-Net fwd, U-Net grad, full-model fwd, set-loss grad (decoder +
 Hungarian rounds), to locate the remaining backward cost.
 Usage: python tools/bench_components.py [grad_mode]
 """
+import os
 import sys, time, numpy as np, jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from pq3d_tpu.data import synthetic
 from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch

@@ -5,13 +5,15 @@ Informs the sparse-conv optimization ladder (PERF.md "Remaining bottleneck").
 Slope timing per PERF.md: chain R reps in one jitted fori_loop, time two rep
 counts, take the difference quotient (cancels tunnel RTT).
 """
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
 
 _DN = jax.lax.GatherDimensionNumbers(
     offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,))

@@ -7,6 +7,7 @@ Usage: python tools/bench_train_step.py [remat_policy] [grad_mode] [opts]
                 'dense_stem' (dense-block conv0), 'flat' (flat-packed
                 layout), 'compact' (tap-compacted convs; implies flat)
 """
+import os
 import sys, time, numpy as np, jax, jax.numpy as jnp
 POLICY = sys.argv[1] if len(sys.argv) > 1 else "full"
 GRAD_MODE = sys.argv[2] if len(sys.argv) > 2 else "native"
@@ -15,7 +16,8 @@ SORTED = "sorted" in OPTS
 STEM = "dense_block" if "dense_stem" in OPTS else "gather"
 COMPACT = "compact" in OPTS
 FLAT = COMPACT or ("flat" in OPTS)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from pq3d_tpu.data import synthetic
 from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch

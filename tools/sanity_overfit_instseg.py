@@ -1,6 +1,8 @@
 """Train on 2 fixed scenes until the evaluator shows real AP."""
+import os
 import numpy as np, jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from pq3d_tpu.data import synthetic
 from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch

@@ -1,6 +1,8 @@
 """Stage-2 learning sanity: ground + generation losses drop on one batch."""
+import os
 import numpy as np, jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from pq3d_tpu.config import Config
 from pq3d_tpu.data.unified_datasets import SyntheticRefer, SyntheticQA
