@@ -55,6 +55,41 @@ def average_precision(scores: np.ndarray, is_tp: np.ndarray,
     return float(np.sum((r[1:] - r[:-1]) * p[1:]))
 
 
+def rank_instances(cls_logits: np.ndarray, mask_logits: np.ndarray,
+                   seg_valid: np.ndarray, num_classes: int,
+                   topk: int = 100, score_threshold: float = 0.0,
+                   seg_to_full: Optional[np.ndarray] = None):
+    """One scene's model outputs -> ranked instance predictions.
+
+    Per-query topk (class, score) ranking with class-prob x mean-mask-prob
+    scoring (ref get_mask_and_scores, instseg_eval.py:283-304); when
+    ``seg_to_full`` is given, segment masks are reconstructed to full
+    resolution (ref get_full_res_mask, instseg_eval.py:272-281).  Shared by
+    the evaluator and the serving driver (pq3d_tpu/serve.py).
+
+    Returns a list of {"class", "score", "mask"} dicts sorted by the topk
+    ranking, mask over segments (or full points with seg_to_full).
+    """
+    probs = _softmax(cls_logits)[:, :num_classes]   # drop no-object column
+    mask_prob = _sigmoid(mask_logits) * seg_valid[:, None]
+    masks_bool = mask_prob > 0.5                    # (S, Q)
+    flat = probs.reshape(-1)
+    k = min(topk, len(flat))
+    top_idx = np.argpartition(-flat, k - 1)[:k]
+    preds = []
+    for idx in top_idx:
+        qi, ci = divmod(int(idx), num_classes)
+        m = masks_bool[:, qi]
+        mask_score = (mask_prob[m, qi].mean() if m.any() else 0.0)
+        score = float(flat[idx]) * float(mask_score)
+        if score <= score_threshold or not m.any():
+            continue
+        if seg_to_full is not None:
+            m = m[np.minimum(seg_to_full, len(m) - 1)]
+        preds.append({"class": ci, "score": score, "mask": m})
+    return preds
+
+
 class InstSegEval(BaseEvaluator):
     """Accumulates per-scene predictions; record() computes AP/AP50/AP25."""
 
@@ -119,26 +154,10 @@ class InstSegEval(BaseEvaluator):
         """Per-query topk (class, score) ranking (ref get_mask_and_scores,
         instseg_eval.py:283-304); optional full-resolution reconstruction
         (ref get_full_res_mask, instseg_eval.py:272-281)."""
-        q = cls_logits.shape[0]
-        probs = _softmax(cls_logits)[:, :self.num_classes]  # drop no-object
-        mask_prob = _sigmoid(mask_logits) * seg_valid[:, None]
-        masks_bool = mask_prob > 0.5                         # (S, Q)
-
-        flat = probs.reshape(-1)
-        k = min(self.topk, len(flat))
-        top_idx = np.argpartition(-flat, k - 1)[:k]
-        preds = []
-        for idx in top_idx:
-            qi, ci = divmod(int(idx), self.num_classes)
-            m = masks_bool[:, qi]
-            mask_score = (mask_prob[m, qi].mean() if m.any() else 0.0)
-            score = float(flat[idx]) * float(mask_score)
-            if score <= self.score_threshold or not m.any():
-                continue
-            if seg_to_full is not None:
-                # segment mask -> per-point mask
-                m = m[np.minimum(seg_to_full, len(m) - 1)]
-            preds.append({"class": ci, "score": score, "mask": m})
+        preds = rank_instances(cls_logits, mask_logits, seg_valid,
+                               num_classes=self.num_classes, topk=self.topk,
+                               score_threshold=self.score_threshold,
+                               seg_to_full=seg_to_full)
         if self.use_dbscan and points is not None:
             preds = self._dbscan_split(preds, points)
         if points is not None and seg_to_full is not None:

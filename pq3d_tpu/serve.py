@@ -1,0 +1,173 @@
+"""Production serving driver: queued scenes -> bucketed batches -> one
+compiled forward -> per-scene instance predictions.
+
+The reference repo stops at offline evaluation (run.py mode=test); serving
+3D scenes on TPU needs one more piece: requests arrive one scene at a
+time, but the chip wants fixed-shape batches compiled ONCE.  This driver
+provides it:
+
+- a submit() queue with futures, so callers get per-scene results;
+- micro-batching: up to ``batch_size`` scenes per step, waiting at most
+  ``max_delay_s`` for stragglers, padding short batches by repeating a
+  scene (results for the padding rows are dropped);
+- shape discipline: ``pipe_cfg.level_caps`` must be set so every batch
+  compiles to the same executable — the server asserts the jit cache
+  stays at ONE entry after warmup;
+- per-scene postprocessing through the same ranking as the evaluator
+  (eval/instseg_eval.rank_instances), at full point resolution.
+
+Single-host, single-device by design (serving uses the flat/compact or
+rectangular single-chip fast paths; scale out = one server per chip
+behind a load balancer, the standard TPU serving topology).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig,
+                                            make_batch)
+from pq3d_tpu.eval.instseg_eval import rank_instances
+
+
+@dataclass
+class ServerStats:
+    scenes: int = 0
+    steps: int = 0
+    total_wait_s: float = 0.0
+    total_step_s: float = 0.0
+    latencies_s: List[float] = field(default_factory=list)
+
+    def summary(self) -> Dict[str, float]:
+        lat = np.asarray(self.latencies_s) if self.latencies_s else \
+            np.zeros(1)
+        return {"scenes": self.scenes, "steps": self.steps,
+                "scenes_per_sec": self.scenes / max(self.total_step_s, 1e-9),
+                "p50_latency_s": float(np.quantile(lat, 0.5)),
+                "p99_latency_s": float(np.quantile(lat, 0.99))}
+
+
+class InstSegServer:
+    """Micro-batching inference server for the stage-1 instseg model."""
+
+    def __init__(self, model, variables, pipe_cfg: InstSegPipelineConfig,
+                 batch_size: int, num_classes: int, topk: int = 100,
+                 score_threshold: float = 0.0, max_delay_s: float = 0.05,
+                 extra_features: Optional[Dict[str, int]] = None):
+        if not pipe_cfg.level_caps:
+            raise ValueError(
+                "serving requires pipe_cfg.level_caps: without fixed level "
+                "pads every batch may compile a new executable")
+        import jax
+        import jax.numpy as jnp
+        self._jnp = jnp
+        self.model = model
+        self.variables = variables
+        self.pipe_cfg = pipe_cfg
+        self.batch_size = batch_size
+        self.num_classes = num_classes
+        self.topk = topk
+        self.score_threshold = score_threshold
+        self.max_delay_s = max_delay_s
+        self.extra_features = extra_features or {}
+        self.stats = ServerStats()
+        def _forward(v, b):
+            out = model.apply(v, b, train=False)
+            return out["predictions_class"][-1], out["predictions_mask"][-1]
+        self._fwd = jax.jit(_forward)
+
+        self._q: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._rng = np.random.default_rng(0)
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ------------------------------------------------------------------ API
+    def submit(self, scene: Dict[str, np.ndarray]) -> Future:
+        """Queue one raw scene dict (points/colors/segment_id/...); the
+        future resolves to a list of {"class", "score", "mask"} instance
+        predictions at full point resolution."""
+        if self._closed:
+            raise RuntimeError("server closed")
+        fut: Future = Future()
+        self._q.put((scene, fut, time.time()))
+        return fut
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._thread.join()
+
+    def jit_cache_size(self) -> int:
+        return self._fwd._cache_size()
+
+    # ----------------------------------------------------------------- loop
+    def _collect(self):
+        """Up to batch_size requests; after the first, wait at most
+        max_delay_s for stragglers."""
+        first = self._q.get()
+        if first is None:
+            return None
+        items = [first]
+        deadline = time.time() + self.max_delay_s
+        while len(items) < self.batch_size:
+            try:
+                nxt = self._q.get(timeout=max(deadline - time.time(), 0))
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)   # re-post sentinel for the outer loop
+                break
+            items.append(nxt)
+        return items
+
+    def _loop(self):
+        jnp = self._jnp
+        while True:
+            items = self._collect()
+            if items is None:
+                return
+            t0 = time.time()
+            scenes = [it[0] for it in items]
+            n_real = len(scenes)
+            scenes = scenes + [scenes[-1]] * (self.batch_size - n_real)
+            try:
+                np_batch = make_batch(scenes, self.pipe_cfg, self._rng,
+                                      train=False)
+                meta = np_batch.pop("_meta")
+                S = self.pipe_cfg.max_segments
+                for name, dim in self.extra_features.items():
+                    np_batch[f"{name}_seg_fts"] = np.zeros(
+                        (self.batch_size, S, dim), np.float32)
+                    np_batch[f"{name}_seg_pad_masks"] = \
+                        np_batch["seg_pad_masks"]
+                batch = {k: (jnp.asarray(v) if not isinstance(v, dict) else
+                             {kk: jnp.asarray(vv) for kk, vv in v.items()})
+                         for k, v in np_batch.items()}
+                cls_l, mask_l = self._fwd(self.variables, batch)
+                cls_l = np.asarray(cls_l)
+                mask_l = np.asarray(mask_l)
+                seg_valid = np.asarray(np_batch["seg_pad_masks"])
+                dt = time.time() - t0
+                for i in range(n_real):
+                    preds = rank_instances(
+                        cls_l[i], mask_l[i], seg_valid[i],
+                        num_classes=self.num_classes, topk=self.topk,
+                        score_threshold=self.score_threshold,
+                        seg_to_full=meta["segment_to_full"][i])
+                    _, fut, t_sub = items[i]
+                    self.stats.latencies_s.append(time.time() - t_sub)
+                    fut.set_result(preds)
+                self.stats.scenes += n_real
+                self.stats.steps += 1
+                self.stats.total_step_s += dt
+            except Exception as e:   # report, don't kill the loop
+                for _, fut, _t in items:
+                    if not fut.done():
+                        fut.set_exception(e)
