@@ -53,35 +53,19 @@ class ServerStats:
                 "p99_latency_s": float(np.quantile(lat, 0.99))}
 
 
-class InstSegServer:
-    """Micro-batching inference server for the stage-1 instseg model."""
+class _MicroBatchServer:
+    """Shared micro-batching machinery: a submit() queue with futures, a
+    collector that waits at most ``max_delay_s`` for stragglers after the
+    first request, short batches padded by repeating a request (padding
+    rows dropped), and a worker loop that reports per-batch failures into
+    the affected futures instead of dying.  Subclasses implement
+    ``_run_batch(requests) -> [result, ...]`` (padded length ok; only the
+    first ``len(requests)`` entries are consumed)."""
 
-    def __init__(self, model, variables, pipe_cfg: InstSegPipelineConfig,
-                 batch_size: int, num_classes: int, topk: int = 100,
-                 score_threshold: float = 0.0, max_delay_s: float = 0.05,
-                 extra_features: Optional[Dict[str, int]] = None):
-        if not pipe_cfg.level_caps:
-            raise ValueError(
-                "serving requires pipe_cfg.level_caps: without fixed level "
-                "pads every batch may compile a new executable")
-        import jax
-        import jax.numpy as jnp
-        self._jnp = jnp
-        self.model = model
-        self.variables = variables
-        self.pipe_cfg = pipe_cfg
+    def __init__(self, batch_size: int, max_delay_s: float = 0.05):
         self.batch_size = batch_size
-        self.num_classes = num_classes
-        self.topk = topk
-        self.score_threshold = score_threshold
         self.max_delay_s = max_delay_s
-        self.extra_features = extra_features or {}
         self.stats = ServerStats()
-        def _forward(v, b):
-            out = model.apply(v, b, train=False)
-            return out["predictions_class"][-1], out["predictions_mask"][-1]
-        self._fwd = jax.jit(_forward)
-
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         self._rng = np.random.default_rng(0)
@@ -89,14 +73,11 @@ class InstSegServer:
         self._thread.start()
 
     # ------------------------------------------------------------------ API
-    def submit(self, scene: Dict[str, np.ndarray]) -> Future:
-        """Queue one raw scene dict (points/colors/segment_id/...); the
-        future resolves to a list of {"class", "score", "mask"} instance
-        predictions at full point resolution."""
+    def submit(self, request) -> Future:
         if self._closed:
             raise RuntimeError("server closed")
         fut: Future = Future()
-        self._q.put((scene, fut, time.time()))
+        self._q.put((request, fut, time.time()))
         return fut
 
     def close(self) -> None:
@@ -109,8 +90,6 @@ class InstSegServer:
 
     # ----------------------------------------------------------------- loop
     def _collect(self):
-        """Up to batch_size requests; after the first, wait at most
-        max_delay_s for stragglers."""
         first = self._q.get()
         if first is None:
             return None
@@ -128,42 +107,21 @@ class InstSegServer:
         return items
 
     def _loop(self):
-        jnp = self._jnp
         while True:
             items = self._collect()
             if items is None:
                 return
             t0 = time.time()
-            scenes = [it[0] for it in items]
-            n_real = len(scenes)
-            scenes = scenes + [scenes[-1]] * (self.batch_size - n_real)
+            reqs = [it[0] for it in items]
+            n_real = len(reqs)
+            reqs = reqs + [reqs[-1]] * (self.batch_size - n_real)
             try:
-                np_batch = make_batch(scenes, self.pipe_cfg, self._rng,
-                                      train=False)
-                meta = np_batch.pop("_meta")
-                S = self.pipe_cfg.max_segments
-                for name, dim in self.extra_features.items():
-                    np_batch[f"{name}_seg_fts"] = np.zeros(
-                        (self.batch_size, S, dim), np.float32)
-                    np_batch[f"{name}_seg_pad_masks"] = \
-                        np_batch["seg_pad_masks"]
-                batch = {k: (jnp.asarray(v) if not isinstance(v, dict) else
-                             {kk: jnp.asarray(vv) for kk, vv in v.items()})
-                         for k, v in np_batch.items()}
-                cls_l, mask_l = self._fwd(self.variables, batch)
-                cls_l = np.asarray(cls_l)
-                mask_l = np.asarray(mask_l)
-                seg_valid = np.asarray(np_batch["seg_pad_masks"])
+                results = self._run_batch(reqs)
                 dt = time.time() - t0
                 for i in range(n_real):
-                    preds = rank_instances(
-                        cls_l[i], mask_l[i], seg_valid[i],
-                        num_classes=self.num_classes, topk=self.topk,
-                        score_threshold=self.score_threshold,
-                        seg_to_full=meta["segment_to_full"][i])
                     _, fut, t_sub = items[i]
                     self.stats.latencies_s.append(time.time() - t_sub)
-                    fut.set_result(preds)
+                    fut.set_result(results[i])
                 self.stats.scenes += n_real
                 self.stats.steps += 1
                 self.stats.total_step_s += dt
@@ -171,3 +129,118 @@ class InstSegServer:
                 for _, fut, _t in items:
                     if not fut.done():
                         fut.set_exception(e)
+
+    def _to_device(self, np_batch):
+        import jax.numpy as jnp
+        return {k: (jnp.asarray(v) if not isinstance(v, dict) else
+                    {kk: jnp.asarray(vv) for kk, vv in v.items()})
+                for k, v in np_batch.items()}
+
+
+class InstSegServer(_MicroBatchServer):
+    """Micro-batching inference server for the stage-1 instseg model:
+    submit one raw scene dict (points/colors/segment_id/...), receive a
+    list of {"class", "score", "mask"} instance predictions at full point
+    resolution."""
+
+    def __init__(self, model, variables, pipe_cfg: InstSegPipelineConfig,
+                 batch_size: int, num_classes: int, topk: int = 100,
+                 score_threshold: float = 0.0, max_delay_s: float = 0.05,
+                 extra_features: Optional[Dict[str, int]] = None):
+        if not pipe_cfg.level_caps:
+            raise ValueError(
+                "serving requires pipe_cfg.level_caps: without fixed level "
+                "pads every batch may compile a new executable")
+        import jax
+        self.model = model
+        self.variables = variables
+        self.pipe_cfg = pipe_cfg
+        self.num_classes = num_classes
+        self.topk = topk
+        self.score_threshold = score_threshold
+        self.extra_features = extra_features or {}
+
+        def _forward(v, b):
+            out = model.apply(v, b, train=False)
+            return out["predictions_class"][-1], out["predictions_mask"][-1]
+        self._fwd = jax.jit(_forward)
+        super().__init__(batch_size, max_delay_s)
+
+    def _run_batch(self, scenes):
+        np_batch = make_batch(scenes, self.pipe_cfg, self._rng, train=False)
+        meta = np_batch.pop("_meta")
+        S = self.pipe_cfg.max_segments
+        for name, dim in self.extra_features.items():
+            np_batch[f"{name}_seg_fts"] = np.zeros(
+                (self.batch_size, S, dim), np.float32)
+            np_batch[f"{name}_seg_pad_masks"] = np_batch["seg_pad_masks"]
+        cls_l, mask_l = self._fwd(self.variables, self._to_device(np_batch))
+        cls_l = np.asarray(cls_l)
+        mask_l = np.asarray(mask_l)
+        seg_valid = np.asarray(np_batch["seg_pad_masks"])
+        return [rank_instances(cls_l[i], mask_l[i], seg_valid[i],
+                               num_classes=self.num_classes, topk=self.topk,
+                               score_threshold=self.score_threshold,
+                               seg_to_full=meta["segment_to_full"][i])
+                for i in range(len(scenes))]
+
+
+class UnifiedServer(_MicroBatchServer):
+    """Micro-batching server for the stage-2 unified model: submit
+    ``(scene, lang)`` request pairs (the same payloads the unified task
+    datasets produce — obj points + offline features + tokenized prompt),
+    receive {"ground_obj", "ground_scores", "generation_tokens",
+    "generation"} per request."""
+
+    def __init__(self, model, variables, pipe_cfg, batch_size: int,
+                 feature_dims: Dict[str, int], detokenize=None,
+                 max_delay_s: float = 0.05):
+        import jax
+        from pq3d_tpu.data.unified_pipeline import (collate_unified,
+                                                    process_item)
+        self._collate = collate_unified
+        self._process = process_item
+        self.model = model
+        self.variables = variables
+        self.pipe_cfg = pipe_cfg
+        self.feature_dims = feature_dims
+        self.detokenize = detokenize
+
+        def _forward(v, b):
+            out = model.apply(v, b, train=False)
+            return {k: out[k] for k in ("ground_logits", "generation_tokens")
+                    if k in out}
+        self._fwd = jax.jit(_forward)
+        super().__init__(batch_size, max_delay_s)
+
+    def _run_batch(self, reqs):
+        processed = []
+        for scene, lang in reqs:
+            item = self._process(scene, lang, self.pipe_cfg, self._rng,
+                                 False, self.feature_dims)
+            processed.append({k: v for k, v in item.items()
+                              if not k.startswith("meta_")})
+        np_batch = self._collate(processed, self.pipe_cfg,
+                                 self.feature_dims, train=False)
+        np_batch = {k: v for k, v in np_batch.items()
+                    if not k.startswith("_")}
+        out = self._fwd(self.variables, self._to_device(np_batch))
+        out = {k: np.asarray(v) for k, v in out.items()}
+        # object slots == query slots in the unified batch (one query per
+        # candidate object, collate_unified:277-300)
+        obj_valid = np.asarray(np_batch["query_pad_masks"])
+        results = []
+        for i in range(len(reqs)):
+            r: Dict[str, Any] = {}
+            if "ground_logits" in out:
+                scores = np.where(obj_valid[i], out["ground_logits"][i],
+                                  -np.inf)
+                r["ground_scores"] = scores
+                r["ground_obj"] = int(np.argmax(scores))
+            if "generation_tokens" in out:
+                toks = out["generation_tokens"][i]
+                r["generation_tokens"] = toks
+                if self.detokenize is not None:
+                    r["generation"] = self.detokenize(toks.tolist())
+            results.append(r)
+        return results

@@ -78,6 +78,63 @@ def test_server_serves_scenes_with_one_compile():
     assert st["p99_latency_s"] > 0
 
 
+def test_unified_server_grounding_and_generation():
+    from pq3d_tpu.config import Config
+    from pq3d_tpu.data.unified_datasets import SyntheticRefer
+    from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
+    from pq3d_tpu.models.query3d import (GenerationHeadCfg, GroundHeadCfg,
+                                         TxtEncoderCfg)
+    from pq3d_tpu.serve import UnifiedServer
+
+    cfg = Config({"data": {"synthetic": {"num_train": 5, "n_points": 600,
+                                         "n_instances": 4}},
+                  "debug": {"flag": False}})
+    pipe = UnifiedPipelineConfig(max_obj_len=8, num_points=64,
+                                 prompt_len=12, response_len=8)
+    ds = SyntheticRefer(cfg, "train")
+    feature_dims = {"mv": 32, "voxel": 16}
+
+    model = Query3DUnified(
+        memories=("mv", "voxel", "prompt"), heads=("ground", "generation"),
+        hidden_size=64, dim_loc=6, use_offline_voxel_fts=True,
+        skip_query_encoder_mask_pred=True, mask_head_cfg=None,
+        unified=UnifiedEncoderCfg(num_layers=1, num_blocks=1,
+                                  num_attention_heads=4, structure="mixed"),
+        mv_enc=EncoderCfg(input_feat_size=32),
+        voxel_obj_enc=EncoderCfg(input_feat_size=16),
+        ground_head_cfg=GroundHeadCfg(hidden_size=32),
+        generation_head_cfg=GenerationHeadCfg(
+            vocab_size=100, d_model=32, d_kv=8, d_ff=64, num_layers=1,
+            num_heads=4, max_new_tokens=4),
+        txt_cfg=TxtEncoderCfg(vocab_size=200, width=32, layers=1, heads=4))
+
+    # init off one assembled batch
+    from pq3d_tpu.data.unified_loader import UnifiedTaskLoader
+    loader = UnifiedTaskLoader(ds, pipe, batch_size=2, train=False,
+                               feature_dims=feature_dims)
+    init_batch = {k: v for k, v in next(iter(loader(0))).items()
+                  if not k.startswith("_")}
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jax.tree.map(np.asarray, init_batch), train=False)
+
+    srv = UnifiedServer(model, variables, pipe, batch_size=2,
+                        feature_dims=feature_dims, max_delay_s=0.01,
+                        detokenize=lambda t: " ".join(map(str, t)))
+    try:
+        futs = [srv.submit(ds.get_item(i)) for i in range(5)]
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        srv.close()
+
+    for r in results:
+        assert 0 <= r["ground_obj"] < 8
+        assert np.isfinite(r["ground_scores"][r["ground_obj"]])
+        assert isinstance(r["generation"], str)
+    assert srv.jit_cache_size() == 1
+    assert srv.stats.summary()["scenes"] == 5
+
+
 def test_server_requires_level_caps():
     pipe = InstSegPipelineConfig(voxel_size=0.15, num_queries=8,
                                  max_segments=32, max_instances=8,
