@@ -155,6 +155,7 @@ def bench_instseg(jax, jnp, rng):
     names = os.environ.get("BENCH_VARIANTS", "gather,dense_block").split(",")
     for stem, sorted_g, flat, compact, swin in (spec[n.strip()]
                                                 for n in names):
+      try:                      # a failed variant must not kill the headline
         pipe_cfg = InstSegPipelineConfig(
             voxel_size=0.15 if SMOKE else 0.02,
             num_queries=16 if SMOKE else 120,
@@ -207,7 +208,12 @@ def bench_instseg(jax, jnp, rng):
         variants[key] = _time_calls(fwd, variables, batch)
         print(f"# instseg {key}: {variants[key]*1000:.1f} ms",
               file=sys.stderr, flush=True)
+      except Exception as e:
+        print(f"# instseg variant failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
 
+    if not variants:
+        raise RuntimeError("every instseg variant failed")
     dt = min(variants.values())
     return batch_size / dt, dt, host_s, {
         k: round(v * 1000, 2) for k, v in variants.items()}
@@ -254,7 +260,13 @@ def main():
     rng = np.random.default_rng(0)
 
     uni_sps, uni_dt, uni_host, uni_dt_f32 = bench_unified(jax, jnp, rng)
-    seg_sps, seg_dt, seg_host, seg_variants = bench_instseg(jax, jnp, rng)
+    try:
+        seg_sps, seg_dt, seg_host, seg_variants = bench_instseg(jax, jnp, rng)
+    except Exception as e:     # never lose the headline to the detail block
+        print(f"# instseg bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        seg_sps = seg_dt = seg_host = 0.0
+        seg_variants = {"error": str(e)[:200]}
 
     result = {
         "metric": "unified_task_inference_throughput",
