@@ -275,7 +275,8 @@ class _SceneVerseTask:
             pred_dir=(str(cfg.data.scene_verse_pred)
                       if cfg.data.get("scene_verse_pred") else None),
             load_options=dict(cfg.data.get("load_scan_options", {}) or {}))
-        self.tokenizer = tokenizer or (lambda s: [ord(c) % 1000 for c in s][:32])
+        from pq3d_tpu.data.tokenizers import SyntheticTokenize
+        self.tokenizer = tokenizer or SyntheticTokenize(32)
         self.gen_tokenizer = gen_tokenizer or self.tokenizer
         self.lang_data = self._load_lang()
 

@@ -24,6 +24,69 @@ def _synthetic_tokenize(s: str) -> List[int]:
     return [ord(c) % 1000 for c in s][:77]
 
 
+class SyntheticTokenize:
+    """Picklable synthetic tokenizer (spawn-pool workers pickle the
+    dataset, so tokenizer callables must round-trip through pickle —
+    lambdas/closures do not)."""
+
+    def __init__(self, max_length: int = 77):
+        self.max_length = max_length
+
+    def __call__(self, s: str) -> List[int]:
+        return [ord(c) % 1000 for c in s][: self.max_length]
+
+
+class HFTokenize:
+    """Picklable HF tokenizer wrapper: pickles by name, reloads lazily in
+    the worker process (the HF fast-tokenizer object itself pickles, but
+    shipping just the name keeps worker init cheap and version-safe)."""
+
+    def __init__(self, name: str, max_length: int):
+        self.name = name
+        self.max_length = max_length
+        self._t = None
+
+    def _tok(self):
+        if self._t is None:
+            from transformers import AutoTokenizer
+            self._t = AutoTokenizer.from_pretrained(self.name)
+        return self._t
+
+    def __call__(self, s: str) -> List[int]:
+        return list(self._tok()(s, truncation=True,
+                                max_length=self.max_length).input_ids)
+
+    def __getstate__(self):
+        return {"name": self.name, "max_length": self.max_length}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._t = None
+
+
+class HFDetokenize:
+    """Picklable ids -> text decoder for the generation tokenizer."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._t = None
+
+    def __call__(self, ids) -> str:
+        import numpy as np
+        if self._t is None:
+            from transformers import AutoTokenizer
+            self._t = AutoTokenizer.from_pretrained(self.name)
+        ids = [int(i) for i in np.asarray(ids).tolist() if int(i) > 0]
+        return self._t.decode(ids, skip_special_tokens=True)
+
+    def __getstate__(self):
+        return {"name": self.name}
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._t = None
+
+
 @dataclasses.dataclass
 class TokenizerBundle:
     """Prompt tokenizer (text -> ids), generation tokenizer (response text
@@ -64,24 +127,21 @@ def build_tokenizers(cfg) -> TokenizerBundle:
     gen_tok = _load_hf(gen_name)
 
     if prompt_tok is not None:
-        def tokenize(s: str, _t=prompt_tok) -> List[int]:
-            return list(_t(s, truncation=True, max_length=77).input_ids)
+        tokenize = HFTokenize(str(prompt_name), max_length=77)
+        tokenize._t = prompt_tok
         p_name = str(prompt_name)
     else:
-        tokenize, p_name = _synthetic_tokenize, "synthetic"
+        tokenize, p_name = SyntheticTokenize(77), "synthetic"
 
     if gen_tok is not None:
-        def gen_tokenize(s: str, _t=gen_tok) -> List[int]:
-            return list(_t(s, truncation=True, max_length=64).input_ids)
-
-        def detokenize(ids, _t=gen_tok) -> str:
-            import numpy as np
-            ids = [int(i) for i in np.asarray(ids).tolist() if int(i) > 0]
-            return _t.decode(ids, skip_special_tokens=True)
+        gen_tokenize = HFTokenize(str(gen_name), max_length=64)
+        gen_tokenize._t = gen_tok
+        detokenize = HFDetokenize(str(gen_name))
+        detokenize._t = gen_tok
         g_name = str(gen_name)
     else:
         from pq3d_tpu.data.unified_datasets import detokenize as _syn_detok
-        gen_tokenize, detokenize, g_name = (_synthetic_tokenize, _syn_detok,
+        gen_tokenize, detokenize, g_name = (SyntheticTokenize(64), _syn_detok,
                                             "synthetic")
 
     return TokenizerBundle(tokenize=tokenize, gen_tokenize=gen_tokenize,

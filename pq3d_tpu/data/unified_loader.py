@@ -53,8 +53,8 @@ class UnifiedTaskLoader:
     ``num_workers`` > 0 builds batches in a spawn-based process pool with
     deterministic per-batch seeding (see InstSegLoader for the rationale);
     0 keeps the in-process sequential-rng path.  The pool path requires a
-    picklable dataset — HF tokenizers pickle fine, the synthetic lambda
-    tokenizers do not (keep num_workers=0 there)."""
+    picklable dataset — both HF and synthetic tokenizers are picklable
+    module-level classes (data/tokenizers.py)."""
 
     def __init__(self, dataset, cfg: UnifiedPipelineConfig, batch_size: int,
                  train: bool, seed: int = 0,

@@ -336,7 +336,10 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
         elif feature_fn is not None:
             batch[f"{name}_seg_fts"] = feature_fn(name, items, O, dim)
         else:
-            rng = np.random.default_rng(abs(hash(name)) % 2 ** 31)
+            # str hash() is salted per process — crc32 keeps the synthetic
+            # fallback features identical across spawn-pool workers
+            import zlib
+            rng = np.random.default_rng(zlib.crc32(name.encode()))
             batch[f"{name}_seg_fts"] = rng.standard_normal(
                 (b, O, dim)).astype(np.float32)
         batch[f"{name}_seg_pad_masks"] = batch["seg_pad_masks"]

@@ -99,10 +99,12 @@ def test_preemption_checkpoint(tmp_path):
     tr.ckpt = type("C", (), {
         "save": lambda self, name, state, tracker: saved.update(
             {"name": name}),
-        "exists": lambda self, name: False})()
+        "exists": lambda self, name: False,
+        "close": lambda self: saved.update({"closed": True})})()
     tr._state = object()
     assert tr._handle_preemption()
     assert saved["name"] == "latest"
+    assert saved.get("closed")  # must be durable before the requeue kill
 
 
 def test_launch_submit_writes_sbatch(tmp_path, monkeypatch):
