@@ -140,8 +140,11 @@ def bench_instseg(jax, jnp, rng):
     host_s = 0.0
     # each variant is a separate full-scale compile (~minutes on this 1-CPU
     # box): keep the default ladder short; extend via env for manual runs
-    # (stem, sorted_gather, flat_pack, compact_conv, swin_window)
+    # (stem, sorted_gather, flat_pack, compact_conv, swin_window[, int8])
     spec = {"gather": ("gather", False, False, False, 0),
+            "int8": ("gather", False, False, False, 0, True),
+            "dense_block+int8": ("dense_block", False, False, False, 0,
+                                 True),
             "dense_block": ("dense_block", False, False, False, 0),
             "gather+sorted": ("gather", True, False, False, 0),
             "dense_block+sorted": ("dense_block", True, False, False, 0),
@@ -153,8 +156,9 @@ def bench_instseg(jax, jnp, rng):
     # default ladder kept to TWO full-scale compiles (~5-15 min each on
     # this 1-CPU box); the full ladder runs via BENCH_VARIANTS (NEXTSTEPS.md)
     names = os.environ.get("BENCH_VARIANTS", "gather,dense_block").split(",")
-    for stem, sorted_g, flat, compact, swin in (spec[n.strip()]
-                                                for n in names):
+    for entry in (spec[n.strip()] for n in names):
+      stem, sorted_g, flat, compact, swin = entry[:5]
+      int8 = len(entry) > 5 and entry[5]
       try:                      # a failed variant must not kill the headline
         pipe_cfg = InstSegPipelineConfig(
             voxel_size=0.15 if SMOKE else 0.02,
@@ -192,6 +196,7 @@ def bench_instseg(jax, jnp, rng):
             voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3),
                                       accum="bfloat16",
                                       sorted_gather=sorted_g,
+                                      int8_gather=int8,
                                       backbone="swin3d" if swin
                                       else "res16unet"),
             mask_head_cfg=MaskHeadCfg(num_targets=201,
@@ -204,7 +209,7 @@ def bench_instseg(jax, jnp, rng):
                 model.apply(v, b, train=False))))
         key = "swin" if swin else (
             ("compact" if compact else ("flat" if flat else stem))
-            + ("+sorted" if sorted_g else ""))
+            + ("+sorted" if sorted_g else "") + ("+int8" if int8 else ""))
         variants[key] = _time_calls(fwd, variables, batch)
         print(f"# instseg {key}: {variants[key]*1000:.1f} ms",
               file=sys.stderr, flush=True)

@@ -59,6 +59,7 @@ class SegVoxelEncoder(nn.Module):
     # (InstSegPipelineConfig.swin_window > 0).
     backbone: str = "res16unet"
     sorted_gather: bool = False
+    int8_gather: bool = False
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -82,6 +83,7 @@ class SegVoxelEncoder(nn.Module):
                                  accum=self.accum,
                                  grad_mode=self.grad_mode,
                                  sorted_gather=self.sorted_gather,
+                                 int8_gather=self.int8_gather,
                                  name="backbone")
         bb_train = train and not self.freeze_backbone
         # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]

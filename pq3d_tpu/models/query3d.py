@@ -70,6 +70,7 @@ class VoxelEncoderCfg:
     grad_mode: str = "native"    # 'scatter_free' = transpose-map backward
     backbone: str = "res16unet"  # 'res16unet' | 'swin3d' (window attention)
     sorted_gather: bool = False  # sorted-index conv gathers (ops/sparse)
+    int8_gather: bool = False    # int8-quantized tap gathers (inference)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -231,6 +232,7 @@ class Query3DUnified(nn.Module):
                         grad_mode=self.voxel_enc.grad_mode,
                         backbone=self.voxel_enc.backbone,
                         sorted_gather=self.voxel_enc.sorted_gather,
+                        int8_gather=self.voxel_enc.int8_gather,
                         name="voxel_encoder")(
                             batch["voxel_feats"], batch["maps"],
                             batch["voxel2segment"],
@@ -449,7 +451,8 @@ def build_model(cfg) -> Query3DUnified:
             # window-attention U-Net (models/swin3d.py)
             backbone=("swin3d" if voxel_node.name == "PCDMask3DSwin3DEncoder"
                       else a.get("backbone", "res16unet")),
-            sorted_gather=a.get("sorted_gather", False))
+            sorted_gather=a.get("sorted_gather", False),
+            int8_gather=a.get("int8_gather", False))
         voxel_obj_enc = EncoderCfg(input_feat_size=128)
 
     mask_head_cfg = None

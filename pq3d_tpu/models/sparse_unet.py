@@ -92,6 +92,8 @@ class SparseConv(nn.Module):
     accum: str = "float32"   # 'float32' | 'bfloat16' (inference-only option)
     grad_mode: str = "native"  # 'native' | 'scatter_free'
     sorted_gather: bool = False  # monotonize maps + indices_are_sorted hint
+    int8_gather: bool = False  # int8-quantized tap gathers (inference lever;
+    #   ignored on the scatter_free training paths and the compact plan)
 
     @nn.compact
     def __call__(self, x, nbr, valid, parent=None, parent_off=None,
@@ -125,7 +127,8 @@ class SparseConv(nn.Module):
                                        sorted_maps=sg)
         else:
             y = sparse.sparse_conv(x, nbr, w, None, valid, accum_dtype=acc,
-                                   sorted_maps=sg)
+                                   sorted_maps=sg,
+                                   int8_gather=self.int8_gather)
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
             y = jnp.where(valid[..., None], y + b, 0)
@@ -180,19 +183,23 @@ class BasicBlock(nn.Module):
     accum: str = "float32"
     grad_mode: str = "native"
     sorted_gather: bool = False
+    int8_gather: bool = False
 
     @nn.compact
     def __call__(self, x, nbr, valid):
         train = self.train
         gm = self.grad_mode
         sg = self.sorted_gather
+        i8 = self.int8_gather
         residual = x
         out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
-                         sorted_gather=sg, name="conv1")(x, nbr, valid)
+                         sorted_gather=sg, int8_gather=i8,
+                         name="conv1")(x, nbr, valid)
         out = MaskedBatchNorm(self.bn_momentum, name="norm1")(out, valid, not train)
         out = jax.nn.relu(out)
         out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
-                         sorted_gather=sg, name="conv2")(out, nbr, valid)
+                         sorted_gather=sg, int8_gather=i8,
+                         name="conv2")(out, nbr, valid)
         out = MaskedBatchNorm(self.bn_momentum, name="norm2")(out, valid, not train)
         if x.shape[-1] != self.planes:
             residual = nn.Dense(self.planes, use_bias=False, kernel_init=conv_init,
@@ -219,6 +226,7 @@ class ResStage(nn.Module):
     accum: str = "float32"
     grad_mode: str = "native"
     sorted_gather: bool = False
+    int8_gather: bool = False
 
     @nn.compact
     def __call__(self, x, nbr, valid, train: bool):
@@ -226,6 +234,7 @@ class ResStage(nn.Module):
         for i in range(self.layers):
             x = block_cls(self.planes, self.bn_momentum, train, self.accum,
                           self.grad_mode, self.sorted_gather,
+                          self.int8_gather,
                           name=f"block{i}")(x, nbr, valid)
         return x
 
@@ -263,6 +272,8 @@ class Res16UNet(nn.Module):
     accum: str = "float32"
     grad_mode: str = "native"   # 'scatter_free' = transpose-map backward
     sorted_gather: bool = False  # sorted-index gather hint (see ops/sparse)
+    int8_gather: bool = False   # int8 tap gathers on the 3^3 convs
+    #   (inference only; silently off in train mode)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -271,6 +282,7 @@ class Res16UNet(nn.Module):
         P = self.planes
         gm = self.grad_mode
         sg = self.sorted_gather
+        i8 = self.int8_gather and not train
         flat_in = x.ndim == 2            # flat-packed layout
         if flat_in:
             b, (p0, cin) = 1, x.shape
@@ -319,12 +331,13 @@ class Res16UNet(nn.Module):
         enc_planes = [P[0], P[1], P[2], P[3]]
         for l in range(4):
             out = conv_cls(out.shape[-1], accum=self.accum, grad_mode=gm,
-                           sorted_gather=sg, name=f"conv{l+1}s2")(
+                           sorted_gather=sg, int8_gather=i8,
+                           name=f"conv{l+1}s2")(
                 out, fm[f"child_{l}"], v[l + 1],
                 fm[f"parent_{l}"], fm[f"parent_off_{l}"], v[l])
             out = jax.nn.relu(bn(f"bn{l+1}")(out, v[l + 1], not train))
             out = ResStage(enc_planes[l], self.layers[l], self.bn_momentum,
-                           self.remat_policy, self.accum, gm, sg,
+                           self.remat_policy, self.accum, gm, sg, i8,
                            name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train)
             skips.append(out)
 
@@ -342,7 +355,7 @@ class Res16UNet(nn.Module):
             out = jax.nn.relu(bn(f"bntr{i+4}")(out, v[lvl], not train))
             out = jnp.concatenate([out, skips[lvl]], axis=-1)
             out = ResStage(dec_planes[i], self.layers[i + 4], self.bn_momentum,
-                           self.remat_policy, self.accum, gm, sg,
+                           self.remat_policy, self.accum, gm, sg, i8,
                            name=f"stage{i+5}")(out, n[lvl], v[lvl], train)
             feature_maps.append(out)
 

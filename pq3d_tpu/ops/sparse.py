@@ -59,12 +59,28 @@ def sorted_conv_maps(nbr: jnp.ndarray) -> tuple:
     return jnp.maximum(idx, 0), valid
 
 
+def quantize_rows(x: jnp.ndarray, eps: float = 1e-6):
+    """Per-channel symmetric int8 quantization of an (N, C) activation.
+
+    Returns ``(q, s)`` with ``x ~= q * s`` (q int8, s (C,) f32).  Used by
+    the ``int8_gather`` conv mode: the K per-tap row gathers read int8 rows
+    (half the bf16 HBM traffic of the gather-bound convs, PERF.md lever 2)
+    and the scale folds into the kernel weights, so the only extra work is
+    one quantization pass per conv input.
+    """
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=0), eps) / 127.0
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
 def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None,
                 out_valid: Optional[jnp.ndarray] = None,
                 compute_dtype=jnp.bfloat16,
                 accum_dtype=jnp.float32,
-                sorted_maps: bool = False) -> jnp.ndarray:
+                sorted_maps: bool = False,
+                int8_gather: bool = False) -> jnp.ndarray:
     """Sparse convolution via gather->GEMM.
 
     Args:
@@ -73,6 +89,10 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
       w:    (K, Cin, Cout) kernel weights.
       bias: optional (Cout,).
       out_valid: optional (N_out,) / (B, N_out) bool mask.
+      int8_gather: quantize the input per-channel to int8 before the K tap
+        gathers and fold the scale into ``w`` (inference lever — the custom
+        training VJPs re-gather from the unquantized input; quantization
+        error is ~0.4% of the per-channel max, absorbed by the following BN).
     Returns: same leading shape as nbr, trailing Cout, in x.dtype.
 
     Batched inputs run as a ``lax.scan`` over scenes: per-scene gathers from
@@ -84,22 +104,27 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
             xs, ns = inp
             return carry, sparse_conv(xs, ns, w, bias, None,
                                       compute_dtype, accum_dtype,
-                                      sorted_maps)
+                                      sorted_maps, int8_gather)
         _, out = jax.lax.scan(per_scene, 0, (x, nbr))
         if out_valid is not None:
             out = jnp.where(out_valid[..., None], out, 0)
         return out
 
     k_total = nbr.shape[1]
-    xb = x.astype(compute_dtype)
-    wb = w.astype(compute_dtype)
+    if int8_gather:
+        xb, scale = quantize_rows(x)
+        wb = w.astype(jnp.float32) * scale[None, :, None]
+        wb = wb.astype(compute_dtype)
+    else:
+        xb = x.astype(compute_dtype)
+        wb = w.astype(compute_dtype)
     if sorted_maps:
         mono_idx, mono_valid = sorted_conv_maps(nbr)
 
     def body(acc, inputs):
         idx, m, wk = inputs  # idx: (N_out,), wk: (Cin, Cout)
         xi = fast_row_gather(xb, idx, indices_are_sorted=sorted_maps)
-        xi = jnp.where(m[:, None], xi, 0)
+        xi = jnp.where(m[:, None], xi, 0).astype(compute_dtype)
         # named for the 'gather_only' remat policy: these (N, Cin)-per-tap
         # residuals dominate training memory (~K x N x Cin); the policy
         # recomputes them in the backward instead of saving them

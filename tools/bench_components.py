@@ -4,6 +4,8 @@ Isolates: U-Net fwd, U-Net grad, full-model fwd, set-loss grad (decoder +
 Hungarian rounds), to locate the remaining backward cost.
 Usage: python tools/bench_components.py [grad_mode]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys, time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",

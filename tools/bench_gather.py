@@ -5,6 +5,8 @@ Informs the sparse-conv optimization ladder (PERF.md "Remaining bottleneck").
 Slope timing per PERF.md: chain R reps in one jitted fori_loop, time two rep
 counts, take the difference quotient (cancels tunnel RTT).
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 

@@ -3,7 +3,7 @@ gathers (the round-2 conv optimization ladder, PERF.md).
 
 Usage: python tools/bench_instseg_fwd.py [variants...]
   variants: base | dense | sorted | dense_sorted | flat | flat_sorted |
-            compact | swin | flat_swin
+            compact | swin | flat_swin | int8 | dense_int8
   (default: all non-flat conv ladder)
 Prints ms/step and scenes/s for each variant using slope timing.
 """
@@ -14,6 +14,8 @@ import time
 import numpy as np
 
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
@@ -62,7 +64,7 @@ def build_batch(stem_mode, flat=False, compact=False, swin=0):
     return jax.tree.map(jnp.asarray, batch), host_s
 
 
-def build_model(sorted_gather, backbone="res16unet"):
+def build_model(sorted_gather, backbone="res16unet", int8=False):
     return Query3DUnified(
         memories=("voxel", "mv", "pc"), heads=("mask",),
         hidden_size=96 if SMOKE else 768,
@@ -74,7 +76,7 @@ def build_model(sorted_gather, backbone="res16unet"):
                                   spatial_selfattn=True, use_self_mask=True),
         voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16",
                                   sorted_gather=sorted_gather,
-                                  backbone=backbone),
+                                  backbone=backbone, int8_gather=int8),
         mask_head_cfg=MaskHeadCfg(num_targets=201,
                                   filter_out_classes=(0, 2)))
 
@@ -95,8 +97,11 @@ def slope(fn, *args, r1=3, r2=10):
 
 def main():
     variants = sys.argv[1:] or ["base", "dense", "sorted", "dense_sorted"]
-    # (stem, sorted_gather, flat, compact, swin_window, backbone)
+    # (stem, sorted_gather, flat, compact, swin_window, backbone[, int8])
     spec = {"base": ("gather", False, False, False, 0, "res16unet"),
+            "int8": ("gather", False, False, False, 0, "res16unet", True),
+            "dense_int8": ("dense_block", False, False, False, 0,
+                           "res16unet", True),
             "dense": ("dense_block", False, False, False, 0, "res16unet"),
             "sorted": ("gather", True, False, False, 0, "res16unet"),
             "dense_sorted": ("dense_block", True, False, False, 0,
@@ -109,12 +114,13 @@ def main():
             "flat_swin": ("none", False, True, False, 4, "swin3d")}
     batches = {}
     for name in variants:
-        stem, sg, flat, compact, swin, backbone = spec[name]
+        stem, sg, flat, compact, swin, backbone = spec[name][:6]
+        int8 = len(spec[name]) > 6 and spec[name][6]
         bkey = (stem, flat, compact, swin)
         if bkey not in batches:
             batches[bkey] = build_batch(stem, flat, compact, swin)
         batch, host_s = batches[bkey]
-        model = build_model(sg, backbone)
+        model = build_model(sg, backbone, int8)
         variables = jax.jit(model.init, static_argnames=("train",))(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             batch, train=False)

@@ -7,6 +7,8 @@ Usage: python tools/bench_train_step.py [remat_policy] [grad_mode] [opts]
                 'dense_stem' (dense-block conv0), 'flat' (flat-packed
                 layout), 'compact' (tap-compacted convs; implies flat)
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import sys, time, numpy as np, jax, jax.numpy as jnp
 POLICY = sys.argv[1] if len(sys.argv) > 1 else "full"

@@ -1,4 +1,6 @@
 """Train on 2 fixed scenes until the evaluator shows real AP."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",

@@ -1,4 +1,6 @@
 """Stage-2 learning sanity: ground + generation losses drop on one batch."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir",
