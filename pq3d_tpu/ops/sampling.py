@@ -10,10 +10,76 @@ filling exactly like the CUDA ball-query kernel.
 """
 from __future__ import annotations
 
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# Ball-query implementation switch
+# ---------------------------------------------------------------------------
+# Four algebraically-equivalent first-k-hits formulations (the CUDA kernel's
+# semantics, ref ball_query_gpu.cu:9-53) with very different TPU lowerings;
+# tools/bench_ballquery.py measures them, this switch ships the winner.
+# Select via PQ3D_BALLQUERY env var or set_ball_query_impl().
+
+_BQ_IMPL = os.environ.get("PQ3D_BALLQUERY", "topk")
+
+
+def set_ball_query_impl(name: str) -> None:
+    """'topk' | 'sort' | 'onehot' | 'scatter' (affects future traces)."""
+    global _BQ_IMPL
+    if name not in ("topk", "sort", "onehot", "scatter"):
+        raise ValueError(f"unknown ball_query impl {name!r}")
+    _BQ_IMPL = name
+
+
+def _first_k_hits(ok: jnp.ndarray, nsample: int) -> jnp.ndarray:
+    """(..., M, N) hit mask -> (..., M, nsample) indices of the first
+    ``nsample`` True columns per row, in index order; misses hold N."""
+    lead = ok.shape[:-1]
+    n = ok.shape[-1]
+    ok2 = ok.reshape(-1, n)
+    m = ok2.shape[0]
+    impl = _BQ_IMPL
+    if impl in ("topk", "sort"):
+        key = jnp.where(ok2, jax.lax.broadcasted_iota(jnp.int32, ok2.shape, 1),
+                        n)
+        if impl == "topk":
+            # smallest nsample keys per row == first hits in index order
+            idx = -jax.lax.top_k(-key, nsample)[0]
+        else:
+            idx = jnp.sort(key, axis=1)[:, :nsample]
+    else:
+        # rank each hit among its row's hits with a cumsum, then place
+        # index n at slot rank-1 — either via a one-slot scatter-min
+        # (ranks are unique per row) or a one-hot MXU matmul
+        rank = jnp.cumsum(ok2.astype(jnp.int32), axis=1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, ok2.shape, 1)
+        if impl == "scatter":
+            slot = jnp.where(ok2 & (rank <= nsample), rank - 1, nsample)
+            base = jnp.full((m, nsample + 1), n, jnp.int32)
+            rows = jax.lax.broadcasted_iota(jnp.int32, ok2.shape, 0)
+            idx = base.at[rows.reshape(-1), slot.reshape(-1)].min(
+                iota.reshape(-1))[:, :nsample]
+        else:  # onehot
+            slot = jnp.where(ok2, rank - 1, nsample)
+            oh = jax.nn.one_hot(slot, nsample, dtype=jnp.float32)  # (M,N,S)
+            got = jnp.einsum("mn,mns->ms", iota.astype(jnp.float32), oh,
+                             preferred_element_type=jnp.float32)
+            filled = jnp.max(oh, axis=1) > 0
+            idx = jnp.where(filled, got.astype(jnp.int32), n)
+    return idx.reshape(*lead, nsample)
+
+
+def _fill_first(idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Replace misses (== n) with the row's first hit; 0 when none."""
+    hit = idx < n
+    first = idx[..., :1]
+    idx = jnp.where(hit, idx, first)
+    return jnp.where(first < n, idx, 0).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -89,17 +155,10 @@ def furthest_point_sample_batched(xyz: jnp.ndarray, npoint: int
 def ball_query_batched(xyz: jnp.ndarray, centers: jnp.ndarray,
                        radius: float, nsample: int) -> jnp.ndarray:
     """Batched first-hit ball query: (B, N, 3), (B, M, 3) -> (B, M, S)."""
-    b, n, _ = xyz.shape
+    n = xyz.shape[1]
     d2 = jnp.sum((centers[:, :, None, :] - xyz[:, None, :, :]) ** 2, -1)
     ok = d2 < radius * radius                  # (B, M, N)
-    key = jnp.where(ok, jax.lax.broadcasted_iota(jnp.int32, ok.shape, 2), n)
-    neg_top, _ = jax.lax.top_k(-key, nsample)  # top_k over last dim
-    idx = -neg_top
-    hit = idx < n
-    first = idx[:, :, :1]
-    idx = jnp.where(hit, idx, first)
-    idx = jnp.where(first < n, idx, 0)
-    return idx.astype(jnp.int32)
+    return _fill_first(_first_k_hits(ok, nsample), n)
 
 
 def query_and_group_batched(xyz: jnp.ndarray, centers: jnp.ndarray,
@@ -184,15 +243,7 @@ def ball_query(xyz: jnp.ndarray, centers: jnp.ndarray, radius: float,
     n = xyz.shape[0]
     d2 = jnp.sum((centers[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
     ok = d2 < radius * radius
-    key = jnp.where(ok, jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1), n)
-    # smallest `nsample` keys per center == first hits in index order
-    neg_top, _ = jax.lax.top_k(-key, nsample)
-    idx = -neg_top  # ascending
-    hit = idx < n
-    first = idx[:, :1]
-    idx = jnp.where(hit, idx, first)
-    idx = jnp.where(first < n, idx, 0)
-    return idx.astype(jnp.int32)
+    return _fill_first(_first_k_hits(ok, nsample), n)
 
 
 def group_points(feats: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:

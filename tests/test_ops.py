@@ -257,3 +257,32 @@ def test_batched_sampling_matches_vmapped():
     got_g = sampling.query_and_group_batched(xyz, centers, feats, 0.7, 6)
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(ref_g),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_ball_query_impls_equivalent():
+    """All four ball-query formulations (PQ3D_BALLQUERY switch) are exactly
+    equivalent, single-cloud and batched, including no-hit rows."""
+    rng = np.random.default_rng(11)
+    xyz = jnp.asarray(rng.random((2, 90, 3)), jnp.float32)
+    # a far-away center exercises the zero-fill path
+    centers = jnp.concatenate(
+        [jnp.asarray(rng.random((2, 15, 3)), jnp.float32),
+         jnp.full((2, 1, 3), 50.0)], axis=1)
+    prev = sampling._BQ_IMPL
+    try:
+        sampling.set_ball_query_impl("topk")
+        ref_b = np.asarray(sampling.ball_query_batched(xyz, centers, 0.3, 7))
+        ref_s = np.asarray(sampling.ball_query(xyz[0], centers[0], 0.3, 7))
+        for name in ("sort", "onehot", "scatter"):
+            sampling.set_ball_query_impl(name)
+            np.testing.assert_array_equal(
+                np.asarray(sampling.ball_query_batched(xyz, centers, 0.3, 7)),
+                ref_b, err_msg=name)
+            np.testing.assert_array_equal(
+                np.asarray(sampling.ball_query(xyz[0], centers[0], 0.3, 7)),
+                ref_s, err_msg=name)
+    finally:
+        sampling._BQ_IMPL = prev
+    import pytest
+    with pytest.raises(ValueError):
+        sampling.set_ball_query_impl("nope")

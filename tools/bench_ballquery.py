@@ -26,63 +26,20 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pq3d_tpu.ops import sampling  # noqa: E402
 
 
-def _finish(idx, n):
-    """Shared tail: replace misses with the first hit (0 when none)."""
-    hit = idx < n
-    first = idx[:, :1]
-    idx = jnp.where(hit, idx, first)
-    return jnp.where(first < n, idx, 0).astype(jnp.int32)
+def _impl(name):
+    """The SHIPPED implementation (ops/sampling._first_k_hits) under the
+    given switch — the winner we measure is exactly the code that ships."""
+    def fn(xyz, centers, radius, nsample):
+        prev = sampling._BQ_IMPL
+        sampling.set_ball_query_impl(name)
+        try:
+            return sampling.ball_query(xyz, centers, radius, nsample)
+        finally:
+            sampling._BQ_IMPL = prev
+    return fn
 
 
-def bq_topk(xyz, centers, radius, nsample):
-    """Current op (top_k of masked iota)."""
-    return sampling.ball_query(xyz, centers, radius, nsample)
-
-
-def bq_sort(xyz, centers, radius, nsample):
-    """Full ascending sort, take the first nsample."""
-    n = xyz.shape[0]
-    d2 = jnp.sum((centers[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
-    key = jnp.where(d2 < radius * radius,
-                    jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1), n)
-    return _finish(jnp.sort(key, axis=1)[:, :nsample], n)
-
-
-def bq_onehot(xyz, centers, radius, nsample):
-    """Rank hits with a cumsum, place them with a one-hot MXU matmul:
-    idx[m, s] = sum_n n * [rank[m, n] == s+1]."""
-    n = xyz.shape[0]
-    d2 = jnp.sum((centers[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
-    ok = d2 < radius * radius
-    rank = jnp.cumsum(ok.astype(jnp.int32), axis=1)      # 1-based among hits
-    slot = jnp.where(ok, rank - 1, nsample)              # nsample = dropped
-    oh = jax.nn.one_hot(slot, nsample, dtype=jnp.float32)     # (M, N, S)
-    iota = jax.lax.broadcasted_iota(jnp.float32, ok.shape, 1)
-    got = jnp.einsum("mn,mns->ms", iota, oh,
-                     preferred_element_type=jnp.float32)
-    filled = jnp.max(oh, axis=1) > 0
-    idx = jnp.where(filled, got.astype(jnp.int32), n)
-    return _finish(idx, n)
-
-
-def bq_scatter(xyz, centers, radius, nsample):
-    """Rank hits with a cumsum, place them with one scatter (each (row,
-    slot) written by exactly one point — ranks are unique per row)."""
-    n = xyz.shape[0]
-    m = centers.shape[0]
-    d2 = jnp.sum((centers[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
-    ok = d2 < radius * radius
-    rank = jnp.cumsum(ok.astype(jnp.int32), axis=1)
-    slot = jnp.where(ok & (rank <= nsample), rank - 1, nsample)  # S = dropped
-    base = jnp.full((m, nsample + 1), n, jnp.int32)
-    rows = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, ok.shape, 1)
-    out = base.at[rows.reshape(-1), slot.reshape(-1)].min(iota.reshape(-1))
-    return _finish(out[:, :nsample], n)
-
-
-VARIANTS = {"topk": bq_topk, "sort": bq_sort, "onehot": bq_onehot,
-            "scatter": bq_scatter}
+VARIANTS = {n: _impl(n) for n in ("topk", "sort", "onehot", "scatter")}
 
 
 def timeit(fn, args, n1=2, n2=10):
@@ -110,7 +67,7 @@ def main():
     centers = jnp.asarray(xyz[rng.choice(n, m, replace=False)])
     radius = 0.2
 
-    ref = np.asarray(bq_topk(xyz, centers, radius, ns))
+    ref = np.asarray(VARIANTS["topk"](xyz, centers, radius, ns))
     for name, fn in VARIANTS.items():
         got = np.asarray(jax.jit(fn, static_argnums=(2, 3))(
             xyz, centers, radius, ns))
