@@ -151,6 +151,7 @@ def bench_instseg(jax, jnp, rng):
             "flat": ("dense_block", False, True, False, 0),
             "flat+sorted": ("dense_block", True, True, False, 0),
             "compact": ("dense_block", False, True, True, 0),
+            "compact+int8": ("dense_block", False, True, True, 0, True),
             # window-attention backbone (models/swin3d.py)
             "swin": ("none", False, False, False, 4)}
     # default ladder kept to TWO full-scale compiles (~5-15 min each on

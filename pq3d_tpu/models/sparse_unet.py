@@ -105,10 +105,13 @@ class SparseConv(nn.Module):
             k = nbr["in_idx"].shape[0]
             w = self.param("kernel", conv_init,
                            (k, x.shape[-1], self.out_channels))
-            conv = (sparse.sparse_conv_compact_sym
-                    if self.grad_mode == "scatter_free"
-                    else sparse.sparse_conv_compact)
-            y = conv(x, nbr, w, valid, accum_dtype=jnp.dtype(self.accum))
+            if self.grad_mode == "scatter_free":
+                y = sparse.sparse_conv_compact_sym(
+                    x, nbr, w, valid, accum_dtype=jnp.dtype(self.accum))
+            else:
+                y = sparse.sparse_conv_compact(
+                    x, nbr, w, valid, accum_dtype=jnp.dtype(self.accum),
+                    int8_gather=self.int8_gather)
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros,
                                (self.out_channels,))

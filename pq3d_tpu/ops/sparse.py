@@ -464,7 +464,8 @@ def sparse_conv_transpose_gf(x: jnp.ndarray, parent: jnp.ndarray,
 def sparse_conv_compact(x: jnp.ndarray, plan: dict, w: jnp.ndarray,
                         out_valid: Optional[jnp.ndarray] = None,
                         compute_dtype=jnp.bfloat16,
-                        accum_dtype=jnp.float32) -> jnp.ndarray:
+                        accum_dtype=jnp.float32,
+                        int8_gather: bool = False) -> jnp.ndarray:
     """Tap-compacted conv (ops/kernel_maps.build_compact_conv plan).
 
     Gathers ONLY valid (output, tap) pairs (~valid_frac*K*N rows instead of
@@ -477,14 +478,21 @@ def sparse_conv_compact(x: jnp.ndarray, plan: dict, w: jnp.ndarray,
     """
     k, m = plan["in_idx"].shape
     cout = w.shape[-1]
-    xb = x.astype(compute_dtype)
-    wb = w.astype(compute_dtype)
+    if int8_gather:
+        # composes with the compaction: the ~valid_frac*K*N gathered rows
+        # shrink 2x again (see sparse_conv's int8_gather; inference only)
+        xb, scale = quantize_rows(x)
+        wb = (w.astype(jnp.float32)
+              * scale[None, :, None]).astype(compute_dtype)
+    else:
+        xb = x.astype(compute_dtype)
+        wb = w.astype(compute_dtype)
 
     def tap(_, inp):
         idx, wk = inp
         ok = idx >= 0
         xi = fast_row_gather(xb, jnp.maximum(idx, 0))
-        xi = jnp.where(ok[:, None], xi, 0)
+        xi = jnp.where(ok[:, None], xi, 0).astype(compute_dtype)
         return _, jnp.dot(xi, wk, preferred_element_type=compute_dtype)
 
     _, z = jax.lax.scan(tap, 0, (plan["in_idx"], wb))      # (K, M, Cout)

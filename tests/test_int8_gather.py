@@ -77,3 +77,25 @@ def test_int8_flag_through_unet():
     assert np.abs(got - ref).max() / denom < 0.15  # ~30 quantized convs deep
     r = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
     assert r > 0.99
+
+
+def test_int8_compact_close_to_f32():
+    """int8 gathers compose with the tap-compacted plan."""
+    from pq3d_tpu.ops.kernel_maps import build_compact_conv
+
+    h, rng = _maps(n=600, extent=20)
+    p0 = h.pad_sizes[0]
+    plan = {k: jnp.asarray(v)
+            for k, v in build_compact_conv(np.asarray(h.nbr3[0])).items()}
+    x = jnp.asarray(rng.standard_normal((p0, 16)).astype(np.float32)
+                    * np.asarray(h.valid[0])[:, None])
+    w = jnp.asarray(rng.standard_normal((27, 16, 8)).astype(np.float32) * 0.1)
+    valid = jnp.asarray(h.valid[0])
+    ref = jax.jit(lambda: sparse.sparse_conv_compact(
+        x, plan, w, valid, compute_dtype=jnp.float32))()
+    got = jax.jit(lambda: sparse.sparse_conv_compact(
+        x, plan, w, valid, compute_dtype=jnp.float32, int8_gather=True))()
+    denom = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / denom < 0.05
+    r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
+    assert r > 0.999

@@ -3,7 +3,7 @@ gathers (the round-2 conv optimization ladder, PERF.md).
 
 Usage: python tools/bench_instseg_fwd.py [variants...]
   variants: base | dense | sorted | dense_sorted | flat | flat_sorted |
-            compact | swin | flat_swin | int8 | dense_int8
+            compact | swin | flat_swin | int8 | dense_int8 | compact_int8
   (default: all non-flat conv ladder)
 Prints ms/step and scenes/s for each variant using slope timing.
 """
@@ -110,6 +110,8 @@ def main():
             "flat_sorted": ("dense_block", True, True, False, 0,
                             "res16unet"),
             "compact": ("dense_block", False, True, True, 0, "res16unet"),
+            "compact_int8": ("dense_block", False, True, True, 0,
+                             "res16unet", True),
             "swin": ("none", False, False, False, 4, "swin3d"),
             "flat_swin": ("none", False, True, False, 4, "swin3d")}
     batches = {}
