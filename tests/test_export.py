@@ -78,3 +78,47 @@ def test_export_cross_lowers_for_tpu():
     # and the dual-platform artifact still runs on this (CPU) backend
     out = load_forward(blob)(batch)
     assert np.isfinite(np.asarray(out["predictions_class"][-1])).all()
+
+
+def test_export_unified_with_generation():
+    """The stage-2 unified model — CLIP-style prompt routing, mixed fusion,
+    grounding head, and the KV-cached T5 greedy decode (lax.scan) — exports
+    and reproduces the jitted forward bit-exactly."""
+    from test_model_unified import unified_model, B, S, Q, L, RESP
+    from pq3d_tpu.models.query3d import PROMPT_TXT, PROMPT_LOC
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    b = {
+        "query_locs": rng.standard_normal((B, Q, 6)).astype(np.float32),
+        "query_pad_masks": np.ones((B, Q), bool),
+        "seg_center": rng.standard_normal((B, S, 6)).astype(np.float32),
+        "seg_pad_masks": np.ones((B, S), bool),
+        "coord_min": np.full((B, 3), -1, np.float32),
+        "coord_max": np.full((B, 3), 1, np.float32),
+        "mv_seg_fts": rng.standard_normal((B, S, 16)).astype(np.float32),
+        "mv_seg_pad_masks": np.ones((B, S), bool),
+        "pc_seg_fts": rng.standard_normal((B, S, 16)).astype(np.float32),
+        "pc_seg_pad_masks": np.ones((B, S), bool),
+        "voxel_seg_fts": rng.standard_normal((B, S, 8)).astype(np.float32),
+        "voxel_seg_pad_masks": np.ones((B, S), bool),
+        "prompt": rng.integers(0, 64, (B, L)).astype(np.float32),
+        "prompt_pad_masks": np.ones((B, L), bool),
+        "prompt_type": np.array([PROMPT_TXT, PROMPT_TXT, PROMPT_LOC,
+                                 PROMPT_TXT]),
+    }
+    batch = jax.tree.map(jnp.asarray, b)
+    model = unified_model()
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        batch, train=False)
+
+    blob = export_forward(model, variables, batch,
+                          outputs=("ground_logits", "generation_tokens"),
+                          platforms=("cpu",))
+    got = load_forward(blob)(batch)
+    ref = jax.jit(lambda bb: model.apply(variables, bb, train=False))(batch)
+    np.testing.assert_array_equal(np.asarray(got["ground_logits"]),
+                                  np.asarray(ref["ground_logits"]))
+    np.testing.assert_array_equal(np.asarray(got["generation_tokens"]),
+                                  np.asarray(ref["generation_tokens"]))
