@@ -164,6 +164,7 @@ class SparseConvTranspose(nn.Module):
     out_channels: int
     grad_mode: str = "native"
     sorted_gather: bool = False
+    int8_gather: bool = False
 
     @nn.compact
     def __call__(self, x, parent, parent_off, valid, child=None,
@@ -173,7 +174,8 @@ class SparseConvTranspose(nn.Module):
             return sparse.sparse_conv_transpose_gf(
                 x, parent, parent_off, w, child, valid, in_valid,
                 sorted_maps=self.sorted_gather)
-        return sparse.sparse_conv_transpose(x, parent, parent_off, w, valid)
+        return sparse.sparse_conv_transpose(x, parent, parent_off, w, valid,
+                                            int8_gather=self.int8_gather)
 
 
 class BasicBlock(nn.Module):
@@ -351,7 +353,7 @@ class Res16UNet(nn.Module):
         for i in range(4):
             lvl = 3 - i  # output level of this upsample
             out = SparseConvTranspose(dec_planes[i], grad_mode=gm,
-                                      sorted_gather=sg,
+                                      sorted_gather=sg, int8_gather=i8,
                                       name=f"convtr{i+4}")(
                 out, fm[f"parent_{lvl}"], fm[f"parent_off_{lvl}"], v[lvl],
                 fm[f"child_{lvl}"], v[lvl + 1])

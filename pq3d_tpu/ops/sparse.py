@@ -149,7 +149,8 @@ def sparse_conv_transpose(x: jnp.ndarray, parent: jnp.ndarray,
                           parent_off: jnp.ndarray, w: jnp.ndarray,
                           out_valid: Optional[jnp.ndarray] = None,
                           compute_dtype=jnp.bfloat16,
-                          accum_dtype=jnp.float32) -> jnp.ndarray:
+                          accum_dtype=jnp.float32,
+                          int8_gather: bool = False) -> jnp.ndarray:
     """Stride-2 transposed (upsampling) convolution, kernel 2^3.
 
     Each fine voxel has exactly one coarse parent and a kernel offset id, so
@@ -162,13 +163,17 @@ def sparse_conv_transpose(x: jnp.ndarray, parent: jnp.ndarray,
       parent:     (N_fine,) / (B, N_fine) int32 parent index, -1 for pads.
       parent_off: (N_fine,) / (B, N_fine) int32 kernel offset id in [0, 8).
       w:          (8, Cin, Cout).
+      int8_gather: quantize the 8 per-offset GEMM OUTPUTS to int8 before
+        the per-fine-voxel gather (halves the gather traffic; dequantized
+        per-channel after — inference lever like sparse_conv's).
     Returns: (..., N_fine, Cout).
     """
     if x.ndim == 3:
         def per_scene(carry, inp):
             xs, ps, po = inp
             return carry, sparse_conv_transpose(xs, ps, po, w, None,
-                                                compute_dtype, accum_dtype)
+                                                compute_dtype, accum_dtype,
+                                                int8_gather)
         _, out = jax.lax.scan(per_scene, 0, (x, parent, parent_off))
         if out_valid is not None:
             out = jnp.where(out_valid[..., None], out, 0)
@@ -180,7 +185,11 @@ def sparse_conv_transpose(x: jnp.ndarray, parent: jnp.ndarray,
                    preferred_element_type=accum_dtype)  # (8, Nc, Cout)
     y = y.reshape(8 * n_coarse, -1)
     flat = parent_off * n_coarse + jnp.maximum(parent, 0)
-    out = fast_row_gather(y, flat)
+    if int8_gather:
+        q, scale = quantize_rows(y)
+        out = fast_row_gather(q, flat).astype(compute_dtype) * scale
+    else:
+        out = fast_row_gather(y, flat)
     out = jnp.where((parent >= 0)[:, None], out, 0)
     if out_valid is not None:
         out = jnp.where(out_valid[:, None], out, 0)

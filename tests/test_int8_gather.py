@@ -99,3 +99,21 @@ def test_int8_compact_close_to_f32():
     assert float(jnp.abs(got - ref).max()) / denom < 0.05
     r = np.corrcoef(np.asarray(ref).ravel(), np.asarray(got).ravel())[0, 1]
     assert r > 0.999
+
+
+def test_int8_transpose_close_to_f32():
+    h, rng = _maps()
+    nc, nf = h.pad_sizes[1], h.pad_sizes[0]
+    x = jnp.asarray(rng.standard_normal((nc, 16)).astype(np.float32)
+                    * np.asarray(h.valid[1])[:, None])
+    w = jnp.asarray(rng.standard_normal((8, 16, 8)).astype(np.float32) * 0.1)
+    parent = jnp.asarray(h.parent[0])
+    poff = jnp.asarray(h.parent_off[0])
+    valid = jnp.asarray(h.valid[0])
+    ref = jax.jit(lambda: sparse.sparse_conv_transpose(
+        x, parent, poff, w, valid, compute_dtype=jnp.float32))()
+    got = jax.jit(lambda: sparse.sparse_conv_transpose(
+        x, parent, poff, w, valid, compute_dtype=jnp.float32,
+        int8_gather=True))()
+    denom = float(jnp.abs(ref).max())
+    assert float(jnp.abs(got - ref).max()) / denom < 0.02
