@@ -252,12 +252,26 @@ def wait_for_device(max_wait_s: int = 1800) -> None:
 
 
 def main():
+    degraded = False
     if SMOKE:
         os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") +             " --xla_force_host_platform_device_count=1"
         import jax as _jax
         _jax.config.update("jax_platforms", "cpu")
     else:
-        wait_for_device()
+        try:
+            wait_for_device()
+        except RuntimeError:
+            # TPU tunnel unreachable for the whole wait window (observed
+            # multi-hour axon outages where jax.devices() hangs).  Re-exec
+            # in CPU smoke mode so the driver still records a JSON line;
+            # the output is clearly labeled NOT a chip measurement.
+            env = dict(os.environ)
+            env["BENCH_SMOKE"] = "1"
+            env["BENCH_DEGRADED"] = "1"
+            env["JAX_CACHE_DIR"] = env.get("JAX_CACHE_DIR",
+                                           "/tmp/jaxcache") + "_cpu"
+            os.execve(sys.executable, [sys.executable, __file__], env)
+    degraded = os.environ.get("BENCH_DEGRADED") == "1"
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_compilation_cache_dir",
@@ -277,8 +291,10 @@ def main():
     result = {
         "metric": "unified_task_inference_throughput",
         "value": round(uni_sps, 3),
-        "unit": "scenes/sec/chip",
-        "vs_baseline": round(uni_sps / 20.0, 3),
+        "unit": ("scenes/sec CPU-SMOKE (TPU tunnel unreachable; NOT chip "
+                 "perf — last chip numbers in PERF.md)" if degraded
+                 else "scenes/sec/chip"),
+        "vs_baseline": 0.0 if degraded else round(uni_sps / 20.0, 3),
         "detail": {
             "unified_step_ms": round(uni_dt * 1000, 2),
             "unified_step_ms_f32": round(uni_dt_f32 * 1000, 2),
@@ -293,6 +309,12 @@ def main():
             "device": str(jax.devices()[0]),
         },
     }
+    if degraded:
+        result["detail"]["degraded"] = (
+            "axon TPU tunnel unreachable after 30 min of probing; ran the "
+            "shrunken CPU smoke config as a liveness check only.  Last real "
+            "chip measurements: 301.6 scenes/s unified (BENCH_r01.json), "
+            "full ladder in PERF.md.")
     print(json.dumps(result))
 
 

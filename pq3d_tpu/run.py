@@ -28,6 +28,7 @@ def build_instseg_trainer(cfg):
 
     iopt = cfg.data.instseg_options
     level_caps = iopt.get("level_caps")
+    ladder = iopt.get("level_cap_ladder")
     pipe_cfg = InstSegPipelineConfig(
         voxel_size=float(iopt.voxel_size),
         num_queries=int(iopt.num_queries),
@@ -37,6 +38,8 @@ def build_instseg_trainer(cfg):
         voxel_bucket=int(iopt.get("voxel_bucket", 4096)),
         conv0_kernel=int(iopt.get("conv0_kernel", 5)),
         level_caps=[int(x) for x in level_caps] if level_caps else None,
+        level_cap_ladder=[[int(x) for x in rung] for rung in ladder]
+        if ladder else None,
         offline_mask_source=iopt.get("offline_mask_source"),
         filter_out_classes=tuple(iopt.get("filter_out_classes", (0, 2))),
         ignore_label=int(iopt.get("ignore_label", -100)),

@@ -36,6 +36,38 @@ def test_instseg_batches_shape_stable():
         "instseg batches must have identical shapes across scenes"
 
 
+def test_instseg_level_cap_ladder():
+    """The bucket ladder picks the smallest rung that fits the batch and
+    errors when nothing fits (tighter-voxel-buckets lever, PERF.md)."""
+    import pytest
+    ladder = [[256, 128, 96, 48, 24], [1024, 512, 256, 128, 64]]
+    cfg = InstSegPipelineConfig(voxel_size=0.1, num_queries=16,
+                                max_segments=64, max_instances=16,
+                                voxel_bucket=64, level_cap_ladder=ladder)
+    rng = np.random.default_rng(0)
+    small = [synthetic.make_scene(np.random.default_rng(1), n_points=150,
+                                  n_instances=3, n_segments=12)
+             for _ in range(2)]
+    big = [synthetic.make_scene(np.random.default_rng(2), n_points=1200,
+                                n_instances=4, n_segments=24)
+           for _ in range(2)]
+    b_small = make_batch(small, cfg, rng, train=True)
+    b_big = make_batch(big, cfg, rng, train=True)
+    assert b_small["maps"]["valid_0"].shape[1] == 256
+    assert b_big["maps"]["valid_0"].shape[1] == 1024
+    # both rungs carry a complete, usable hierarchy
+    for b in (b_small, b_big):
+        nv0 = b["maps"]["valid_0"].sum()
+        assert nv0 > 0
+        assert (b["maps"]["nbr3_0"] < b["maps"]["valid_0"].shape[1]).all()
+
+    huge = [synthetic.make_scene(np.random.default_rng(3), n_points=5000,
+                                 n_instances=4, n_segments=24)
+            for _ in range(2)]
+    with pytest.raises(ValueError, match="ladder"):
+        make_batch(huge, cfg, rng, train=True)
+
+
 def test_unified_batches_shape_stable_and_jit_cache():
     cfg = Config({"data": {"synthetic": {"num_train": 6, "n_points": 400,
                                          "n_instances": 4}},
