@@ -62,22 +62,30 @@ def bench_unified(jax, jnp, rng):
                                          GenerationHeadCfg, TxtEncoderCfg)
 
     batch_size = 2 if SMOKE else 8
+    # n_instances ~ a realistic post-filter ScanNet object count, so the
+    # flat_obj variant's pad-skip win is representative, not synthetic
     cfg = Config({"data": {"synthetic": {"num_train": batch_size,
                                          "n_points": 300 if SMOKE else 2000,
-                                         "n_instances": 8}},
+                                         "n_instances": 8 if SMOKE else 32}},
                   "debug": {"flag": False}})
-    pipe = UnifiedPipelineConfig(max_obj_len=8 if SMOKE else 80,
-                                 num_points=64 if SMOKE else 1024,
-                                 prompt_len=12 if SMOKE else 77,
-                                 response_len=4 if SMOKE else 50)
-    loader = UnifiedTaskLoader(SyntheticRefer(cfg, "train"), pipe,
-                               batch_size=batch_size, train=False,
-                               feature_dims={"mv": 768, "voxel": 128})
-    t0 = time.time()
-    batch = next(iter(loader(0)))
-    host_s = time.time() - t0
-    batch = {k: jnp.asarray(v) for k, v in batch.items()
-             if not k.startswith("_")}
+
+    def make_batch(flat):
+        pipe = UnifiedPipelineConfig(max_obj_len=8 if SMOKE else 80,
+                                     num_points=64 if SMOKE else 1024,
+                                     prompt_len=12 if SMOKE else 77,
+                                     response_len=4 if SMOKE else 50,
+                                     flat_obj=flat,
+                                     flat_obj_bucket=4 if SMOKE else 64)
+        loader = UnifiedTaskLoader(SyntheticRefer(cfg, "train"), pipe,
+                                   batch_size=batch_size, train=False,
+                                   feature_dims={"mv": 768, "voxel": 128})
+        t0 = time.time()
+        b = next(iter(loader(0)))
+        host = time.time() - t0
+        return {k: jnp.asarray(v) for k, v in b.items()
+                if not k.startswith("_")}, host
+
+    batch, host_s = make_batch(False)
 
     model = Query3DUnified(
         memories=("mv", "pc", "voxel", "prompt"),
@@ -107,16 +115,30 @@ def bench_unified(jax, jnp, rng):
         out = model.apply(v, b, train=False)
         return jnp.sum(out["ground_logits"]), out["generation_tokens"]
     fwd = jax.jit(_fwd)
-    dt_f32 = _time_calls(fwd, variables, batch)
+    variants = {}
+    variants["f32"] = _time_calls(fwd, variables, batch)
 
     # bf16 serving cast (utils/inference.py): params + batch follow bf16 so
     # every matmul runs at the MXU bf16 rate; accuracy pinned by
     # tests/test_bf16_modes.py
     from pq3d_tpu.utils.inference import cast_batch_bf16, cast_params_bf16
-    dt_bf16 = _time_calls(fwd, cast_params_bf16(variables),
-                          cast_batch_bf16(batch))
-    dt = min(dt_f32, dt_bf16)
-    return batch_size / dt, dt, host_s, dt_f32
+    v_bf16 = cast_params_bf16(variables)
+    variants["bf16"] = _time_calls(fwd, v_bf16, cast_batch_bf16(batch))
+
+    # flat-object serving layout (UnifiedPipelineConfig.flat_obj): PointNet++
+    # runs only on the batch's real objects; equivalence pinned by
+    # tests/test_flat_obj.py.  Separate compile — fault-isolated.
+    names = os.environ.get("BENCH_UNIFIED_VARIANTS", "flat").split(",")
+    if "flat" in names:
+        try:
+            fbatch, _ = make_batch(True)
+            variants["flat_bf16"] = _time_calls(
+                fwd, v_bf16, cast_batch_bf16(fbatch))
+        except Exception as e:
+            print(f"# unified flat variant failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    dt = min(variants.values())
+    return batch_size / dt, dt, host_s, variants
 
 
 def bench_instseg(jax, jnp, rng):
@@ -279,7 +301,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     rng = np.random.default_rng(0)
 
-    uni_sps, uni_dt, uni_host, uni_dt_f32 = bench_unified(jax, jnp, rng)
+    uni_sps, uni_dt, uni_host, uni_variants = bench_unified(jax, jnp, rng)
     try:
         seg_sps, seg_dt, seg_host, seg_variants = bench_instseg(jax, jnp, rng)
     except Exception as e:     # never lose the headline to the detail block
@@ -297,7 +319,8 @@ def main():
         "vs_baseline": 0.0 if degraded else round(uni_sps / 20.0, 3),
         "detail": {
             "unified_step_ms": round(uni_dt * 1000, 2),
-            "unified_step_ms_f32": round(uni_dt_f32 * 1000, 2),
+            "unified_variants_ms": {k: round(v * 1000, 2)
+                                    for k, v in uni_variants.items()},
             "unified_batch": 8,
             "instseg_scenes_per_sec": round(seg_sps, 3),
             "instseg_step_ms": round(seg_dt * 1000, 2),

@@ -34,6 +34,14 @@ class UnifiedPipelineConfig:
     # drop objects whose category is not mentioned in the sentence
     # (GT mode only, ref sceneverse_base.py:327-330)
     filter_lang: bool = False
+    # flat-object layout: ship the pc memory as the concatenated REAL
+    # object clouds (F, P, 6) + a (B, O) slot map instead of the padded
+    # (B, O, P, 6) block — PointNet++ then runs only on real objects
+    # (~2x fewer clouds at max_obj_len=80 on real scans) and the
+    # host->device transfer shrinks by the pad fraction.  F is rounded up
+    # to a multiple of flat_obj_bucket so jit sees few distinct shapes.
+    flat_obj: bool = False
+    flat_obj_bucket: int = 64
 
 
 def build_rotate_mat(rng: np.random.Generator) -> Optional[np.ndarray]:
@@ -279,7 +287,6 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
     b = len(items)
     O, P = cfg.max_obj_len, cfg.num_points
     batch: Dict[str, np.ndarray] = {
-        "obj_fts": np.zeros((b, O, P, 6), np.float32),
         "query_locs": np.zeros((b, O, 6), np.float32),
         "seg_center": np.zeros((b, O, 6), np.float32),
         "query_pad_masks": np.zeros((b, O), bool),
@@ -299,9 +306,24 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
     batch["tgt_object_id_iou25"] = np.zeros((b, O), np.float32)
     batch["tgt_object_id_iou50"] = np.zeros((b, O), np.float32)
     tgt_int = np.zeros(b, np.int32)
+    if cfg.flat_obj:
+        total = sum(min(it["n_obj"], O) for it in items)
+        F = -(-max(total, 1) // cfg.flat_obj_bucket) * cfg.flat_obj_bucket
+        batch["pc_obj_flat"] = np.zeros((F, P, 6), np.float32)
+        # pad slots index the zero row the model appends at F
+        batch["pc_flat_slot"] = np.full((b, O), F, np.int32)
+        flat_row = 0
+    else:
+        batch["obj_fts"] = np.zeros((b, O, P, 6), np.float32)
     for i, it in enumerate(items):
         n = it["n_obj"]
-        batch["obj_fts"][i, :n] = it["obj_fts"]
+        if cfg.flat_obj:
+            batch["pc_obj_flat"][flat_row:flat_row + n] = it["obj_fts"]
+            batch["pc_flat_slot"][i, :n] = np.arange(
+                flat_row, flat_row + n, dtype=np.int32)
+            flat_row += n
+        else:
+            batch["obj_fts"][i, :n] = it["obj_fts"]
         batch["query_locs"][i, :n] = it["obj_locs"]
         batch["seg_center"][i, :n] = it["obj_locs"]
         batch["query_pad_masks"][i, :n] = True
@@ -329,7 +351,8 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
     # offline per-object features (ref sceneverse_base.py:385-394).  Real
     # per-item features (mv_fts/voxel_fts from the scan payloads) win over
     # the feature_fn hook / synthetic fallback.
-    batch["pc_seg_fts"] = batch["obj_fts"]
+    if not cfg.flat_obj:
+        batch["pc_seg_fts"] = batch["obj_fts"]
     batch["pc_seg_pad_masks"] = batch["seg_pad_masks"]
     for name in ("mv", "voxel"):
         dim = feature_dims.get(name, 0)

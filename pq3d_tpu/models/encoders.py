@@ -292,15 +292,34 @@ class ObjectEncoder(nn.Module):
     tgt_cls_num: int = 607
 
     @nn.compact
-    def __call__(self, obj_feats: jnp.ndarray, deterministic: bool = True):
+    def __call__(self, obj_feats: jnp.ndarray, deterministic: bool = True,
+                 flat_slot: jnp.ndarray = None):
         if self.backbone == "pointnet++":
             from pq3d_tpu.models.pointnet import PointNetPP
-            b, o = obj_feats.shape[:2]
-            pts = obj_feats.reshape((b * o,) + obj_feats.shape[2:])
-            feats = PointNetPP(name="backbone")(pts, deterministic=deterministic)
+            # a frozen backbone runs in BN-eval mode (running stats), like
+            # the reference's backbone.eval() (ref object_encoder.py:56-59)
+            bb_det = deterministic or self.freeze_backbone
+            if flat_slot is not None:
+                # flat-object layout: obj_feats is (F, P, 6) — the
+                # concatenated REAL objects of the batch (no pad clouds),
+                # so PointNet++ skips pad work (~2x on real scans at
+                # max_obj_len=80, ~10x on the synthetic bench).
+                pts = obj_feats
+            else:
+                b, o = obj_feats.shape[:2]
+                pts = obj_feats.reshape((b * o,) + obj_feats.shape[2:])
+            feats = PointNetPP(name="backbone")(pts, deterministic=bb_det)
             if self.freeze_backbone:
                 feats = jax.lax.stop_gradient(feats)
-            obj_feats = feats.reshape(b, o, -1)
+            obj_feats = (feats if flat_slot is not None
+                         else feats.reshape(b, o, -1))
+        if flat_slot is not None:
+            # scatter flat rows back to the padded (B, O) layout:
+            # flat_slot indexes rows of obj_feats; pad slots hold F and
+            # pick up the appended zero row
+            obj_feats = jnp.concatenate(
+                [obj_feats, jnp.zeros_like(obj_feats[:1])], axis=0)
+            obj_feats = obj_feats[flat_slot]
         out = obj_feats
         if self.use_projection:
             out = nn.Dense(self.hidden_size, kernel_init=dense_init,

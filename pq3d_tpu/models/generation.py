@@ -58,4 +58,4 @@ class T5GenerationHead(nn.Module):
                     None, deterministic=True)
             return jnp.zeros((b, L), jnp.int32)
 
-        return decoder.decode(enc, query_valid, L)
+        return decoder.decode(enc, query_valid, L, early_exit=c.early_exit)

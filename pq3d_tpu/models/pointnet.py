@@ -70,6 +70,33 @@ class PointnetSAModule(nn.Module):
         return centers, pooled
 
 
+class PointnetSAModuleMSG(nn.Module):
+    """Multi-scale-grouping set abstraction (ref
+    pointnet2_modules.py:78-161 PointnetSAModuleMSG): one FPS center set,
+    grouped at several (radius, nsample) scales, each scale through its
+    own shared MLP, features concatenated across scales."""
+    mlps: Sequence[Sequence[int]]
+    npoint: int = 128
+    radii: Sequence[float] = (0.2, 0.4)
+    nsamples: Sequence[int] = (16, 32)
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, feats: Optional[jnp.ndarray],
+                 train: bool = False):
+        centers_idx = sampling.furthest_point_sample_batched(
+            xyz, self.npoint)
+        centers = sampling.gather_centers_batched(xyz, centers_idx)
+        outs = []
+        for i, (r, ns, mlp) in enumerate(zip(self.radii, self.nsamples,
+                                             self.mlps)):
+            grouped = sampling.query_and_group_batched(
+                xyz, centers, feats, r, ns, self.use_xyz)  # (B, M, S, C')
+            h = SharedMLP(tuple(mlp), name=f"mlp{i}")(grouped, train)
+            outs.append(h.max(axis=2))                     # (B, M, C_i)
+        return centers, jnp.concatenate(outs, axis=-1)
+
+
 class PointNetPP(nn.Module):
     """3-stage SA encoder with fixed spec (ref object_encoder.py:22-28 /
     pointnet.py:22-63): 32/16/global points, radii 0.2/0.4, MLPs ending 768.

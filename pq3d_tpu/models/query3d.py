@@ -110,6 +110,9 @@ class GenerationHeadCfg:
     num_heads: int = 8
     max_new_tokens: int = 50
     use_projection: bool = True
+    # stop decoding once every row has emitted EOS (token-exact with the
+    # fixed-length scan; serving lever — see t5.py:decode)
+    early_exit: bool = False
 
 
 @MODEL_REGISTRY.register(name="Query3DUnified")
@@ -199,14 +202,21 @@ class Query3DUnified(nn.Module):
                         batch["mv_seg_fts"], deterministic)
                 inputs[mem] = (feat, batch["mv_seg_pad_masks"], fts_pos)
             elif mem == "pc":
-                feat = ObjectEncoder(
+                enc = ObjectEncoder(
                     hidden_size=self.hidden_size,
                     input_feat_size=self.pc_enc.input_feat_size,
                     use_projection=self.pc_enc.use_projection,
                     dropout=self.pc_enc.dropout,
                     backbone=self.pc_enc.backbone,
                     freeze_backbone=self.pc_enc.freeze_backbone,
-                    name="pc_encoder")(batch["pc_seg_fts"], deterministic)
+                    name="pc_encoder")
+                if "pc_obj_flat" in batch:
+                    # flat-object layout (UnifiedPipelineConfig.flat_obj):
+                    # backbone sees only the real objects of the batch
+                    feat = enc(batch["pc_obj_flat"], deterministic,
+                               flat_slot=batch["pc_flat_slot"])
+                else:
+                    feat = enc(batch["pc_seg_fts"], deterministic)
                 inputs[mem] = (feat, batch["pc_seg_pad_masks"], fts_pos)
             elif mem == "voxel":
                 if self.use_offline_voxel_fts:
@@ -480,7 +490,8 @@ def build_model(cfg) -> Query3DUnified:
             num_layers=a.get("num_layers", 6),
             num_heads=a.get("num_heads", 8),
             max_new_tokens=a.get("max_new_tokens", 50),
-            use_projection=a.get("use_projection", True))
+            use_projection=a.get("use_projection", True),
+            early_exit=a.get("early_exit", False))
 
     txt_cfg = TxtEncoderCfg()
     if m.get("txt_encoder") is not None:

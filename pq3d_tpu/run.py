@@ -140,7 +140,18 @@ def build_multitask_trainer(cfg):
         num_points=int(uo.get("num_points", 1024)),
         prompt_len=int(uo.get("prompt_len", 32)),
         response_len=int(uo.get("response_len", 32)),
-        dim_loc=int(cfg.model.obj_loc.dim_loc))
+        dim_loc=int(cfg.model.obj_loc.dim_loc),
+        flat_obj=bool(uo.get("flat_obj", False)),
+        flat_obj_bucket=int(uo.get("flat_obj_bucket", 64)))
+    if pipe_cfg.flat_obj:
+        import jax as _jax
+        if len(_jax.devices()) > 1 and not bool(
+                cfg.dataloader.get("allow_single_device", False)):
+            # pc_obj_flat has no batch dim — the dp shard-by-batch rule
+            # cannot split it; serving layout is single-device
+            raise ValueError(
+                "data.unified_options.flat_obj is a single-device serving "
+                "layout; unset it or set dataloader.allow_single_device")
 
     seed = int(cfg.get("rng_seed", 42))
     bs = int(cfg.dataloader.batchsize)

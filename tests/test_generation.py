@@ -58,3 +58,34 @@ def test_rmsnorm_no_mean_subtraction():
     v = m.init(jax.random.key(0), x)
     y = np.asarray(m.apply(v, x))
     np.testing.assert_allclose(y, 1.0, rtol=1e-5)  # 3/sqrt(9)=1, no centering
+
+
+def test_early_exit_decode_token_exact():
+    """while_loop early-exit decode == fixed-length scan decode, token-exact.
+
+    vocab=4 with random weights makes EOS (id 1) land within a few steps
+    with near-certainty, so the early-exit path actually exercises the
+    stop-short branch while remaining comparable to the scan output."""
+    cfg_scan = GenerationHeadCfg(vocab_size=4, d_model=16, d_kv=4, d_ff=32,
+                                 num_layers=1, num_heads=2, max_new_tokens=12)
+    cfg_ee = GenerationHeadCfg(vocab_size=4, d_model=16, d_kv=4, d_ff=32,
+                               num_layers=1, num_heads=2, max_new_tokens=12,
+                               early_exit=True)
+    rng = np.random.default_rng(3)
+    enc = jnp.asarray(rng.standard_normal((3, 5, 24)).astype(np.float32))
+    mask = jnp.ones((3, 5), bool)
+    head_scan = T5GenerationHead(cfg=cfg_scan)
+    v = head_scan.init(jax.random.key(1), enc, mask, labels=None)
+    toks_scan = np.asarray(head_scan.apply(v, enc, mask, labels=None))
+    head_ee = T5GenerationHead(cfg=cfg_ee)
+    toks_ee = np.asarray(head_ee.apply(v, enc, mask, labels=None))
+    np.testing.assert_array_equal(toks_scan, toks_ee)
+    # the wide-vocab case (EOS unlikely -> loop runs the full window)
+    cfg_full = GenerationHeadCfg(vocab_size=32, d_model=16, d_kv=4, d_ff=32,
+                                 num_layers=1, num_heads=2, max_new_tokens=6,
+                                 early_exit=True)
+    head, v2, enc2, mask2 = setup()
+    toks_a = np.asarray(head.apply(v2, enc2, mask2, labels=None))
+    toks_b = np.asarray(T5GenerationHead(cfg=cfg_full).apply(
+        v2, enc2, mask2, labels=None))
+    np.testing.assert_array_equal(toks_a, toks_b)

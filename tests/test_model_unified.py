@@ -178,3 +178,40 @@ def test_image_prompt_routing():
     qv = np.asarray(batch["query_pad_masks"])
     assert not np.allclose(g[1][qv[1]], g2[1][qv[1]])   # IMAGE row changes
     np.testing.assert_allclose(g[0][qv[0]], g2[0][qv[0]])  # TXT row stable
+
+
+def test_sa_msg_single_scale_matches_sa():
+    """PointnetSAModuleMSG with ONE scale == PointnetSAModule with the same
+    (radius, nsample, mlp) — exact, given the shared-MLP params renamed."""
+    import jax
+    import jax.numpy as jnp
+    from pq3d_tpu.models.pointnet import PointnetSAModule, PointnetSAModuleMSG
+    rng = np.random.default_rng(0)
+    xyz = jnp.asarray(rng.standard_normal((2, 32, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.standard_normal((2, 32, 5)).astype(np.float32))
+    sa = PointnetSAModule(mlp=(16, 24), npoint=8, radius=0.8, nsample=8)
+    v = sa.init(jax.random.key(0), xyz, feats)
+    c_sa, f_sa = sa.apply(v, xyz, feats)
+    msg = PointnetSAModuleMSG(mlps=((16, 24),), npoint=8, radii=(0.8,),
+                              nsamples=(8,))
+    v_msg = jax.tree.map(lambda x: x, v)  # copy
+    v_msg = {"params": {"mlp0": v["params"]["mlp"]},
+             "batch_stats": {"mlp0": v["batch_stats"]["mlp"]}}
+    c_msg, f_msg = msg.apply(v_msg, xyz, feats)
+    np.testing.assert_array_equal(np.asarray(c_sa), np.asarray(c_msg))
+    np.testing.assert_allclose(np.asarray(f_sa), np.asarray(f_msg),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sa_msg_multi_scale_shapes():
+    import jax
+    import jax.numpy as jnp
+    from pq3d_tpu.models.pointnet import PointnetSAModuleMSG
+    rng = np.random.default_rng(1)
+    xyz = jnp.asarray(rng.standard_normal((2, 32, 3)).astype(np.float32))
+    msg = PointnetSAModuleMSG(mlps=((8, 16), (8, 24)), npoint=8,
+                              radii=(0.4, 0.9), nsamples=(4, 8))
+    v = msg.init(jax.random.key(0), xyz, None)
+    c, f = msg.apply(v, xyz, None)
+    assert c.shape == (2, 8, 3) and f.shape == (2, 8, 40)
+    assert np.isfinite(np.asarray(f)).all()

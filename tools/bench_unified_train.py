@@ -40,10 +40,12 @@ from pq3d_tpu.optim.loss_aggregator import Loss
 from pq3d_tpu.optim.optimizers import build_optimizer
 from pq3d_tpu.train.state import TrainState, make_train_step
 
-BATCHES = [int(a) for a in sys.argv[1:]] or ([2] if SMOKE else [32, 128])
+_num = [a for a in sys.argv[1:] if a.isdigit()]
+VARIANTS = [a for a in sys.argv[1:] if not a.isdigit()] or ["base"]
+BATCHES = [int(a) for a in _num] or ([2] if SMOKE else [32, 128])
 
 
-def build(batch_size):
+def build(batch_size, variant="base"):
     cfg = Config({"data": {"synthetic": {"num_train": batch_size,
                                          "n_points": 300 if SMOKE else 2000,
                                          "n_instances": 8}},
@@ -51,7 +53,9 @@ def build(batch_size):
     pipe = UnifiedPipelineConfig(max_obj_len=8 if SMOKE else 80,
                                  num_points=64 if SMOKE else 1024,
                                  prompt_len=12 if SMOKE else 77,
-                                 response_len=4 if SMOKE else 50)
+                                 response_len=4 if SMOKE else 50,
+                                 flat_obj=(variant == "flat"),
+                                 flat_obj_bucket=4 if SMOKE else 64)
     loader = UnifiedTaskLoader(SyntheticRefer(cfg, "train"), pipe,
                                batch_size=batch_size, train=True,
                                feature_dims={"mv": 768, "voxel": 128})
@@ -110,15 +114,17 @@ def time_steps(step, state, batch, n1=2, n2=10):
 
 
 def main():
-    for bs in BATCHES:
-        try:
-            step, state, batch = build(bs)
-            dt = time_steps(step, state, batch)
-            print(f"unified_train B={bs}: {dt*1000:.1f} ms/step  "
-                  f"{bs/dt:.1f} scenes/s", flush=True)
-        except Exception as e:
-            print(f"unified_train B={bs}: FAILED {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+    for variant in VARIANTS:
+        for bs in BATCHES:
+            try:
+                step, state, batch = build(bs, variant)
+                dt = time_steps(step, state, batch)
+                print(f"unified_train[{variant}] B={bs}: "
+                      f"{dt*1000:.1f} ms/step  {bs/dt:.1f} scenes/s",
+                      flush=True)
+            except Exception as e:
+                print(f"unified_train[{variant}] B={bs}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
