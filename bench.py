@@ -296,9 +296,8 @@ def main():
     degraded = os.environ.get("BENCH_DEGRADED") == "1"
     import jax
     import jax.numpy as jnp
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from pq3d_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache(jax)
     rng = np.random.default_rng(0)
 
     uni_sps, uni_dt, uni_host, uni_variants = bench_unified(jax, jnp, rng)

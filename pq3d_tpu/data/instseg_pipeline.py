@@ -81,6 +81,23 @@ class InstSegPipelineConfig:
     stem_mode: str = "gather"
     stem_block: int = 8
 
+    def __post_init__(self):
+        if self.level_cap_ladder:
+            if self.flat_pack:
+                raise ValueError(
+                    "level_cap_ladder is a rectangular-layout lever; "
+                    "collate_flat never pads to caps — unset one of "
+                    "flat_pack / level_cap_ladder")
+            # rungs must ascend elementwise: collate picks the FIRST rung
+            # that fits, so a descending ladder silently pads everything
+            # to rung 0
+            for lo, hi in zip(self.level_cap_ladder,
+                              self.level_cap_ladder[1:]):
+                if any(a > b for a, b in zip(lo, hi)):
+                    raise ValueError(
+                        "level_cap_ladder rungs must be elementwise "
+                        f"non-decreasing; got {list(lo)} before {list(hi)}")
+
 
 def _augment(points, colors, rng: np.random.Generator):
     """Train-time augmentation matching the reference recipe

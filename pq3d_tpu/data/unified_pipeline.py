@@ -39,7 +39,8 @@ class UnifiedPipelineConfig:
     # (B, O, P, 6) block — PointNet++ then runs only on real objects
     # (~2x fewer clouds at max_obj_len=80 on real scans) and the
     # host->device transfer shrinks by the pad fraction.  F is rounded up
-    # to a multiple of flat_obj_bucket so jit sees few distinct shapes.
+    # to a rung of max(flat_obj_bucket, B*O/8) and capped at B*O, so jit
+    # sees <= ~9 distinct shapes at ANY batch size.
     flat_obj: bool = False
     flat_obj_bucket: int = 64
 
@@ -308,7 +309,11 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
     tgt_int = np.zeros(b, np.int32)
     if cfg.flat_obj:
         total = sum(min(it["n_obj"], O) for it in items)
-        F = -(-max(total, 1) // cfg.flat_obj_bucket) * cfg.flat_obj_bucket
+        # bucket F so the number of distinct compiled shapes stays bounded
+        # regardless of batch size: rung size grows with the batch capacity
+        # (B*O/8 -> <= 8 rungs) and F never exceeds the padded capacity
+        bucket = max(cfg.flat_obj_bucket, (b * O + 7) // 8)
+        F = min(-(-max(total, 1) // bucket) * bucket, b * O)
         batch["pc_obj_flat"] = np.zeros((F, P, 6), np.float32)
         # pad slots index the zero row the model appends at F
         batch["pc_flat_slot"] = np.full((b, O), F, np.int32)

@@ -294,6 +294,13 @@ class ObjectEncoder(nn.Module):
     @nn.compact
     def __call__(self, obj_feats: jnp.ndarray, deterministic: bool = True,
                  flat_slot: jnp.ndarray = None):
+        if flat_slot is not None and self.backbone != "pointnet++":
+            # the flat layout ships raw (F, P, 6) point clouds — only a
+            # point backbone can digest them; without one the scatter
+            # below would emit rank-4 (B, O, P, *) memory features
+            raise ValueError(
+                "flat_obj requires backbone='pointnet++' on the pc "
+                f"encoder (got backbone={self.backbone!r})")
         if self.backbone == "pointnet++":
             from pq3d_tpu.models.pointnet import PointNetPP
             # a frozen backbone runs in BN-eval mode (running stats), like

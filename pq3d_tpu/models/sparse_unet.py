@@ -93,7 +93,8 @@ class SparseConv(nn.Module):
     grad_mode: str = "native"  # 'native' | 'scatter_free'
     sorted_gather: bool = False  # monotonize maps + indices_are_sorted hint
     int8_gather: bool = False  # int8-quantized tap gathers (inference lever;
-    #   ignored on the scatter_free training paths and the compact plan)
+    #   applies to the padded AND compact forward paths; ignored on the
+    #   scatter_free training backward)
 
     @nn.compact
     def __call__(self, x, nbr, valid, parent=None, parent_off=None,

@@ -25,15 +25,15 @@ import numpy as np
 # tools/bench_ballquery.py measures them, this switch ships the winner.
 # Select via PQ3D_BALLQUERY env var or set_ball_query_impl().
 
-_BQ_IMPL = os.environ.get("PQ3D_BALLQUERY", "topk")
-
-
 def set_ball_query_impl(name: str) -> None:
     """'topk' | 'sort' | 'onehot' | 'scatter' (affects future traces)."""
     global _BQ_IMPL
     if name not in ("topk", "sort", "onehot", "scatter"):
         raise ValueError(f"unknown ball_query impl {name!r}")
     _BQ_IMPL = name
+
+
+set_ball_query_impl(os.environ.get("PQ3D_BALLQUERY", "topk"))
 
 
 def _first_k_hits(ok: jnp.ndarray, nsample: int) -> jnp.ndarray:

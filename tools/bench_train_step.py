@@ -18,9 +18,8 @@ SORTED = "sorted" in OPTS
 STEM = "dense_block" if "dense_stem" in OPTS else "gather"
 COMPACT = "compact" in OPTS
 FLAT = COMPACT or ("flat" in OPTS)
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from pq3d_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache(jax)
 from pq3d_tpu.data import synthetic
 from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
 from pq3d_tpu.models.query3d import Query3DUnified, UnifiedEncoderCfg, MaskHeadCfg, VoxelEncoderCfg

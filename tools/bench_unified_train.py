@@ -25,9 +25,8 @@ import jax.numpy as jnp
 
 if SMOKE:
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from pq3d_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache(jax)
 
 from pq3d_tpu.config import Config
 from pq3d_tpu.data.unified_datasets import SyntheticRefer

@@ -3,9 +3,8 @@ import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import numpy as np, jax, jax.numpy as jnp
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from pq3d_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache(jax)
 from pq3d_tpu.config import Config
 from pq3d_tpu.data.unified_datasets import SyntheticRefer, SyntheticQA
 from pq3d_tpu.data.unified_loader import UnifiedTaskLoader
