@@ -176,9 +176,11 @@ def bench_instseg(jax, jnp, rng):
             "compact+int8": ("dense_block", False, True, True, 0, True),
             # window-attention backbone (models/swin3d.py)
             "swin": ("none", False, False, False, 4)}
-    # default ladder kept to TWO full-scale compiles (~5-15 min each on
-    # this 1-CPU box); the full ladder runs via BENCH_VARIANTS (NEXTSTEPS.md)
-    names = os.environ.get("BENCH_VARIANTS", "gather,dense_block").split(",")
+    # default ladder = baseline + the three staged serving winners (each a
+    # separate fault-isolated compile; ~20-40 s each on chip).  The full
+    # ladder (sorted/int8/swin) runs via BENCH_VARIANTS (NEXTSTEPS.md).
+    names = os.environ.get(
+        "BENCH_VARIANTS", "gather,dense_block,flat,compact").split(",")
     for entry in (spec[n.strip()] for n in names):
       stem, sorted_g, flat, compact, swin = entry[:5]
       int8 = len(entry) > 5 and entry[5]

@@ -279,6 +279,15 @@ def process_item(scene: Dict[str, np.ndarray], lang: Dict,
     return item
 
 
+def flat_obj_rows(total: int, b: int, max_obj: int, bucket_min: int) -> int:
+    """Bucketed flat-object row count F: rung size grows with the batch
+    capacity (B*O/8 -> <= 8 rungs) so the number of distinct compiled
+    shapes stays bounded regardless of batch size, and F never exceeds
+    the padded capacity B*O."""
+    bucket = max(bucket_min, (b * max_obj + 7) // 8)
+    return min(-(-max(total, 1) // bucket) * bucket, b * max_obj)
+
+
 def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
                     feature_dims: Dict[str, int],
                     feature_fn=None, train: bool = True
@@ -308,12 +317,9 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
     batch["tgt_object_id_iou50"] = np.zeros((b, O), np.float32)
     tgt_int = np.zeros(b, np.int32)
     if cfg.flat_obj:
-        total = sum(min(it["n_obj"], O) for it in items)
-        # bucket F so the number of distinct compiled shapes stays bounded
-        # regardless of batch size: rung size grows with the batch capacity
-        # (B*O/8 -> <= 8 rungs) and F never exceeds the padded capacity
-        bucket = max(cfg.flat_obj_bucket, (b * O + 7) // 8)
-        F = min(-(-max(total, 1) // bucket) * bucket, b * O)
+        # n_obj <= O is guaranteed by process_item's truncation
+        total = sum(it["n_obj"] for it in items)
+        F = flat_obj_rows(total, b, O, cfg.flat_obj_bucket)
         batch["pc_obj_flat"] = np.zeros((F, P, 6), np.float32)
         # pad slots index the zero row the model appends at F
         batch["pc_flat_slot"] = np.full((b, O), F, np.int32)

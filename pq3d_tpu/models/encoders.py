@@ -306,6 +306,16 @@ class ObjectEncoder(nn.Module):
             # a frozen backbone runs in BN-eval mode (running stats), like
             # the reference's backbone.eval() (ref object_encoder.py:56-59)
             bb_det = deterministic or self.freeze_backbone
+            if flat_slot is not None and not bb_det:
+                # train-mode BN would take batch statistics over the flat
+                # (F, ...) layout — real rows plus a per-batch-varying
+                # number of zero bucket-pad rows — silently diverging from
+                # the padded layout the equivalence tests pin
+                raise ValueError(
+                    "flat_obj with an unfrozen PointNet++ backbone is not "
+                    "supported in training: BN batch stats over the flat "
+                    "layout differ from the padded layout; set "
+                    "freeze_backbone=True or unset flat_obj")
             if flat_slot is not None:
                 # flat-object layout: obj_feats is (F, P, 6) — the
                 # concatenated REAL objects of the batch (no pad clouds),

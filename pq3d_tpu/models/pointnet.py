@@ -84,6 +84,11 @@ class PointnetSAModuleMSG(nn.Module):
     @nn.compact
     def __call__(self, xyz: jnp.ndarray, feats: Optional[jnp.ndarray],
                  train: bool = False):
+        if not (len(self.mlps) == len(self.radii) == len(self.nsamples)):
+            # zip() would silently drop the extra scales
+            raise ValueError(
+                f"MSG scale specs disagree: {len(self.mlps)} mlps, "
+                f"{len(self.radii)} radii, {len(self.nsamples)} nsamples")
         centers_idx = sampling.furthest_point_sample_batched(
             xyz, self.npoint)
         centers = sampling.gather_centers_batched(xyz, centers_idx)

@@ -48,13 +48,18 @@ def build_instseg_trainer(cfg):
         flat_pack=bool(iopt.get("flat_pack", False)))
     if pipe_cfg.flat_pack:
         import jax as _jax
-        if len(_jax.devices()) > 1 and not bool(
-                cfg.dataloader.get("allow_single_device", False)):
+        if len(_jax.devices()) > 1:
             # flat voxel arrays have no batch dim — the dp shard-by-batch
             # rule cannot split them; serving layout is single-device
-            raise ValueError(
-                "data.instseg_options.flat_pack is a single-device serving "
-                "layout; unset it or set dataloader.allow_single_device")
+            if not bool(cfg.dataloader.get("allow_single_device", False)):
+                raise ValueError(
+                    "data.instseg_options.flat_pack is a single-device "
+                    "serving layout; unset it or set "
+                    "dataloader.allow_single_device")
+            # make the opt-in stick even when batchsize divides the device
+            # count (the trainer would otherwise build a mesh and shard the
+            # flat arrays along their non-batch leading dim)
+            cfg.set_dotted("dataloader.force_single_device", True)
 
     def make_loader(split, train):
         ds_name = cfg.data.get(split)[0]
@@ -145,13 +150,18 @@ def build_multitask_trainer(cfg):
         flat_obj_bucket=int(uo.get("flat_obj_bucket", 64)))
     if pipe_cfg.flat_obj:
         import jax as _jax
-        if len(_jax.devices()) > 1 and not bool(
-                cfg.dataloader.get("allow_single_device", False)):
+        if len(_jax.devices()) > 1:
             # pc_obj_flat has no batch dim — the dp shard-by-batch rule
             # cannot split it; serving layout is single-device
-            raise ValueError(
-                "data.unified_options.flat_obj is a single-device serving "
-                "layout; unset it or set dataloader.allow_single_device")
+            if not bool(cfg.dataloader.get("allow_single_device", False)):
+                raise ValueError(
+                    "data.unified_options.flat_obj is a single-device "
+                    "serving layout; unset it or set "
+                    "dataloader.allow_single_device")
+            # make the opt-in stick even when batchsize divides the device
+            # count (the trainer would otherwise build a mesh and shard
+            # pc_obj_flat along its non-batch leading dim)
+            cfg.set_dotted("dataloader.force_single_device", True)
 
     seed = int(cfg.get("rng_seed", 42))
     bs = int(cfg.dataloader.batchsize)

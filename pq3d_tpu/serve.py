@@ -16,9 +16,19 @@ provides it:
 - per-scene postprocessing through the same ranking as the evaluator
   (eval/instseg_eval.rank_instances), at full point resolution.
 
-Single-host, single-device by design (serving uses the flat/compact or
-rectangular single-chip fast paths; scale out = one server per chip
-behind a load balancer, the standard TPU serving topology).
+Three scale-out topologies:
+
+- one server per chip behind a load balancer (default, ``mesh=None``) —
+  uses the flat/compact single-chip fast paths;
+- one server per slice (``mesh=make_mesh(...)``): the rectangular batch is
+  sharded over the mesh's ``data`` axis and the forward runs SPMD over
+  ICI, so a v5e-8 slice serves 8x the batch per step from one process.
+  Requires ``batch_size % mesh.shape['data'] == 0`` and the rectangular
+  layout (flat_pack/compact arrays have no batch dim to shard);
+- ``ReplicatedServer``: one process, one replica per chip (``device=``
+  pinning), requests fanned out by queue depth — the single-chip fast
+  paths (flat_pack/compact/int8) scale to the whole slice without any
+  sharding, since each replica owns its chip outright.
 """
 from __future__ import annotations
 
@@ -62,9 +72,22 @@ class _MicroBatchServer:
     ``_run_batch(requests) -> [result, ...]`` (padded length ok; only the
     first ``len(requests)`` entries are consumed)."""
 
-    def __init__(self, batch_size: int, max_delay_s: float = 0.05):
+    def __init__(self, batch_size: int, max_delay_s: float = 0.05,
+                 mesh=None, device=None):
         self.batch_size = batch_size
         self.max_delay_s = max_delay_s
+        self.mesh = mesh
+        self.device = device
+        if mesh is not None and device is not None:
+            raise ValueError("mesh and device pinning are exclusive: a "
+                             "sharded server spans devices, a pinned one "
+                             "owns exactly one")
+        if mesh is not None:
+            dp = mesh.shape["data"]
+            if batch_size % dp != 0:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by the mesh's "
+                    f"data axis ({dp}); the sharded forward would be ragged")
         self.stats = ServerStats()
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
@@ -131,6 +154,13 @@ class _MicroBatchServer:
                         fut.set_exception(e)
 
     def _to_device(self, np_batch):
+        if self.mesh is not None:
+            from pq3d_tpu.parallel.mesh import shard_batch
+            return shard_batch(np_batch, self.mesh)
+        if self.device is not None:
+            import jax
+            return jax.tree.map(
+                lambda x: jax.device_put(x, self.device), np_batch)
         import jax.numpy as jnp
         return {k: (jnp.asarray(v) if not isinstance(v, dict) else
                     {kk: jnp.asarray(vv) for kk, vv in v.items()})
@@ -146,13 +176,24 @@ class InstSegServer(_MicroBatchServer):
     def __init__(self, model, variables, pipe_cfg: InstSegPipelineConfig,
                  batch_size: int, num_classes: int, topk: int = 100,
                  score_threshold: float = 0.0, max_delay_s: float = 0.05,
-                 extra_features: Optional[Dict[str, int]] = None):
+                 extra_features: Optional[Dict[str, int]] = None,
+                 mesh=None, device=None):
         if not pipe_cfg.level_caps:
             raise ValueError(
                 "serving requires pipe_cfg.level_caps: without fixed level "
                 "pads every batch may compile a new executable")
+        if mesh is not None and (pipe_cfg.flat_pack or pipe_cfg.compact_conv):
+            raise ValueError(
+                "mesh serving needs the rectangular layout: flat_pack/"
+                "compact_conv arrays have no batch dim to shard")
         import jax
         self.model = model
+        if mesh is not None:
+            from pq3d_tpu.parallel.mesh import replicate
+            variables = replicate(variables, mesh)
+        elif device is not None:
+            variables = jax.tree.map(
+                lambda x: jax.device_put(x, device), variables)
         self.variables = variables
         self.pipe_cfg = pipe_cfg
         self.num_classes = num_classes
@@ -164,7 +205,7 @@ class InstSegServer(_MicroBatchServer):
             out = model.apply(v, b, train=False)
             return out["predictions_class"][-1], out["predictions_mask"][-1]
         self._fwd = jax.jit(_forward)
-        super().__init__(batch_size, max_delay_s)
+        super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
 
     def _run_batch(self, scenes):
         np_batch = make_batch(scenes, self.pipe_cfg, self._rng, train=False)
@@ -194,13 +235,23 @@ class UnifiedServer(_MicroBatchServer):
 
     def __init__(self, model, variables, pipe_cfg, batch_size: int,
                  feature_dims: Dict[str, int], detokenize=None,
-                 max_delay_s: float = 0.05):
+                 max_delay_s: float = 0.05, mesh=None, device=None):
         import jax
         from pq3d_tpu.data.unified_pipeline import (collate_unified,
                                                     process_item)
+        if mesh is not None and getattr(pipe_cfg, "flat_obj", False):
+            raise ValueError(
+                "mesh serving needs the padded object layout: flat_obj "
+                "arrays have no batch dim to shard")
         self._collate = collate_unified
         self._process = process_item
         self.model = model
+        if mesh is not None:
+            from pq3d_tpu.parallel.mesh import replicate
+            variables = replicate(variables, mesh)
+        elif device is not None:
+            variables = jax.tree.map(
+                lambda x: jax.device_put(x, device), variables)
         self.variables = variables
         self.pipe_cfg = pipe_cfg
         self.feature_dims = feature_dims
@@ -211,7 +262,7 @@ class UnifiedServer(_MicroBatchServer):
             return {k: out[k] for k in ("ground_logits", "generation_tokens")
                     if k in out}
         self._fwd = jax.jit(_forward)
-        super().__init__(batch_size, max_delay_s)
+        super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
 
     def _run_batch(self, reqs):
         processed = []
@@ -244,3 +295,45 @@ class UnifiedServer(_MicroBatchServer):
                     r["generation"] = self.detokenize(toks.tolist())
             results.append(r)
         return results
+
+
+class ReplicatedServer:
+    """One process, one replica per chip: builds a device-pinned server on
+    each device via ``factory(device)`` and fans requests out to the
+    replica with the shallowest queue.  Each replica owns its chip
+    outright, so the single-chip fast paths (flat_pack / compact_conv /
+    int8 gathers) scale to the whole slice with zero sharding — the
+    in-process version of the one-server-per-chip load-balancer topology.
+
+    ``factory`` is called once per device and must return a started
+    ``_MicroBatchServer`` pinned to it (pass ``device=device`` through to
+    InstSegServer/UnifiedServer).
+    """
+
+    def __init__(self, factory, devices=None):
+        import jax
+        devices = list(devices) if devices is not None else jax.devices()
+        if not devices:
+            raise ValueError("no devices to replicate over")
+        self.replicas = [factory(d) for d in devices]
+        self._rr = 0
+
+    def submit(self, request) -> Future:
+        # shallowest queue wins; round-robin breaks ties so padding-heavy
+        # partial batches spread evenly
+        depths = [r._q.qsize() for r in self.replicas]
+        best = min(range(len(depths)),
+                   key=lambda i: (depths[i], (i - self._rr)
+                                  % len(depths)))
+        self._rr = (best + 1) % len(self.replicas)
+        return self.replicas[best].submit(request)
+
+    def close(self) -> None:
+        for r in self.replicas:
+            r.close()
+
+    def stats_summary(self) -> Dict[str, Any]:
+        per = [r.stats.summary() for r in self.replicas]
+        return {"replicas": per,
+                "scenes": sum(p["scenes"] for p in per),
+                "scenes_per_sec": sum(p["scenes_per_sec"] for p in per)}

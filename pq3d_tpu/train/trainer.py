@@ -82,7 +82,15 @@ class Query3DTrainer:
             enabled=bool(cfg.get("profile", False)))
         n_dev = len(jax.devices())
         bs = int(cfg.dataloader.batchsize)
-        if n_dev > 1:
+        if bool(cfg.dataloader.get("force_single_device", False)):
+            # set by run.py for flat serving layouts (flat_pack/flat_obj):
+            # their flat arrays have no batch dim for the dp rule to split,
+            # so a mesh must not be built even when bs % n_dev == 0
+            if n_dev > 1:
+                print(f"[trainer] force_single_device — running on one of "
+                      f"{n_dev} devices (flat layout)")
+            self.mesh = None
+        elif n_dev > 1:
             if bs % n_dev != 0:
                 # never fall back silently to one device — on a pod that is
                 # a silent n_dev x throughput cliff.  Either fix the config

@@ -9,16 +9,36 @@ JAX_PLATFORMS=cpu) therefore gets a ``_cpu``-suffixed cache automatically.
 import os
 
 
+def _platform_hint(jax) -> str:
+    """Best-effort platform detection WITHOUT initializing the backend
+    (jax.default_backend() would hang this process when the axon tunnel is
+    down — the exact failure the subprocess probes exist to avoid).
+
+    Order: an already-initialized backend is authoritative (catches silent
+    CPU fallback when no platform was requested); otherwise the requested
+    env/config platform."""
+    try:
+        from jax._src import xla_bridge
+        backends = getattr(xla_bridge, "_backends", None)
+        if backends:
+            # a TPU process keeps a host CPU backend too — only an
+            # exclusively-CPU backend set means a CPU run
+            non_cpu = set(backends) - {"interpreter", "cpu"}
+            return ",".join(non_cpu) if non_cpu else "cpu"
+    except Exception:
+        pass
+    try:
+        return (os.environ.get("JAX_PLATFORMS", "")
+                + str(jax.config.jax_platforms or ""))
+    except Exception:
+        return ""
+
+
 def enable_compile_cache(jax) -> None:
     """Point jax at the persistent compile cache (call AFTER any
     ``jax.config.update("jax_platforms", ...)``)."""
     base = os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache")
-    try:
-        plat = (os.environ.get("JAX_PLATFORMS", "")
-                + str(jax.config.jax_platforms or ""))
-    except Exception:
-        plat = ""
-    if "cpu" in plat and not base.endswith("_cpu"):
+    if "cpu" in _platform_hint(jax) and not base.endswith("_cpu"):
         base += "_cpu"
     jax.config.update("jax_compilation_cache_dir", base)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

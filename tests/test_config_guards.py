@@ -38,14 +38,12 @@ def test_flat_slot_requires_pointnet_backbone():
 def test_flat_obj_shape_count_bounded():
     """F rungs scale with batch capacity: across any real-object totals the
     number of distinct F values stays <= 9."""
-    from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
-
-    def f_for(total, b, O, cfg):
-        bucket = max(cfg.flat_obj_bucket, (b * O + 7) // 8)
-        return min(-(-max(total, 1) // bucket) * bucket, b * O)
+    from pq3d_tpu.data.unified_pipeline import (UnifiedPipelineConfig,
+                                                flat_obj_rows)
 
     cfg = UnifiedPipelineConfig(flat_obj=True, flat_obj_bucket=64)
     b, O = 128, 80
-    shapes = {f_for(t, b, O, cfg) for t in range(1, b * O + 1)}
+    shapes = {flat_obj_rows(t, b, O, cfg.flat_obj_bucket)
+              for t in range(1, b * O + 1)}
     assert len(shapes) <= 9
     assert max(shapes) == b * O
