@@ -181,10 +181,11 @@ def bench_instseg(jax, jnp, rng):
     # ladder (sorted/int8/swin) runs via BENCH_VARIANTS (NEXTSTEPS.md).
     names = os.environ.get(
         "BENCH_VARIANTS", "gather,dense_block,flat,compact").split(",")
-    for entry in (spec[n.strip()] for n in names):
-      stem, sorted_g, flat, compact, swin = entry[:5]
-      int8 = len(entry) > 5 and entry[5]
+    for name in names:
       try:                      # a failed variant must not kill the headline
+        entry = spec[name.strip()]   # inside the try: a typo'd name must
+        stem, sorted_g, flat, compact, swin = entry[:5]  # not drop results
+        int8 = len(entry) > 5 and entry[5]
         pipe_cfg = InstSegPipelineConfig(
             voxel_size=0.15 if SMOKE else 0.02,
             num_queries=16 if SMOKE else 120,

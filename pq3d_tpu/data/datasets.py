@@ -246,3 +246,10 @@ class InstSegLoader:
             _instseg_worker_batch,
             ((idxs, [self.seed, epoch, b], self.train)
              for b, idxs in enumerate(batches)))
+
+    def close(self) -> None:
+        """Shut the epoch-persistent worker pool down (workers hold a
+        pickled dataset copy each; __del__ is only best-effort)."""
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None

@@ -70,8 +70,9 @@ class InstSegPipelineConfig:
     flat_pack: bool = False
     # with flat_pack: also build tap-compacted conv plans (CSR; gathers only
     # valid (output, tap) pairs — ~2x fewer random fetches at surface
-    # occupancy, ops/kernel_maps.build_compact_conv).  Inference-oriented
-    # (the compact conv's backward is native autodiff).
+    # occupancy, ops/kernel_maps.build_compact_conv).  Trains too: the plan
+    # is self-dual for symmetric stencils, so grad_mode='scatter_free'
+    # selects the compact scatter-free backward (sparse_conv_compact_sym).
     compact_conv: bool = False
     # 'gather' ships the 125-tap nbr5 map for conv0; 'dense_block' instead
     # packs level-0 voxels + features into dense 8^3 blocks so conv0 runs
@@ -88,6 +89,15 @@ class InstSegPipelineConfig:
                     "level_cap_ladder is a rectangular-layout lever; "
                     "collate_flat never pads to caps — unset one of "
                     "flat_pack / level_cap_ladder")
+            # every rung must cover all levels: collate's fit-check zips
+            # against the per-level maxima, and zip() would silently accept
+            # a short rung then crash later on the missing levels
+            for rung in self.level_cap_ladder:
+                if len(rung) != kernel_maps.NUM_LEVELS:
+                    raise ValueError(
+                        f"level_cap_ladder rung {list(rung)} has "
+                        f"{len(rung)} entries; expected "
+                        f"{kernel_maps.NUM_LEVELS} (one per level)")
             # rungs must ascend elementwise: collate picks the FIRST rung
             # that fits, so a descending ladder silently pads everything
             # to rung 0
@@ -121,9 +131,12 @@ def _augment(points, colors, rng: np.random.Generator):
                0: [[1, 0, 0], [0, c, -s], [0, s, c]]}[axis]
         points = points @ np.asarray(rot, np.float32).T
     x = (colors + 1) / 2
-    x = x * (1 + rng.uniform(-0.2, 0.2)) + rng.uniform(-0.2, 0.2)
-    x = x + rng.uniform(-20 / 255, 20 / 255, size=3)
-    colors = np.clip(x, 0, 1) * 2 - 1
+    # albumentations clips to the valid range after EVERY transform, so
+    # brightness/contrast saturation must land before the RGB shift
+    x = np.clip(x * (1 + rng.uniform(-0.2, 0.2)) + rng.uniform(-0.2, 0.2),
+                0, 1)
+    x = np.clip(x + rng.uniform(-20 / 255, 20 / 255, size=3), 0, 1)
+    colors = x * 2 - 1
     return points.astype(np.float32), colors.astype(np.float32)
 
 

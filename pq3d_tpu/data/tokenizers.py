@@ -19,11 +19,6 @@ from typing import Callable, List, Optional
 log = logging.getLogger(__name__)
 
 
-def _synthetic_tokenize(s: str) -> List[int]:
-    """Deterministic hash tokenizer over a 1000-id space (dev fallback)."""
-    return [ord(c) % 1000 for c in s][:77]
-
-
 class SyntheticTokenize:
     """Picklable synthetic tokenizer (spawn-pool workers pickle the
     dataset, so tokenizer callables must round-trip through pickle —

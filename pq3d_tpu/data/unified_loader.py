@@ -92,6 +92,13 @@ class UnifiedTaskLoader:
             ((idxs, [self.seed, epoch, b], self.train)
              for b, idxs in enumerate(batches)))
 
+    def close(self) -> None:
+        """Shut the epoch-persistent worker pool down (workers hold a
+        pickled dataset copy each; __del__ is only best-effort)."""
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
+
 
 class MixedTaskLoader:
     """Train-time mixture over several task loaders (round-robin over a

@@ -406,7 +406,10 @@ class Query3DUnified(nn.Module):
         # data/datasets/constant.py:628-631 but never implemented there).
         # Rows of type IMAGE carry precomputed image features in
         # batch["prompt_img_fts"] (B, L, D_img) — e.g. CLIP vision-tower
-        # tokens — projected into the decoder width.
+        # tokens — projected into the decoder width.  NOTE: flax creates
+        # img_encoder params only when this branch traces, so a model that
+        # will serve IMAGE prompts must also be init'd on a batch carrying
+        # prompt_img_fts (same rule as any optional input).
         if "prompt_img_fts" in batch:
             img_feat = ObjectEncoder(
                 hidden_size=self.hidden_size,
@@ -414,8 +417,14 @@ class Query3DUnified(nn.Module):
                 use_projection=True, dropout=0.0, name="img_encoder")(
                 batch["prompt_img_fts"], deterministic)
             is_img = (ptype == PROMPT_IMAGE)[:, None]
+            # validity comes from the image tokens, NOT the text pad mask
+            # (an IMAGE row's text field is naturally empty/all-padding):
+            # optional batch["prompt_img_masks"], else every token real
+            img_valid = batch.get("prompt_img_masks")
+            if img_valid is None:
+                img_valid = jnp.ones_like(valid)
             feat = jnp.where(is_img[..., None], img_feat, feat)
-            mask = jnp.where(is_img, valid, mask)
+            mask = jnp.where(is_img, img_valid.astype(bool), mask)
         return feat, mask
 
 

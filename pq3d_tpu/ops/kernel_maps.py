@@ -206,6 +206,14 @@ def build_neighbor_map(coords: np.ndarray, kernel_size: int,
         c = np.ascontiguousarray(coords, np.int32)
         o = np.ascontiguousarray(offs, np.int32)
         n = len(c)
+        if n and int(np.abs(c).max()) >= (1 << 20) - 4:
+            # the native key packs biased coords into 21-bit fields; field
+            # arithmetic (and the hash key itself) silently corrupts beyond
+            # +-2^20 — at 2 cm voxels that is a ~21 km scene, so reject
+            # loudly rather than return wrong neighbor maps
+            raise ValueError(
+                f"voxel coords exceed the native packer's +-2^20 range "
+                f"(max abs {int(np.abs(c).max())}); re-origin the scene")
         rows = int(n_pad) if n_pad else n
         if out is None:
             out = np.empty((rows, len(o)), np.int32)
@@ -237,7 +245,10 @@ def downsample_coords(coords: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.nd
     """
     from pq3d_tpu.ops._native import lib
     L = lib()
-    if L is not None and coords.shape[1] == 3 and len(coords):
+    if L is not None and coords.shape[1] == 3 and len(coords) \
+            and int(np.abs(coords).max()) < (1 << 20) - 4:
+        # beyond +-2^20 the native 21-bit key packer corrupts; the numpy
+        # dense-grid fallback below has no such bound
         c = np.ascontiguousarray(coords, np.int32)
         n = len(c)
         coarse = np.empty((n, 3), np.int32)
@@ -417,27 +428,34 @@ def build_compact_conv(nbr: np.ndarray, m_bucket: int = 1024,
       slots_a (Na, light) partial addresses for outputs with <= light
                           valid taps (pad -1), in compact-row order.
       slots_b (Nb, K)     addresses for the remaining heavy outputs.
-      row_a   (Na,)       output row of each light compact row (pad -1).
-      row_b   (Nb,)       output row of each heavy compact row (pad -1).
 
     Total random fetches ~ (valid_frac*K + light + heavy_frac*K + 1) * N
     vs K*N for the padded conv (~1.8x fewer at 3^3 surface occupancy).
+
+    Runs per collate batch, so built with two flat nonzero passes (one
+    tap-major for the pair lists, one row-major for the slot tables)
+    instead of K per-tap column scans + a per-row argsort — the same
+    host-hot-loop treatment the unified collate got.
     """
     n, k = nbr.shape
     valid = nbr >= 0
     cnt = valid.sum(1)
 
-    m = int(valid.sum(0).max()) if n else 0
+    cnt_t = valid.sum(0)
+    m = int(cnt_t.max()) if n else 0
     m = max(m_bucket, int(np.ceil(m / m_bucket)) * m_bucket)
     in_idx = np.full((k, m), -1, np.int32)
     out_idx = np.full((k, m), -1, np.int32)   # pair's OUTPUT row (for dW)
-    # flat partial address per (row, tap) pair
+    # flat partial address per (row, tap) pair; one tap-major nonzero pass
+    # (rows ascending within each tap, matching the old per-tap scans)
     addr = np.full((n, k), -1, np.int64)
-    for t in range(k):
-        rows = np.nonzero(valid[:, t])[0]
-        in_idx[t, :len(rows)] = nbr[rows, t]
-        out_idx[t, :len(rows)] = rows
-        addr[rows, t] = t * m + np.arange(len(rows))
+    t_idx, rows = np.nonzero(valid.T)
+    starts = np.zeros(k, np.int64)
+    np.cumsum(cnt_t[:-1], out=starts[1:])
+    pos = np.arange(len(rows), dtype=np.int64) - starts[t_idx]
+    in_idx[t_idx, pos] = nbr[rows, t_idx]
+    out_idx[t_idx, pos] = rows
+    addr[rows, t_idx] = t_idx * m + pos
 
     light = (cnt <= light_slots) & (cnt > 0)
     heavy = cnt > light_slots
@@ -451,26 +469,28 @@ def build_compact_conv(nbr: np.ndarray, m_bucket: int = 1024,
     na, nb = bucket_rows(la), bucket_rows(hb)
 
     def compacted(rows, width):
-        out = np.full((len(rows), width), -1, np.int64)
+        out = np.full((len(rows), width), -1, np.int32)
         if len(rows):
             a = addr[rows]                       # (R, K), -1 for invalid
-            order = np.argsort(a < 0, axis=1, kind="stable")  # valid first
-            out[:] = np.take_along_axis(a, order, axis=1)[:, :width]
-        return out.astype(np.int32)
+            # row-major nonzero keeps each row's valid addresses in tap
+            # order (same order the stable argsort produced)
+            r_idx, t2 = np.nonzero(a >= 0)
+            rc = (a >= 0).sum(1)
+            rs = np.zeros(len(rows), np.int64)
+            np.cumsum(rc[:-1], out=rs[1:])
+            p = np.arange(len(r_idx), dtype=np.int64) - rs[r_idx]
+            keep = p < width
+            out[r_idx[keep], p[keep]] = a[r_idx[keep], t2[keep]]
+        return out
 
     slots_a = np.full((na, light_slots), -1, np.int32)
     slots_a[:len(la)] = compacted(la, light_slots)
-    row_a = np.full(na, -1, np.int32)
-    row_a[:len(la)] = la
     slots_b = np.full((nb, k), -1, np.int32)
     slots_b[:len(hb)] = compacted(hb, k)
-    row_b = np.full(nb, -1, np.int32)
-    row_b[:len(hb)] = hb
     # inverse map: output row -> its compact position (A first, then B;
     # zero-tap rows -> the trailing zero row na+nb)
     src = np.full(n, na + nb, np.int32)
     src[la] = np.arange(len(la), dtype=np.int32)
     src[hb] = na + np.arange(len(hb), dtype=np.int32)
     return {"in_idx": in_idx, "out_idx": out_idx, "slots_a": slots_a,
-            "slots_b": slots_b, "row_a": row_a, "row_b": row_b, "src": src,
-            "n_out": n}
+            "slots_b": slots_b, "src": src, "n_out": n}

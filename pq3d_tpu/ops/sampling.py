@@ -208,17 +208,20 @@ def fps_numpy(points: np.ndarray, npoint: int, start: int = 0,
         rng = rng or np.random.default_rng(0)
         cand = rng.choice(n, size=subsample, replace=False)
         return cand[fps_numpy(points[cand], npoint, start)]
+    # both paths compute in f32 so picks are identical whether or not the
+    # native lib compiled (f64 input could break near-ties between them)
+    points = np.asarray(points, np.float32)
     if points.ndim == 2 and points.shape[1] == 3:
         from pq3d_tpu.ops._native import lib
         L = lib()
         if L is not None:
-            pts = np.ascontiguousarray(points, np.float32)
+            pts = np.ascontiguousarray(points)
             picks = np.empty(npoint, dtype=np.int64)
             L.pq3d_fps(pts.ctypes.data, n, npoint, start % n,
                        picks.ctypes.data)
             return picks
     picks = np.empty(npoint, dtype=np.int64)
-    mind = np.full(n, np.inf)
+    mind = np.full(n, np.inf, np.float32)
     last = start % n
     for i in range(npoint):
         picks[i] = last

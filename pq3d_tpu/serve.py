@@ -10,9 +10,12 @@ provides it:
 - micro-batching: up to ``batch_size`` scenes per step, waiting at most
   ``max_delay_s`` for stragglers, padding short batches by repeating a
   scene (results for the padding rows are dropped);
-- shape discipline: ``pipe_cfg.level_caps`` must be set so every batch
-  compiles to the same executable — the server asserts the jit cache
-  stays at ONE entry after warmup;
+- shape discipline: with the rectangular gather-stem layout,
+  ``pipe_cfg.level_caps`` makes every batch compile to ONE executable.
+  flat_pack / dense_block / swin batch shapes are bucket-laddered: the
+  executable count is bounded by the rung ladder, not one — size
+  ``voxel_bucket`` to a single rung (>= the worst-case batch total) and
+  warm it if strict one-compile serving latency is required;
 - per-scene postprocessing through the same ranking as the evaluator
   (eval/instseg_eval.rank_instances), at full point resolution.
 
@@ -35,6 +38,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -50,9 +54,12 @@ from pq3d_tpu.eval.instseg_eval import rank_instances
 class ServerStats:
     scenes: int = 0
     steps: int = 0
-    total_wait_s: float = 0.0
+    total_wait_s: float = 0.0   # first-submit -> dispatch batching wait
     total_step_s: float = 0.0
-    latencies_s: List[float] = field(default_factory=list)
+    # bounded: a long-running server must not grow host RAM per request;
+    # quantiles come from the most recent window
+    latencies_s: "deque" = field(
+        default_factory=lambda: deque(maxlen=100_000))
 
     def summary(self) -> Dict[str, float]:
         lat = np.asarray(self.latencies_s) if self.latencies_s else \
@@ -69,8 +76,10 @@ class _MicroBatchServer:
     first request, short batches padded by repeating a request (padding
     rows dropped), and a worker loop that reports per-batch failures into
     the affected futures instead of dying.  Subclasses implement
-    ``_run_batch(requests) -> [result, ...]`` (padded length ok; only the
-    first ``len(requests)`` entries are consumed)."""
+    ``_run_batch(requests, n_real) -> [result, ...]`` — requests is padded
+    to ``batch_size`` but only the first ``n_real`` results are consumed,
+    so host-side postprocessing (instance ranking at full resolution,
+    detokenization) must be skipped for the padding rows."""
 
     def __init__(self, batch_size: int, max_delay_s: float = 0.05,
                  mesh=None, device=None):
@@ -91,21 +100,27 @@ class _MicroBatchServer:
         self.stats = ServerStats()
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
+        self._close_lock = threading.Lock()
         self._rng = np.random.default_rng(0)
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     # ------------------------------------------------------------------ API
     def submit(self, request) -> Future:
-        if self._closed:
-            raise RuntimeError("server closed")
         fut: Future = Future()
-        self._q.put((request, fut, time.time()))
+        # the closed-check and enqueue must be atomic vs close(): a put
+        # landing behind the shutdown sentinel would never resolve
+        with self._close_lock:
+            if self._closed:
+                raise RuntimeError("server closed")
+            self._q.put((request, fut, time.time()))
         return fut
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._close_lock:
+            if not self._closed:
+                self._closed = True
+                self._q.put(None)
         self._thread.join()
 
     def jit_cache_size(self) -> int:
@@ -138,8 +153,9 @@ class _MicroBatchServer:
             reqs = [it[0] for it in items]
             n_real = len(reqs)
             reqs = reqs + [reqs[-1]] * (self.batch_size - n_real)
+            self.stats.total_wait_s += t0 - min(it[2] for it in items)
             try:
-                results = self._run_batch(reqs)
+                results = self._run_batch(reqs, n_real)
                 dt = time.time() - t0
                 for i in range(n_real):
                     _, fut, t_sub = items[i]
@@ -178,7 +194,9 @@ class InstSegServer(_MicroBatchServer):
                  score_threshold: float = 0.0, max_delay_s: float = 0.05,
                  extra_features: Optional[Dict[str, int]] = None,
                  mesh=None, device=None):
-        if not pipe_cfg.level_caps:
+        if not pipe_cfg.level_caps and not pipe_cfg.flat_pack:
+            # flat_pack ignores level_caps: its shapes are bucket-laddered
+            # by voxel_bucket instead (see module docstring)
             raise ValueError(
                 "serving requires pipe_cfg.level_caps: without fixed level "
                 "pads every batch may compile a new executable")
@@ -207,7 +225,7 @@ class InstSegServer(_MicroBatchServer):
         self._fwd = jax.jit(_forward)
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
 
-    def _run_batch(self, scenes):
+    def _run_batch(self, scenes, n_real):
         np_batch = make_batch(scenes, self.pipe_cfg, self._rng, train=False)
         meta = np_batch.pop("_meta")
         S = self.pipe_cfg.max_segments
@@ -223,7 +241,7 @@ class InstSegServer(_MicroBatchServer):
                                num_classes=self.num_classes, topk=self.topk,
                                score_threshold=self.score_threshold,
                                seg_to_full=meta["segment_to_full"][i])
-                for i in range(len(scenes))]
+                for i in range(n_real)]
 
 
 class UnifiedServer(_MicroBatchServer):
@@ -264,7 +282,7 @@ class UnifiedServer(_MicroBatchServer):
         self._fwd = jax.jit(_forward)
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
 
-    def _run_batch(self, reqs):
+    def _run_batch(self, reqs, n_real):
         processed = []
         for scene, lang in reqs:
             item = self._process(scene, lang, self.pipe_cfg, self._rng,
@@ -281,7 +299,7 @@ class UnifiedServer(_MicroBatchServer):
         # candidate object, collate_unified:277-300)
         obj_valid = np.asarray(np_batch["query_pad_masks"])
         results = []
-        for i in range(len(reqs)):
+        for i in range(n_real):
             r: Dict[str, Any] = {}
             if "ground_logits" in out:
                 scores = np.where(obj_valid[i], out["ground_logits"][i],

@@ -254,6 +254,16 @@ class Query3DTrainer:
             if isinstance(v, float)))
         return results
 
+
+    def _close_loaders(self):
+        """Release epoch-persistent loader worker pools (one pool per
+        loader; each worker holds a pickled dataset copy)."""
+        closers = [self.train_data, getattr(self, "val_data", None)]
+        closers += [ld for _n, ld, _e in getattr(self, "val_sets", [])]
+        for ld in closers:
+            if hasattr(ld, "close"):
+                ld.close()
+
     def run(self):
         self.install_preemption_handler()
         for epoch in range(self.tracker.epoch, self.epochs):
@@ -273,6 +283,7 @@ class Query3DTrainer:
                                    self.tracker.state_dict())
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
         self.profiler.close()
+        self._close_loaders()
         self.ckpt.close()   # async saves must be durable before returning
         return self._state
 
@@ -360,5 +371,6 @@ class MultitaskTrainer(Query3DTrainer):
                                    self.tracker.state_dict())
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
         self.profiler.close()
+        self._close_loaders()
         self.ckpt.close()   # async saves must be durable before returning
         return self._state

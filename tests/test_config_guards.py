@@ -3,19 +3,31 @@ import numpy as np
 import pytest
 
 
+def _rung(top):
+    """Full-length (NUM_LEVELS) rung descending from ``top``."""
+    from pq3d_tpu.ops import kernel_maps
+    return [max(top >> i, 4) for i in range(kernel_maps.NUM_LEVELS)]
+
+
 def test_level_cap_ladder_rejects_descending():
     from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig
     with pytest.raises(ValueError, match="non-decreasing"):
-        InstSegPipelineConfig(level_cap_ladder=[[64, 32], [32, 16]])
+        InstSegPipelineConfig(level_cap_ladder=[_rung(64), _rung(32)])
     # ascending is fine
-    InstSegPipelineConfig(level_cap_ladder=[[32, 16], [64, 32]])
+    InstSegPipelineConfig(level_cap_ladder=[_rung(32), _rung(64)])
+
+
+def test_level_cap_ladder_rejects_short_rung():
+    from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig
+    with pytest.raises(ValueError, match="one per level"):
+        InstSegPipelineConfig(level_cap_ladder=[[64, 32]])
 
 
 def test_level_cap_ladder_rejects_flat_pack():
     from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig
     with pytest.raises(ValueError, match="flat_pack"):
         InstSegPipelineConfig(flat_pack=True,
-                              level_cap_ladder=[[32, 16], [64, 32]])
+                              level_cap_ladder=[_rung(32), _rung(64)])
 
 
 def test_ball_query_impl_rejects_unknown():

@@ -23,58 +23,11 @@ B, L, T, D, H = 2, 6, 9, 32, 4
 
 @pytest.fixture(scope="module")
 def refmods():
-    sys.path.insert(0, "/root/reference")
-    # --- stub externals the layer files import but never use here --------
-    reg = types.ModuleType("fvcore.common.registry")
-
-    class Registry:
-        def __init__(self, name):
-            self._m = {}
-
-        def register(self, obj=None, name=None):
-            if obj is None:
-                def deco(o):
-                    self._m[o.__name__] = o
-                    return o
-                return deco
-            self._m[obj.__name__] = obj
-            return obj
-
-        def get(self, name):
-            return self._m[name]
-
-    reg.Registry = Registry
-    oc = types.ModuleType("omegaconf")
-    oc.OmegaConf = type("OmegaConf", (), {"to_container":
-                                          staticmethod(lambda c, **k: dict(c))})
-    oc.DictConfig = dict
-    me = types.ModuleType("MinkowskiEngine")
-    me_pool = types.ModuleType("MinkowskiEngine.MinkowskiPooling")
-    me_pool.MinkowskiAvgPooling = object
-    me.MinkowskiPooling = me_pool
-    for name, mod in {
-            "fvcore": types.ModuleType("fvcore"),
-            "fvcore.common": types.ModuleType("fvcore.common"),
-            "fvcore.common.registry": reg,
-            "omegaconf": oc,
-            "MinkowskiEngine": me,
-            "MinkowskiEngine.MinkowskiPooling": me_pool}.items():
-        sys.modules.setdefault(name, mod)
-    # fake parent packages so the wildcard __init__ (which drags in CUDA
-    # deps) never executes
-    for pkg, path in (("modules", "/root/reference/modules"),
-                      ("modules.layers", "/root/reference/modules/layers"),
-                      ("modules.grounding",
-                       "/root/reference/modules/grounding"),
-                      ("modules.heads", "/root/reference/modules/heads"),
-                      ("modules.third_party",
-                       "/root/reference/modules/third_party"),
-                      ("modules.third_party.mask3d",
-                       "/root/reference/modules/third_party/mask3d")):
-        if pkg not in sys.modules:
-            m = types.ModuleType(pkg)
-            m.__path__ = [path]
-            sys.modules[pkg] = m
+    # stubs MUST come from the shared installer: within one pytest process
+    # the first stub in sys.modules wins, so a partial local stub here
+    # would break other parity files (verify-skill gotcha)
+    from _ref_stubs import install
+    install()
     import importlib
     tr = importlib.import_module("modules.layers.transformers")
     qe = importlib.import_module("modules.grounding.query_encoder")

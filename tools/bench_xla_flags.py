@@ -40,10 +40,15 @@ def run_one(flags: str, tag: str) -> str:
     env["PYTHONPATH"] = ":".join(
         p for p in (repo, env.get("PYTHONPATH", "")) if p)
     env["JAX_CACHE_DIR"] = f"/tmp/jaxcache_sweep_{tag}"
-    p = subprocess.run(
-        [sys.executable, os.path.join(os.path.dirname(__file__),
-                                      "bench_instseg_fwd.py"), VARIANT],
-        capture_output=True, text=True, timeout=5400, env=env)
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__),
+                                          "bench_instseg_fwd.py"), VARIANT],
+            capture_output=True, text=True, timeout=5400, env=env)
+    except subprocess.TimeoutExpired:
+        # a pathological flag point can hang compilation — report it like
+        # any other per-set failure instead of aborting the sweep
+        return "FAILED: timeout after 5400s"
     hits = MS_RE.findall(p.stdout)
     if not hits:
         tail = (p.stdout + p.stderr).strip().splitlines()[-3:]
