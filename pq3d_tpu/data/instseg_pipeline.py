@@ -248,16 +248,22 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
     }
 
 
-def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
-            ) -> Dict[str, np.ndarray]:
+def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
+            include_voxel: bool = True) -> Dict[str, np.ndarray]:
     """Stack processed scenes into one fixed-shape batch.
 
     Per-level pad sizes must agree across the batch: we re-pad every scene's
     hierarchy to the per-level max (bucketed), then stack.
+
+    ``include_voxel=False`` skips the per-level hierarchy maps and voxel
+    arrays (collate_flat supplies its own flat versions — building the
+    rectangular ones just to overwrite them doubled the flat host cost).
     """
     b = len(scenes)
     n_levels = kernel_maps.NUM_LEVELS
-    if cfg.level_cap_ladder:
+    if not include_voxel:
+        pad = [0] * n_levels
+    elif cfg.level_cap_ladder:
         true_max = [max(s["hierarchy"].num_voxels[l] for s in scenes)
                     for l in range(n_levels)]
         for rung in cfg.level_cap_ladder:
@@ -280,38 +286,42 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig
     # copied every map twice (measured host hot spot after the native
     # neighbor builds)
     maps: Dict[str, np.ndarray] = {}
-    for l in range(n_levels):
-        maps[f"valid_{l}"] = np.zeros((b, pad[l]), bool)
-        maps[f"nbr3_{l}"] = np.full((b, pad[l], 27), -1, np.int32)
-    for l in range(n_levels - 1):
-        maps[f"child_{l}"] = np.full((b, pad[l + 1], 8), -1, np.int32)
-        maps[f"parent_{l}"] = np.full((b, pad[l]), -1, np.int32)
-        maps[f"parent_off_{l}"] = np.zeros((b, pad[l]), np.int32)
-    maps["ancestor"] = np.zeros((b, n_levels, pad[0]), np.int32)
+    if include_voxel:
+        for l in range(n_levels):
+            maps[f"valid_{l}"] = np.zeros((b, pad[l]), bool)
+            maps[f"nbr3_{l}"] = np.full((b, pad[l], 27), -1, np.int32)
+        for l in range(n_levels - 1):
+            maps[f"child_{l}"] = np.full((b, pad[l + 1], 8), -1, np.int32)
+            maps[f"parent_{l}"] = np.full((b, pad[l]), -1, np.int32)
+            maps[f"parent_off_{l}"] = np.zeros((b, pad[l]), np.int32)
+        maps["ancestor"] = np.zeros((b, n_levels, pad[0]), np.int32)
 
-    batch: Dict[str, List[np.ndarray]] = {k: [] for k in [
-        "voxel_feats", "voxel2segment", "seg_center", "seg_pad_masks",
+    batch: Dict[str, List[np.ndarray]] = {k: [] for k in ([
+        "voxel_feats", "voxel2segment"] if include_voxel else []) + [
+        "seg_center", "seg_pad_masks",
         "segment_sizes", "query_locs", "query_pad_masks", "coord_min",
         "coord_max", "instance_labels", "segment_masks", "instance_valid",
         "obj_center", "obj_pad_masks",
     ]}
 
     for i, s in enumerate(scenes):
-        h: kernel_maps.SparseHierarchy = s["hierarchy"]
-        nv = [min(n, p) for n, p in zip(h.num_voxels, pad)]
-        for l in range(n_levels):
-            maps[f"valid_{l}"][i, :nv[l]] = h.valid[l][:nv[l]]
-            maps[f"nbr3_{l}"][i, :nv[l]] = h.nbr3[l][:nv[l]]
-        for l in range(n_levels - 1):
-            maps[f"child_{l}"][i, :nv[l + 1]] = h.child[l][:nv[l + 1]]
-            maps[f"parent_{l}"][i, :nv[l]] = h.parent[l][:nv[l]]
-            maps[f"parent_off_{l}"][i, :nv[l]] = h.parent_off[l][:nv[l]]
-        maps["ancestor"][i, :, :nv[0]] = h.ancestor[:, :nv[0]]
-        n0 = h.num_voxels[0]
-        batch["voxel_feats"].append(kernel_maps.pad_rows(s["voxel_feats"], pad[0]))
-        v2s = kernel_maps.pad_rows(s["voxel2segment"], pad[0], S)
-        v2s[n0:] = S  # trash bucket
-        batch["voxel2segment"].append(np.minimum(v2s, S))
+        if include_voxel:
+            h: kernel_maps.SparseHierarchy = s["hierarchy"]
+            nv = [min(n, p) for n, p in zip(h.num_voxels, pad)]
+            for l in range(n_levels):
+                maps[f"valid_{l}"][i, :nv[l]] = h.valid[l][:nv[l]]
+                maps[f"nbr3_{l}"][i, :nv[l]] = h.nbr3[l][:nv[l]]
+            for l in range(n_levels - 1):
+                maps[f"child_{l}"][i, :nv[l + 1]] = h.child[l][:nv[l + 1]]
+                maps[f"parent_{l}"][i, :nv[l]] = h.parent[l][:nv[l]]
+                maps[f"parent_off_{l}"][i, :nv[l]] = h.parent_off[l][:nv[l]]
+            maps["ancestor"][i, :, :nv[0]] = h.ancestor[:, :nv[0]]
+            n0 = h.num_voxels[0]
+            batch["voxel_feats"].append(
+                kernel_maps.pad_rows(s["voxel_feats"], pad[0]))
+            v2s = kernel_maps.pad_rows(s["voxel2segment"], pad[0], S)
+            v2s[n0:] = S  # trash bucket
+            batch["voxel2segment"].append(np.minimum(v2s, S))
         ns = len(s["seg_center"])
         batch["seg_center"].append(kernel_maps.pad_rows(s["seg_center"][:S], S))
         batch["seg_pad_masks"].append(
@@ -553,12 +563,14 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
             maps[f"cmp{l}_sb"] = plan["slots_b"]
             maps[f"cmp{l}_src"] = plan["src"]
 
-    # rectangular (B, ...) keys via the standard collate (stem 'none' so no
-    # rectangular conv0 arrays get built), then override the voxel-level
-    # arrays with the flat ones
+    # rectangular (B, ...) segment/query/instance keys via the standard
+    # collate, skipping its voxel-level maps/arrays entirely (the flat ones
+    # below replace them; building both doubled the flat host cost)
     out = collate(scenes, dataclasses.replace(cfg, flat_pack=False,
                                               swin_window=0,
-                                              stem_mode="none"))
+                                              level_cap_ladder=None,
+                                              stem_mode="none"),
+                  include_voxel=False)
     out["maps"] = maps
     out["voxel_feats"] = vf
     out["voxel2segment"] = v2s

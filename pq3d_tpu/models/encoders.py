@@ -70,6 +70,15 @@ class SegVoxelEncoder(nn.Module):
 
         if self.backbone == "swin3d":
             from pq3d_tpu.models.swin3d import Swin3DUNet
+            # swin has no conv-gather levers (and no remat support — its
+            # window attention saves all activations); say so at init
+            # rather than silently dropping an explicitly-enabled lever
+            dropped = [n for n, on in (
+                ("sorted_gather", self.sorted_gather),
+                ("int8_gather", self.int8_gather)) if on]
+            if dropped and self.is_initializing():
+                print(f"[SegVoxelEncoder] swin3d backbone has no "
+                      f"{'/'.join(dropped)} — option(s) ignored")
             backbone = Swin3DUNet(out_channels=self.backbone_out_channels,
                                   bn_momentum=self.bn_momentum,
                                   accum=self.accum,

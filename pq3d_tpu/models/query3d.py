@@ -258,8 +258,17 @@ class Query3DUnified(nn.Module):
                 raise NotImplementedError(f"unknown memory {mem}")
 
         # ---- mask head binding ---------------------------------------------
-        offline_attn = batch.get("offline_attn_mask") \
-            if self.use_offline_attn_mask else None
+        offline_attn = None
+        if self.use_offline_attn_mask:
+            offline_attn = batch.get("offline_attn_mask")
+            if offline_attn is None:
+                # falling back to predicted self-masks here would silently
+                # run a different model variant (the GT-mask experiment
+                # would report results from the wrong configuration)
+                raise ValueError(
+                    "use_offline_attn_mask=True but the batch has no "
+                    "'offline_attn_mask' — set data.instseg_options."
+                    "offline_mask_source='gt' (or unset the model flag)")
         mask_head = None
         if self.mask_head_cfg is not None and "mask" in self.heads:
             seg_fts_for_match = []
@@ -516,7 +525,8 @@ def build_model(cfg) -> Query3DUnified:
             use_projection=ta.get("use_projection", True),
             projection_type=ta.get("projection_type", "mlp"),
             num_projection_layers=ta.get("num_projection_layers", 1),
-            freeze_backbone=ta.get("freeze_backbone", True))
+            freeze_backbone=ta.get("freeze_backbone", True),
+            compute_dtype=ta.get("compute_dtype", "float32"))
 
     qa_head = m.get("qa_head", {}) or {}
     qa_args = qa_head.get("args", {}) if hasattr(qa_head, "get") else {}

@@ -295,13 +295,32 @@ def conv0_dense_block(dense_in: jnp.ndarray, nbr_win: jnp.ndarray,
                     src[:, sx:sx + lx, sy:sy + ly, sz:sz + lz, :])
                 t += 1
     w5 = w.reshape(kernel, kernel, kernel, cin, cout).astype(compute_dtype)
-    # preferred_element_type == compute dtype keeps fwd/bwd conv dtypes
-    # uniform for autodiff; the MXU still accumulates f32 inside the op
-    y = jax.lax.conv_general_dilated(
-        halo, w5, window_strides=(1, 1, 1), padding="VALID",
-        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=compute_dtype)
-    y = y.reshape(nb * block ** 3, cout)
+    dn = ("NDHWC", "DHWIO", "NDHWC")
+
+    # honor the configured accumulation dtype like the gathered stem does
+    # (A/B comparisons must compare equal numerics).  conv's transpose rule
+    # rejects the mixed dtypes that preferred_element_type=accum creates
+    # (f32 cotangent vs bf16 operands), so the backward runs through a
+    # same-dtype conv — the MXU accumulates f32 internally regardless.
+    @jax.custom_vjp
+    def halo_conv(h, wk):
+        y = jax.lax.conv_general_dilated(
+            h, wk, window_strides=(1, 1, 1), padding="VALID",
+            dimension_numbers=dn, preferred_element_type=accum_dtype)
+        return y.astype(compute_dtype)
+
+    def halo_fwd(h, wk):
+        return halo_conv(h, wk), (h, wk)
+
+    def halo_bwd(res, g):
+        h, wk = res
+        _, vjp = jax.vjp(lambda a, b: jax.lax.conv_general_dilated(
+            a, b, window_strides=(1, 1, 1), padding="VALID",
+            dimension_numbers=dn), h, wk)
+        return vjp(g.astype(compute_dtype))
+
+    halo_conv.defvjp(halo_fwd, halo_bwd)
+    y = halo_conv(halo, w5).reshape(nb * block ** 3, cout)
     out = _unpack_cells(y, slot, c2v)
     if out_valid is not None:
         out = jnp.where(out_valid[:, None], out, 0)

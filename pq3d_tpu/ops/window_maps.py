@@ -19,14 +19,14 @@ Shifted windows are a second partition with the grid origin displaced by
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
 
 def build_window_pack(coords: np.ndarray, window: int, shift: int = 0,
                       with_neighbors: bool = False) -> Dict[str, np.ndarray]:
-    """Partition voxel ``coords`` (N, 3) int, non-negative) into dense
+    """Partition voxel ``coords`` ((N, 3) int, any sign) into dense
     ``window^3`` windows whose grid origin is shifted by ``-shift``.
 
     ``with_neighbors`` additionally returns ``nbr_win`` (n_win, 27): the
@@ -43,12 +43,17 @@ def build_window_pack(coords: np.ndarray, window: int, shift: int = 0,
             out["nbr_win"] = np.zeros((0, 27), np.int32)
         return out
     sh = coords.astype(np.int64) + shift
-    wc = sh // window
+    wc = sh // window                 # floor division: correct for negatives
+    local = sh - wc * window          # in [0, window) even for negative sh
+    # the ravel key is only injective for non-negative window coords, and
+    # augmented/mean-centered scenes produce negative voxel coords — shift
+    # the window grid to its own origin before raveling (distinct windows
+    # collided silently otherwise, overwriting cells)
+    wc = wc - wc.min(0)
     dims = wc.max(0) + 1
     key = (wc[:, 0] * dims[1] + wc[:, 1]) * dims[2] + wc[:, 2]
     ukeys, inv = np.unique(key, return_inverse=True)
     n_win = len(ukeys)
-    local = sh - wc * window
     cell = (local[:, 0] * window + local[:, 1]) * window + local[:, 2]
     slot = (inv * w3 + cell).astype(np.int32)
     cell_to_vox = np.full(n_win * w3, -1, np.int32)
@@ -104,8 +109,7 @@ def bucket(n: int, step: int = 256) -> int:
 
 
 def build_swin_packs(level_coords: List[np.ndarray], window: int,
-                     levels: tuple, n_win_pads: Optional[List[int]] = None
-                     ) -> Dict[str, np.ndarray]:
+                     levels: tuple) -> Dict[str, np.ndarray]:
     """Build regular+shifted packs for each attention level.
 
     ``level_coords[l]`` are the UNPADDED coords of hierarchy level ``l``.

@@ -216,7 +216,11 @@ def instseg_direct_loss(predictions_class, predictions_mask, batch,
         lm = batch_mask_loss(pred[:, :m], tgt[:, :m], pad[:, :m])
         ld = batch_dice_loss(pred[:, :m], tgt[:, :m], pad[:, :m])
         logits = predictions_class[i][:, :m]
-        valid = labels[:, :m] != ignore_label
+        # a real instance has a non-ignored label AND at least one valid
+        # segment in its pad row — collate pads instance_labels with 0, so
+        # label!=ignore alone would count every padded slot as a class-0
+        # target (the reference criterion sees only unpadded instances)
+        valid = (labels[:, :m] != ignore_label) & pad[:, :m].any(-1)
         logp = jax.nn.log_softmax(
             jnp.clip(logits.astype(jnp.float32), -100, None), axis=-1)
         nll = -jnp.take_along_axis(

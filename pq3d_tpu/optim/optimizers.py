@@ -89,9 +89,11 @@ def build_optimizer(params, name: str = "AdamW", lr: float = 1e-4,
                     betas=(0.9, 0.98), weight_decay: float = 0.01,
                     grad_norm: Optional[float] = None,
                     module_lrs: Optional[Dict[str, float]] = None,
-                    accumulation_steps: int = 1
+                    accumulation_steps: int = 1,
+                    gamma: float = 0.1
                     ) -> optax.GradientTransformation:
-    schedule = make_schedule(sched_name, lr, total_steps, warmup_steps)
+    schedule = make_schedule(sched_name, lr, total_steps, warmup_steps,
+                             gamma=gamma)
     mask = no_decay_mask(params)
     name_l = name.lower()
     if name_l == "adamw":
@@ -146,7 +148,9 @@ def build_from_config(cfg, params, total_steps: int):
         total_steps=total_steps,
         warmup_steps=int(solver.sched.args.get("warmup_steps", 0)),
         sched_name=solver.sched.get("name", "warmup_cosine"),
+        gamma=float(solver.sched.args.get("gamma", 0.1)),
         betas=tuple(solver.optim.args.get("betas", [0.9, 0.98])),
+        weight_decay=float(solver.optim.args.get("weight_decay", 0.01)),
         grad_norm=float(solver.get("grad_norm", 0) or 0) or None,
         module_lrs=module_lrs or None,
         accumulation_steps=int(solver.get("gradient_accumulation_steps", 1)))

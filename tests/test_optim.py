@@ -72,3 +72,36 @@ def test_grad_clip():
     up, _ = tx.update(g, state, params)
     import optax
     assert float(optax.global_norm(up)) <= 1.0 + 1e-5
+
+
+def test_build_from_config_plumbs_gamma_and_wd():
+    """solver.sched.args.gamma / solver.optim.args.weight_decay must reach
+    the schedule and optimizer (they were silently dropped once)."""
+    from pq3d_tpu.config import Config
+    from pq3d_tpu.optim.optimizers import build_from_config
+
+    def cfg_for(gamma):
+        return Config({
+            "model": {"heads": []},
+            "solver": {"lr": 1e-4,
+                       "optim": {"name": "AdamW",
+                                 "args": {"weight_decay": 0.5}},
+                       "sched": {"name": "warmup_exp",
+                                 "args": {"warmup_steps": 0,
+                                          "gamma": gamma}}}})
+
+    params = fake_params()
+    _tx, s_slow = build_from_config(cfg_for(0.9), params, total_steps=100)
+    _tx, s_fast = build_from_config(cfg_for(0.001), params, total_steps=100)
+    # gamma=0.9 keeps ~90% of lr at the end; gamma=0.001 collapses it
+    assert float(s_slow(100)) == pytest.approx(0.9e-4, rel=1e-3)
+    assert float(s_fast(100)) == pytest.approx(0.001e-4, rel=1e-3)
+
+    # weight_decay reaches optax.adamw: a pure-decay update (zero grads)
+    # shrinks a kernel param by lr * schedule * wd
+    tx, _s = build_from_config(cfg_for(0.9), params, total_steps=100)
+    state = tx.init(params)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    upd, _ = tx.update(zeros, state, params)
+    k = upd["encoder"]["proj"]["kernel"]
+    assert float(jnp.abs(k).max()) > 0  # decay applied

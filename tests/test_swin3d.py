@@ -162,3 +162,35 @@ def test_swin3d_gradients_flow():
     # attention params get nonzero grads
     gsum = sum(float(jnp.abs(l).sum()) for l in leaves)
     assert gsum > 0
+
+
+def test_window_pack_negative_coords():
+    """The ravel key must stay injective for negative voxel coords
+    (mean-centered/augmented scenes): distinct windows once collided and
+    silently overwrote cells."""
+    from pq3d_tpu.ops import window_maps
+    # exact repro of the collision: different windows, same old key
+    p = window_maps.build_window_pack(
+        np.array([[0, -1, 0], [-8, 7, 0]], np.int32), 8, 0)
+    assert p["n_win"] == 2
+    assert len(set(p["vox_slot"].tolist())) == 2
+
+    # dense random cloud spanning negative coords: every voxel gets its own
+    # cell and the pack round-trips
+    rng = np.random.default_rng(0)
+    coords = np.unique(rng.integers(-50, 50, size=(5000, 3)), axis=0)
+    for shift in (0, 4):
+        p = window_maps.build_window_pack(coords.astype(np.int32), 8, shift,
+                                          with_neighbors=True)
+        slots = p["vox_slot"]
+        assert len(np.unique(slots)) == len(coords)          # injective
+        back = p["cell_to_vox"][slots]
+        np.testing.assert_array_equal(back, np.arange(len(coords)))
+        # translation invariance: shifting the cloud by a window multiple
+        # must not change the partition structure
+        q = window_maps.build_window_pack(
+            (coords - 8 * 13).astype(np.int32), 8, shift,
+            with_neighbors=True)
+        assert q["n_win"] == p["n_win"]
+        np.testing.assert_array_equal(q["vox_slot"], p["vox_slot"])
+        np.testing.assert_array_equal(q["nbr_win"], p["nbr_win"])
