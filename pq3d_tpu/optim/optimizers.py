@@ -128,9 +128,15 @@ def build_optimizer(params, name: str = "AdamW", lr: float = 1e-4,
     return tx, schedule
 
 
-def build_from_config(cfg, params, total_steps: int):
+def build_from_config(cfg, params, total_steps: int, n_data_shards: int = 1):
     """Build (optimizer, schedule) from a solver config node
-    (ref optim/build.py:10-14 + trainer/build.py:103)."""
+    (ref optim/build.py:10-14 + trainer/build.py:103).
+
+    ``n_data_shards`` is the data-parallel width: the reference scales the
+    configured warmup by the DP world size (ref optim/scheduler.py:20
+    ``warmup_steps = cfg.solver.sched.args.warmup_steps * cfg.num_gpu``), so
+    the shipped recipes (e.g. unified warmup_steps=5000 on 4 GPUs) mean
+    20k warmup steps."""
     solver = cfg.solver
     module_lrs = {}
     for head in cfg.model.get("heads", []) or []:
@@ -146,7 +152,8 @@ def build_from_config(cfg, params, total_steps: int):
         name=solver.optim.get("name", "AdamW"),
         lr=float(solver.lr),
         total_steps=total_steps,
-        warmup_steps=int(solver.sched.args.get("warmup_steps", 0)),
+        warmup_steps=int(solver.sched.args.get("warmup_steps", 0))
+        * max(int(n_data_shards), 1),
         sched_name=solver.sched.get("name", "warmup_cosine"),
         gamma=float(solver.sched.args.get("gamma", 0.1)),
         betas=tuple(solver.optim.args.get("betas", [0.9, 0.98])),

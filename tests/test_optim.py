@@ -105,3 +105,25 @@ def test_build_from_config_plumbs_gamma_and_wd():
     upd, _ = tx.update(zeros, state, params)
     k = upd["encoder"]["proj"]["kernel"]
     assert float(jnp.abs(k).max()) > 0  # decay applied
+
+
+def test_warmup_scales_with_dp_width():
+    """Reference parity: warmup_steps is multiplied by the DP world size
+    (ref optim/scheduler.py:20 warmup_steps * cfg.num_gpu)."""
+    from pq3d_tpu.config import Config
+    from pq3d_tpu.optim.optimizers import build_from_config
+
+    cfg = Config({
+        "model": {"heads": []},
+        "solver": {"lr": 1e-3,
+                   "optim": {"name": "AdamW", "args": {}},
+                   "sched": {"name": "warmup_cosine",
+                             "args": {"warmup_steps": 100}}}})
+    params = fake_params()
+    _tx, s1 = build_from_config(cfg, params, total_steps=10_000)
+    _tx, s4 = build_from_config(cfg, params, total_steps=10_000,
+                                n_data_shards=4)
+    # at step 100: 1-shard warmup is done; 4-shard is 1/4 through warmup
+    assert float(s1(100)) == pytest.approx(1e-3, rel=1e-4)
+    assert float(s4(100)) == pytest.approx(0.25e-3, rel=1e-4)
+    assert float(s4(400)) == pytest.approx(1e-3, rel=1e-4)
