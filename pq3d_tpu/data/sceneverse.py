@@ -451,12 +451,27 @@ class ScanQASceneVerse(_SceneVerseTask):
             self.answer_vocab = AnswerVocab.from_scanqa_train(
                 self.scans.base_dir)
             self.evaluator = "ScanQAEval"
+            node = cfg.data.get(type(self).__name__, {}) or {}
+            if not node.get("use_unanswer", True):
+                # keep only questions answerable from the train vocab
+                # (ref scanqa.py:22,74-75)
+                self.lang_data = [
+                    x for x in self.lang_data
+                    if any(self.answer_vocab.stoi(a) >= 0
+                           for a in x.get("answers", []))]
 
     def _load_lang(self):
+        node = self.cfg.data.get(type(self).__name__, {}) or {}
         name = f"ScanQA_v1.0_{'train' if self.split == 'train' else 'val'}.json"
         with open(self._anno("qa", name)) as f:
             data = json.load(f)
         ids = set(self.scans.split_scan_ids(self.split))
+        if self.split == "train" and node.get("use_val_for_train"):
+            # merge the val annotations (and their scans) into train
+            # (ref scanqa.py:70-73)
+            with open(self._anno("qa", "ScanQA_v1.0_val.json")) as f:
+                data += json.load(f)
+            ids |= set(self.scans.split_scan_ids("val"))
         return [x for x in data if x["scene_id"] in ids]
 
     def get_item(self, idx):
@@ -563,6 +578,12 @@ class Scan2CapSceneVerse(ScanReferSceneVerse):
                     seen.add(key)
                     uniq.append(x)
             data = uniq
+        # captions truncated to txt_max_len tokens (ref scan2cap.py:10-15)
+        node = self.cfg.data.get(type(self).__name__, {}) or {}
+        max_len = int(node.get("txt_max_len", 35))
+        for x in data:
+            toks = x.get("tokens") or x["utterance"].split()
+            x["utterance"] = " ".join(toks[:max_len])
         return data
 
     @lru_cache(maxsize=None)

@@ -66,6 +66,10 @@ class Scan2CapEval(BaseEvaluator):
             refs = {}
             for k, it in by_key.items():
                 pred = it["pred"] if it["iou"] >= thr else ""
+                # predictions capped at 30 tokens (ref scan2cap_eval.py:25,51
+                # word_tokenize(...)[:30]; whitespace split stands in for
+                # nltk, which is absent here)
+                pred = " ".join(pred.split()[:30])
                 preds[k] = [("sos " + pred + " eos").strip()]
                 refs[k] = [("sos " + r + " eos").strip() for r in it["refs"]]
             bleus, _ = corpus_bleu(preds, refs)

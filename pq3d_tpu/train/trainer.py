@@ -65,6 +65,9 @@ class Query3DTrainer:
         self.evaluator = evaluator
         self.epochs = int(cfg.solver.epochs)
         self.epochs_per_eval = int(cfg.solver.get("epochs_per_eval", 0) or 0)
+        # periodic numbered checkpoints alongside latest/best
+        # (ref trainer/build.py:54 + default_trainer.py:103 ckpt_N.pth)
+        self.epochs_per_save = int(cfg.solver.get("epochs_per_save", 0) or 0)
         self.exp_dir = cfg.get("exp_dir") or os.path.join(
             cfg.get("base_dir", "outputs"), cfg.get("name", "exp"))
         self.logger = MetricsLogger(self.exp_dir)
@@ -286,6 +289,9 @@ class Query3DTrainer:
                     self.ckpt.save("best", self._state,
                                    self.tracker.state_dict())
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
+            if self.epochs_per_save and (epoch + 1) % self.epochs_per_save == 0:
+                self.ckpt.save(f"ckpt_{epoch + 1}", self._state,
+                               self.tracker.state_dict())
         self.profiler.close()
         self._close_loaders()
         self.ckpt.close()   # async saves must be durable before returning
@@ -374,6 +380,9 @@ class MultitaskTrainer(Query3DTrainer):
                     self.ckpt.save("best", self._state,
                                    self.tracker.state_dict())
             self.ckpt.save("latest", self._state, self.tracker.state_dict())
+            if self.epochs_per_save and (epoch + 1) % self.epochs_per_save == 0:
+                self.ckpt.save(f"ckpt_{epoch + 1}", self._state,
+                               self.tracker.state_dict())
         self.profiler.close()
         self._close_loaders()
         self.ckpt.close()   # async saves must be durable before returning

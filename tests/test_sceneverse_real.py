@@ -253,3 +253,41 @@ def test_background_objects_filtered_in_gt_mode(sv_dirs):
     # offline gt features follow the composed filter+crop indices: the
     # chair had raw inst id 1 -> feature value 1.0
     assert item["mv_fts"][tgt, 0] == 1.0
+
+
+def _write_scanqa(base, split, items):
+    ann = os.path.join(base, "ScanNet", "annotations", "qa")
+    os.makedirs(ann, exist_ok=True)
+    with open(os.path.join(ann, f"ScanQA_v1.0_{split}.json"), "w") as f:
+        json.dump(items, f)
+
+
+def test_scanqa_use_val_for_train(sv_dirs):
+    """use_val_for_train merges the val annotations into the train split
+    (ref scanqa.py:70-73)."""
+    base, _, _ = sv_dirs
+    import pq3d_tpu.data.sceneverse as sv
+    _write_scanqa(base, "train", [
+        {"scene_id": SCAN, "question": "what color is the chair?",
+         "answers": ["red"], "object_ids": [1]}])
+    _write_scanqa(base, "val", [
+        {"scene_id": SCAN, "question": "how many tables?",
+         "answers": ["one"], "object_ids": [2]}])
+    ds = sv.ScanQASceneVerse(_cfg(base), "train")
+    assert len(ds) == 1
+    ds = sv.ScanQASceneVerse(
+        _cfg(base, ScanQASceneVerse={"use_val_for_train": True}), "train")
+    assert len(ds) == 2
+
+
+def test_scan2cap_txt_max_len(sv_dirs):
+    """Captions are truncated to txt_max_len tokens (ref scan2cap.py:10-15)."""
+    base, _, _ = sv_dirs
+    import pq3d_tpu.data.sceneverse as sv
+    ds = sv.Scan2CapSceneVerse(
+        _cfg(base, Scan2CapSceneVerse={"txt_max_len": 3}), "val")
+    assert ds.lang_data[0]["utterance"] == "the chair next"
+    # default keeps the whole (short) caption
+    sv.SceneVerseScans._cache = {}
+    ds = sv.Scan2CapSceneVerse(_cfg(base), "val")
+    assert ds.lang_data[0]["utterance"] == "the chair next to the wall"
