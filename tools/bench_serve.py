@@ -1,0 +1,181 @@
+"""Serving-level benchmark: throughput + latency THROUGH the micro-batching
+servers (pq3d_tpu/serve.py), not just the raw jitted forward.
+
+This measures what a deployment sees: per-request host pipeline, batching
+wait, device step, and full-resolution postprocessing, with p50/p99
+latency from ServerStats.  The raw-forward numbers live in bench.py; the
+serve/forward gap is the serving overhead to optimize.
+
+Usage:  python tools/bench_serve.py [instseg] [unified]   (default: both)
+Env:    BENCH_SMOKE=1 shrinks everything for a CPU pre-flight.
+        SERVE_STEM=gather|dense_block (instseg conv0 stem; default
+        dense_block), SERVE_BATCH (default 4 instseg / 8 unified),
+        SERVE_SCENES (requests per run, default 32).
+Prints: ``serve_<which>: X scenes/s p50=Y ms p99=Z ms ...`` per server.
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+import os
+import sys
+import time
+
+import numpy as np
+
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+import jax
+import jax.numpy as jnp
+
+if SMOKE:
+    jax.config.update("jax_platforms", "cpu")
+from pq3d_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache(jax)
+
+from pq3d_tpu.config import Config
+from pq3d_tpu.data import synthetic
+from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
+from pq3d_tpu.data.unified_datasets import SyntheticRefer
+from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
+from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
+                                     EncoderCfg, GroundHeadCfg,
+                                     GenerationHeadCfg, TxtEncoderCfg,
+                                     MaskHeadCfg, VoxelEncoderCfg)
+from pq3d_tpu.serve import InstSegServer, UnifiedServer
+
+N_REQ = int(os.environ.get("SERVE_SCENES", "6" if SMOKE else "32"))
+
+
+def _report(which, srv, wall_s):
+    st = srv.stats.summary()
+    print(f"serve_{which}: {st['scenes'] / wall_s:.2f} scenes/s "
+          f"p50={st['p50_latency_s'] * 1000:.1f} ms "
+          f"p99={st['p99_latency_s'] * 1000:.1f} ms "
+          f"steps={st['steps']} compiles={srv.jit_cache_size()} "
+          f"wall={wall_s:.2f} s", flush=True)
+
+
+def bench_instseg_serve():
+    rng = np.random.default_rng(0)
+    stem = os.environ.get("SERVE_STEM", "dense_block")
+    bs = int(os.environ.get("SERVE_BATCH", "2" if SMOKE else "4"))
+    pipe = InstSegPipelineConfig(
+        voxel_size=0.15 if SMOKE else 0.02,
+        num_queries=16 if SMOKE else 120,
+        max_segments=64 if SMOKE else 512,
+        max_instances=16 if SMOKE else 120,
+        voxel_bucket=512 if SMOKE else 8192,
+        level_caps=((512, 512, 512, 256, 128) if SMOKE
+                    else (65536, 40960, 16384, 4096, 2048)),
+        use_aug=False, stem_mode=stem)
+    scenes = [synthetic.make_scene(
+        rng, n_points=(600 + 100 * (i % 3)) if SMOKE
+        else (60_000 + 5000 * (i % 5)),
+        n_instances=6 if SMOKE else 24,
+        n_segments=24 if SMOKE else 400) for i in range(N_REQ)]
+    for s in scenes:
+        s["inst_labels"] = np.minimum(s["inst_labels"], 199)
+
+    model = Query3DUnified(
+        memories=("voxel", "mv", "pc"), heads=("mask",),
+        hidden_size=96 if SMOKE else 768, dim_loc=3,
+        unified=UnifiedEncoderCfg(num_layers=1 if SMOKE else 4,
+                                  num_blocks=1 if SMOKE else 3,
+                                  num_attention_heads=12,
+                                  structure="parallel",
+                                  spatial_selfattn=True, use_self_mask=True),
+        voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16"),
+        mask_head_cfg=MaskHeadCfg(num_targets=201, filter_out_classes=(0, 2)))
+    init_batch = make_batch(scenes[:bs], pipe, rng, train=False)
+    S = pipe.max_segments
+    for name in ("mv", "pc"):
+        init_batch[f"{name}_seg_fts"] = np.zeros((bs, S, 768), np.float32)
+        init_batch[f"{name}_seg_pad_masks"] = init_batch["seg_pad_masks"]
+    init_batch = {k: v for k, v in init_batch.items()
+                  if not k.startswith("_")}
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jax.tree.map(np.asarray, init_batch), train=False)
+
+    srv = InstSegServer(model, variables, pipe, batch_size=bs,
+                        num_classes=200, topk=100, max_delay_s=0.02,
+                        extra_features={"mv": 768, "pc": 768})
+    try:
+        srv.submit(scenes[0]).result(timeout=3600)   # compile outside timing
+        t0 = time.time()
+        futs = [srv.submit(s) for s in scenes]
+        for f in futs:
+            f.result(timeout=3600)
+        wall = time.time() - t0
+        _report("instseg", srv, wall)
+    finally:
+        srv.close()
+
+
+def bench_unified_serve():
+    bs = int(os.environ.get("SERVE_BATCH", "2" if SMOKE else "8"))
+    cfg = Config({"data": {"synthetic": {"num_train": N_REQ,
+                                         "n_points": 300 if SMOKE else 2000,
+                                         "n_instances": 8 if SMOKE else 32}},
+                  "debug": {"flag": False}})
+    ds = SyntheticRefer(cfg, "train")
+    reqs = [ds.get_item(i) for i in range(N_REQ)]
+    pipe = UnifiedPipelineConfig(max_obj_len=8 if SMOKE else 80,
+                                 num_points=64 if SMOKE else 1024,
+                                 prompt_len=12 if SMOKE else 77,
+                                 response_len=4 if SMOKE else 50)
+    feature_dims = {"mv": 768, "voxel": 128}
+
+    model = Query3DUnified(
+        memories=("mv", "pc", "voxel", "prompt"),
+        heads=("ground", "generation"),
+        hidden_size=96 if SMOKE else 768, dim_loc=6,
+        use_offline_voxel_fts=True,
+        skip_query_encoder_mask_pred=True, mask_head_cfg=None,
+        unified=UnifiedEncoderCfg(num_layers=1 if SMOKE else 4, num_blocks=1,
+                                  num_attention_heads=12, structure="mixed",
+                                  memory_dropout=0.6),
+        mv_enc=EncoderCfg(input_feat_size=768),
+        pc_enc=EncoderCfg(input_feat_size=768, backbone="pointnet++",
+                          freeze_backbone=True),
+        voxel_obj_enc=EncoderCfg(input_feat_size=128),
+        ground_head_cfg=GroundHeadCfg(),
+        generation_head_cfg=GenerationHeadCfg(
+            max_new_tokens=4 if SMOKE else 50,
+            **({"d_model": 64, "d_kv": 16, "d_ff": 128, "num_layers": 1,
+                "num_heads": 4} if SMOKE else {})),
+        txt_cfg=TxtEncoderCfg(**({"width": 96, "layers": 1, "heads": 12}
+                                 if SMOKE else {})))
+
+    from pq3d_tpu.data.unified_pipeline import collate_unified, process_item
+    rng = np.random.default_rng(0)
+    items = [process_item(s, l, pipe, rng, False, feature_dims)
+             for s, l in reqs[:bs]]
+    init_batch = collate_unified(
+        [{k: v for k, v in it.items() if not k.startswith("meta_")}
+         for it in items], pipe, feature_dims, train=False)
+    init_batch = {k: v for k, v in init_batch.items()
+                  if not k.startswith("_")}
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jax.tree.map(np.asarray, init_batch), train=False)
+
+    srv = UnifiedServer(model, variables, pipe, batch_size=bs,
+                        feature_dims=feature_dims, max_delay_s=0.02)
+    try:
+        srv.submit(reqs[0]).result(timeout=3600)     # compile outside timing
+        t0 = time.time()
+        futs = [srv.submit(r) for r in reqs]
+        for f in futs:
+            f.result(timeout=3600)
+        wall = time.time() - t0
+        _report("unified", srv, wall)
+    finally:
+        srv.close()
+
+
+if __name__ == "__main__":
+    which = [a for a in sys.argv[1:] if not a.startswith("-")] or \
+        ["instseg", "unified"]
+    if "instseg" in which:
+        bench_instseg_serve()
+    if "unified" in which:
+        bench_unified_serve()
