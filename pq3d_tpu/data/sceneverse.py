@@ -446,18 +446,24 @@ class ScanQASceneVerse(_SceneVerseTask):
     def __init__(self, cfg, split, tokenizer=None, gen_tokenizer=None):
         super().__init__(cfg, split, tokenizer, gen_tokenizer)
         self.answer_vocab = None
-        if "qa" in tuple(cfg.get("model", {}).get("heads", ()) or ()):
+        node = cfg.data.get(type(self).__name__, {}) or {}
+        has_qa_head = "qa" in tuple(cfg.get("model", {}).get("heads", ())
+                                    or ())
+        use_unanswer = bool(node.get("use_unanswer", True))
+        if has_qa_head or not use_unanswer:
             from pq3d_tpu.data.label_utils import AnswerVocab
-            self.answer_vocab = AnswerVocab.from_scanqa_train(
-                self.scans.base_dir)
-            self.evaluator = "ScanQAEval"
-            node = cfg.data.get(type(self).__name__, {}) or {}
-            if not node.get("use_unanswer", True):
-                # keep only questions answerable from the train vocab
-                # (ref scanqa.py:22,74-75)
+            vocab = AnswerVocab.from_scanqa_train(self.scans.base_dir)
+            if has_qa_head:
+                self.answer_vocab = vocab
+                self.evaluator = "ScanQAEval"
+            if not use_unanswer:
+                # keep only questions answerable from the train vocab —
+                # applied regardless of head config, like the reference
+                # (ref scanqa.py:22,74-76 filters in _load_lang for every
+                # configuration)
                 self.lang_data = [
                     x for x in self.lang_data
-                    if any(self.answer_vocab.stoi(a) >= 0
+                    if any(vocab.stoi(a) >= 0
                            for a in x.get("answers", []))]
 
     def _load_lang(self):

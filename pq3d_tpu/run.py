@@ -17,6 +17,14 @@ import time
 
 
 
+
+def _optimizer_total_steps(cfg, steps_per_epoch: int) -> int:
+    """Schedule horizon in OPTIMIZER steps: divide the micro-step count by
+    gradient accumulation like the reference (ref trainer/build.py:102)."""
+    accum = max(int(cfg.solver.get("gradient_accumulation_steps", 1) or 1), 1)
+    return steps_per_epoch * int(cfg.solver.epochs) // accum
+
+
 def build_instseg_trainer(cfg):
     from pq3d_tpu.data.datasets import InstSegLoader
     from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig
@@ -117,10 +125,7 @@ def build_instseg_trainer(cfg):
             min_region_size=float(cfg.eval.get("min_region_size", 100.0)))
 
     trainer_cls = TRAINER_REGISTRY.get(cfg.get("trainer", "Query3DTrainer"))
-    # schedule horizon counts OPTIMIZER steps: divide by gradient
-    # accumulation like the reference (ref trainer/build.py:102)
-    accum = max(int(cfg.solver.get("gradient_accumulation_steps", 1) or 1), 1)
-    total_steps = steps_per_epoch * int(cfg.solver.epochs) // accum
+    total_steps = _optimizer_total_steps(cfg, steps_per_epoch)
     return trainer_cls(cfg, model, loss_fn, train_loader, val_loader,
                        evaluator, total_steps=total_steps)
 
@@ -209,10 +214,7 @@ def build_multitask_trainer(cfg):
     loss_fn = Loss(loss_list, cfg.model.get("loss_weights", {}) or {})
 
     trainer_cls = TRAINER_REGISTRY.get(cfg.get("trainer", "MultitaskTrainer"))
-    # schedule horizon counts OPTIMIZER steps: divide by gradient
-    # accumulation like the reference (ref trainer/build.py:102)
-    accum = max(int(cfg.solver.get("gradient_accumulation_steps", 1) or 1), 1)
-    total_steps = steps_per_epoch * int(cfg.solver.epochs) // accum
+    total_steps = _optimizer_total_steps(cfg, steps_per_epoch)
     return trainer_cls(cfg, model, loss_fn, train_loader, val_sets=val_sets,
                        detokenize=toks.detokenize, total_steps=total_steps)
 

@@ -271,6 +271,14 @@ class Query3DTrainer:
             if hasattr(ld, "close"):
                 ld.close()
 
+    def _save_epoch_ckpts(self, epoch: int) -> None:
+        """latest every epoch + numbered ckpt_N on the epochs_per_save
+        cadence (ref default_trainer.py:100-104); shared by both run loops."""
+        self.ckpt.save("latest", self._state, self.tracker.state_dict())
+        if self.epochs_per_save and (epoch + 1) % self.epochs_per_save == 0:
+            self.ckpt.save(f"ckpt_{epoch + 1}", self._state,
+                           self.tracker.state_dict())
+
     def run(self):
         self.install_preemption_handler()
         for epoch in range(self.tracker.epoch, self.epochs):
@@ -288,10 +296,7 @@ class Query3DTrainer:
                 if self.tracker.is_better(target):
                     self.ckpt.save("best", self._state,
                                    self.tracker.state_dict())
-            self.ckpt.save("latest", self._state, self.tracker.state_dict())
-            if self.epochs_per_save and (epoch + 1) % self.epochs_per_save == 0:
-                self.ckpt.save(f"ckpt_{epoch + 1}", self._state,
-                               self.tracker.state_dict())
+            self._save_epoch_ckpts(epoch)
         self.profiler.close()
         self._close_loaders()
         self.ckpt.close()   # async saves must be durable before returning
@@ -379,10 +384,7 @@ class MultitaskTrainer(Query3DTrainer):
                 if self.tracker.is_better(results.get("target_metric", 0.0)):
                     self.ckpt.save("best", self._state,
                                    self.tracker.state_dict())
-            self.ckpt.save("latest", self._state, self.tracker.state_dict())
-            if self.epochs_per_save and (epoch + 1) % self.epochs_per_save == 0:
-                self.ckpt.save(f"ckpt_{epoch + 1}", self._state,
-                               self.tracker.state_dict())
+            self._save_epoch_ckpts(epoch)
         self.profiler.close()
         self._close_loaders()
         self.ckpt.close()   # async saves must be durable before returning

@@ -39,9 +39,19 @@ from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
                                      EncoderCfg, GroundHeadCfg,
                                      GenerationHeadCfg, TxtEncoderCfg,
                                      MaskHeadCfg, VoxelEncoderCfg)
-from pq3d_tpu.serve import InstSegServer, UnifiedServer
+from pq3d_tpu.serve import InstSegServer, ServerStats, UnifiedServer
 
 N_REQ = int(os.environ.get("SERVE_SCENES", "6" if SMOKE else "32"))
+
+
+def _warm(srv, request):
+    """One request through the server (jit compile), then reset stats so
+    the report excludes the compile latency.  The worker thread updates
+    stats AFTER resolving the future — the short sleep lets that batch's
+    bookkeeping land on the old stats object before the swap."""
+    srv.submit(request).result(timeout=3600)
+    time.sleep(0.5)
+    srv.stats = ServerStats()
 
 
 def _report(which, srv, wall_s):
@@ -99,7 +109,7 @@ def bench_instseg_serve():
                         num_classes=200, topk=100, max_delay_s=0.02,
                         extra_features={"mv": 768, "pc": 768})
     try:
-        srv.submit(scenes[0]).result(timeout=3600)   # compile outside timing
+        _warm(srv, scenes[0])
         t0 = time.time()
         futs = [srv.submit(s) for s in scenes]
         for f in futs:
@@ -161,7 +171,7 @@ def bench_unified_serve():
     srv = UnifiedServer(model, variables, pipe, batch_size=bs,
                         feature_dims=feature_dims, max_delay_s=0.02)
     try:
-        srv.submit(reqs[0]).result(timeout=3600)     # compile outside timing
+        _warm(srv, reqs[0])
         t0 = time.time()
         futs = [srv.submit(r) for r in reqs]
         for f in futs:

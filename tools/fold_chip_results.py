@@ -45,12 +45,14 @@ def main():
             rows.append((name, f"fwd/{m.group(1)}",
                          f"{float(m.group(2)):9.1f} ms",
                          f"{m.group(3)} sc/s"))
-        # bench_train_step: "train step: 2.29 s/step" style lines
+        # bench_train_step: "train step [none/scatter_free/base]: 2290 ms
+        # -> 1.75 scenes/s training"
         for m in re.finditer(
-                r"^([\w+,/=-]*)\s*(?:train step|step)\s*[:=]\s*([\d.]+)\s*s",
-                text, re.M | re.I):
-            rows.append((name, f"train/{m.group(1) or 'step'}",
-                         f"{float(m.group(2)):9.2f} s", ""))
+                r"^train step \[([\w,/+-]+)\]: ([\d.]+) ms -> "
+                r"([\d.]+) scenes/s", text, re.M):
+            rows.append((name, f"train/{m.group(1)}",
+                         f"{float(m.group(2)):9.0f} ms",
+                         f"{m.group(3)} sc/s"))
         # bench_unified_train: "unified_train[flat] B=128: 950.5 ms/step ..."
         for m in re.finditer(
                 r"unified_train\[(\w+)\] B=(\d+): ([\d.]+) ms/step\s+"
