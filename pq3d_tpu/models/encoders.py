@@ -58,6 +58,7 @@ class SegVoxelEncoder(nn.Module):
     # pcd_mask3d_encoder.py:65-112).  'swin3d' needs window packs in maps
     # (InstSegPipelineConfig.swin_window > 0).
     backbone: str = "res16unet"
+    swin_window: int = 4   # swin3d only; must match the host window packs
     sorted_gather: bool = False
     int8_gather: bool = False
 
@@ -80,6 +81,7 @@ class SegVoxelEncoder(nn.Module):
                 print(f"[SegVoxelEncoder] swin3d backbone has no "
                       f"{'/'.join(dropped)} — option(s) ignored")
             backbone = Swin3DUNet(out_channels=self.backbone_out_channels,
+                                  window=self.swin_window,
                                   bn_momentum=self.bn_momentum,
                                   accum=self.accum,
                                   grad_mode=self.grad_mode,

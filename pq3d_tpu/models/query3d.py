@@ -69,6 +69,8 @@ class VoxelEncoderCfg:
     accum: str = "float32"       # conv accumulation dtype (bf16 = inference opt)
     grad_mode: str = "native"    # 'scatter_free' = transpose-map backward
     backbone: str = "res16unet"  # 'res16unet' | 'swin3d' (window attention)
+    swin_window: int = 4         # swin3d cell-grid size; MUST match the
+                                 # pipeline's data.instseg_options.swin_window
     sorted_gather: bool = False  # sorted-index conv gathers (ops/sparse)
     int8_gather: bool = False    # int8-quantized tap gathers (inference)
 
@@ -241,6 +243,7 @@ class Query3DUnified(nn.Module):
                         accum=self.voxel_enc.accum,
                         grad_mode=self.voxel_enc.grad_mode,
                         backbone=self.voxel_enc.backbone,
+                        swin_window=self.voxel_enc.swin_window,
                         sorted_gather=self.voxel_enc.sorted_gather,
                         int8_gather=self.voxel_enc.int8_gather,
                         name="voxel_encoder")(
@@ -479,6 +482,8 @@ def build_model(cfg) -> Query3DUnified:
             # window-attention U-Net (models/swin3d.py)
             backbone=("swin3d" if voxel_node.name == "PCDMask3DSwin3DEncoder"
                       else a.get("backbone", "res16unet")),
+            swin_window=int(bk_cfg.get("window",
+                                       a.get("swin_window", 4)) or 4),
             sorted_gather=a.get("sorted_gather", False),
             int8_gather=a.get("int8_gather", False))
         voxel_obj_enc = EncoderCfg(input_feat_size=128)

@@ -28,6 +28,19 @@ from pq3d_tpu.models.layers import MaskedBatchNorm
 conv_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
 
 
+def offset_scene_indices(idx: jnp.ndarray, target_p: int) -> jnp.ndarray:
+    """Batch->flat index rebase: ``idx`` (B, P, ...) holds indices into a
+    per-scene array of size ``target_p``; add ``scene * target_p`` and
+    flatten the batch dim.  -1 (padding) stays -1.  Shared by the conv maps
+    (flatten_maps below) and the swin window maps
+    (models/swin3d.flatten_window_maps)."""
+    b = idx.shape[0]
+    shift = (jnp.arange(b, dtype=jnp.int32) * target_p).reshape(
+        (b,) + (1,) * (idx.ndim - 1))
+    return jnp.where(idx >= 0, idx + shift, -1).reshape(
+        (-1,) + idx.shape[2:])
+
+
 def flatten_maps(maps: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
     """(B, P_l, ...) index maps -> flat maps over B*P_l rows.
 
@@ -40,13 +53,7 @@ def flatten_maps(maps: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         return maps
     out: Dict[str, jnp.ndarray] = {}
     b = maps["valid_0"].shape[0]
-
-    def off(idx: jnp.ndarray, target_p: int) -> jnp.ndarray:
-        # idx (B, P, ...) indices into a per-scene array of size target_p
-        shift = (jnp.arange(b, dtype=jnp.int32) * target_p).reshape(
-            (b,) + (1,) * (idx.ndim - 1))
-        return jnp.where(idx >= 0, idx + shift, -1).reshape(
-            (-1,) + idx.shape[2:])
+    off = offset_scene_indices
 
     for l in range(5):
         p_l = maps[f"valid_{l}"].shape[1]

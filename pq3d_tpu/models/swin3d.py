@@ -46,12 +46,8 @@ def flatten_window_maps(maps: Dict[str, jnp.ndarray],
         return {f"win{l}s{j}_{t}": maps[f"win{l}s{j}_{t}"]
                 for l in levels for j in (0, 1) for t in ("c2v", "slot")}
     out: Dict[str, jnp.ndarray] = {}
-
-    def off(idx: jnp.ndarray, target: int) -> jnp.ndarray:
-        b = idx.shape[0]
-        shift = (jnp.arange(b, dtype=jnp.int32) * target).reshape(
-            (b,) + (1,) * (idx.ndim - 1))
-        return jnp.where(idx >= 0, idx + shift, -1).reshape(-1)
+    # all window maps are (B, n): the shared rebase flattens to (B*n,)
+    from pq3d_tpu.models.sparse_unet import offset_scene_indices as off
 
     for l in levels:
         p_l = maps[f"valid_{l}"].shape[1]

@@ -45,8 +45,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig,
-                                            make_batch)
+from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig
 from pq3d_tpu.eval.instseg_eval import rank_instances
 
 
@@ -60,10 +59,19 @@ class ServerStats:
     # quantiles come from the most recent window
     latencies_s: "deque" = field(
         default_factory=lambda: deque(maxlen=100_000))
+    # guards latencies_s: summary() may run on a monitoring thread while
+    # the worker appends (iterating a mutating deque raises RuntimeError)
+    _lock: threading.Lock = field(default_factory=threading.Lock,
+                                  repr=False, compare=False)
+
+    def record_latency(self, seconds: float) -> None:
+        with self._lock:
+            self.latencies_s.append(seconds)
 
     def summary(self) -> Dict[str, float]:
-        lat = np.asarray(self.latencies_s) if self.latencies_s else \
-            np.zeros(1)
+        with self._lock:
+            lat = np.asarray(self.latencies_s) if self.latencies_s else \
+                np.zeros(1)
         return {"scenes": self.scenes, "steps": self.steps,
                 "scenes_per_sec": self.scenes / max(self.total_step_s, 1e-9),
                 "p50_latency_s": float(np.quantile(lat, 0.5)),
@@ -73,13 +81,13 @@ class ServerStats:
 class _MicroBatchServer:
     """Shared micro-batching machinery: a submit() queue with futures, a
     collector that waits at most ``max_delay_s`` for stragglers after the
-    first request, short batches padded by repeating a request (padding
-    rows dropped), and a worker loop that reports per-batch failures into
+    first request, and a worker loop that reports per-batch failures into
     the affected futures instead of dying.  Subclasses implement
-    ``_run_batch(requests, n_real) -> [result, ...]`` — requests is padded
-    to ``batch_size`` but only the first ``n_real`` results are consumed,
-    so host-side postprocessing (instance ranking at full resolution,
-    detokenization) must be skipped for the padding rows."""
+    ``_run_batch(requests) -> [result, ...]`` over the REAL requests
+    (``len(requests) <= batch_size``): they pad short batches to
+    ``batch_size`` at the PROCESSED-item level (repeating the last
+    processed dict), so per-request host preprocessing runs exactly once
+    per real request and postprocessing skips the padding rows."""
 
     def __init__(self, batch_size: int, max_delay_s: float = 0.05,
                  mesh=None, device=None):
@@ -152,14 +160,17 @@ class _MicroBatchServer:
             t0 = time.time()
             reqs = [it[0] for it in items]
             n_real = len(reqs)
-            reqs = reqs + [reqs[-1]] * (self.batch_size - n_real)
             self.stats.total_wait_s += t0 - min(it[2] for it in items)
             try:
-                results = self._run_batch(reqs, n_real)
+                results = self._run_batch(reqs)
                 dt = time.time() - t0
                 for i in range(n_real):
                     _, fut, t_sub = items[i]
-                    self.stats.latencies_s.append(time.time() - t_sub)
+                    if fut.cancelled():
+                        # a client gave up (fut.cancel()); set_result would
+                        # raise InvalidStateError and poison the batch
+                        continue
+                    self.stats.record_latency(time.time() - t_sub)
                     fut.set_result(results[i])
                 self.stats.scenes += n_real
                 self.stats.steps += 1
@@ -200,6 +211,13 @@ class InstSegServer(_MicroBatchServer):
             raise ValueError(
                 "serving requires pipe_cfg.level_caps: without fixed level "
                 "pads every batch may compile a new executable")
+        if pipe_cfg.level_cap_ladder and not pipe_cfg.flat_pack:
+            # the ladder OVERRIDES level_caps in collate (one executable per
+            # rung) — it would silently reintroduce the recompiles the
+            # level_caps guard above exists to prevent
+            raise ValueError(
+                "unset pipe_cfg.level_cap_ladder for serving: it overrides "
+                "level_caps and compiles one executable per rung")
         if mesh is not None and (pipe_cfg.flat_pack or pipe_cfg.compact_conv):
             raise ValueError(
                 "mesh serving needs the rectangular layout: flat_pack/"
@@ -225,8 +243,19 @@ class InstSegServer(_MicroBatchServer):
         self._fwd = jax.jit(_forward)
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
 
-    def _run_batch(self, scenes, n_real):
-        np_batch = make_batch(scenes, self.pipe_cfg, self._rng, train=False)
+    def _run_batch(self, scenes):
+        from pq3d_tpu.data.instseg_pipeline import (collate, collate_flat,
+                                                    process_scene)
+        n_real = len(scenes)
+        # preprocess each REAL scene exactly once; padding duplicates the
+        # last processed dict (re-running voxelize/hierarchy/window packs
+        # per padding row multiplied idle-traffic latency)
+        processed = [process_scene(s, self.pipe_cfg, self._rng, train=False)
+                     for s in scenes]
+        processed += [processed[-1]] * (self.batch_size - n_real)
+        np_batch = (collate_flat(processed, self.pipe_cfg)
+                    if self.pipe_cfg.flat_pack
+                    else collate(processed, self.pipe_cfg))
         meta = np_batch.pop("_meta")
         S = self.pipe_cfg.max_segments
         for name, dim in self.extra_features.items():
@@ -282,13 +311,16 @@ class UnifiedServer(_MicroBatchServer):
         self._fwd = jax.jit(_forward)
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
 
-    def _run_batch(self, reqs, n_real):
+    def _run_batch(self, reqs):
+        n_real = len(reqs)
         processed = []
         for scene, lang in reqs:
             item = self._process(scene, lang, self.pipe_cfg, self._rng,
                                  False, self.feature_dims)
             processed.append({k: v for k, v in item.items()
                               if not k.startswith("meta_")})
+        # pad at the processed level — preprocessing runs once per request
+        processed += [processed[-1]] * (self.batch_size - n_real)
         np_batch = self._collate(processed, self.pipe_cfg,
                                  self.feature_dims, train=False)
         np_batch = {k: v for k, v in np_batch.items()
@@ -305,7 +337,10 @@ class UnifiedServer(_MicroBatchServer):
                 scores = np.where(obj_valid[i], out["ground_logits"][i],
                                   -np.inf)
                 r["ground_scores"] = scores
-                r["ground_obj"] = int(np.argmax(scores))
+                # no valid candidates -> explicit None, not a confident
+                # argmax over an all--inf row (which points at padding)
+                r["ground_obj"] = (int(np.argmax(scores))
+                                   if obj_valid[i].any() else None)
             if "generation_tokens" in out:
                 toks = out["generation_tokens"][i]
                 r["generation_tokens"] = toks

@@ -141,3 +141,46 @@ def test_server_requires_level_caps():
                                  voxel_bucket=128, use_aug=False)
     with pytest.raises(ValueError, match="level_caps"):
         InstSegServer(_model(), {}, pipe, batch_size=2, num_classes=20)
+
+
+def test_server_rejects_level_cap_ladder():
+    """level_cap_ladder overrides level_caps in collate (one executable per
+    rung) — serving must refuse it rather than silently recompile."""
+    import dataclasses
+    import pytest
+    from pq3d_tpu.serve import InstSegServer
+    pipe = dataclasses.replace(_pipe(),
+                               level_cap_ladder=[[512, 256, 128, 64, 32]])
+    with pytest.raises(ValueError, match="level_cap_ladder"):
+        InstSegServer(_model(), {}, pipe, batch_size=2, num_classes=20)
+
+
+def test_cancelled_future_does_not_poison_batch():
+    """A client cancelling its future must not turn the other requests'
+    results into InvalidStateError (serve.py worker loop)."""
+    import threading
+    from pq3d_tpu.serve import _MicroBatchServer
+
+    release = threading.Event()
+
+    class Slow(_MicroBatchServer):
+        def _run_batch(self, reqs):
+            release.wait(timeout=30)
+            return [r * 2 for r in reqs] + \
+                [None] * (self.batch_size - len(reqs))
+
+    srv = Slow(batch_size=2, max_delay_s=0.01)
+    try:
+        f1 = srv.submit(21)
+        f2 = srv.submit(100)
+        # batch is now in flight (blocked on the event); the server never
+        # marks futures running, so cancel() succeeds
+        import time
+        time.sleep(0.2)
+        assert f2.cancel()
+        release.set()
+        assert f1.result(timeout=30) == 42
+        assert f2.cancelled()
+    finally:
+        release.set()
+        srv.close()
