@@ -54,23 +54,29 @@ def build_rotate_mat(rng: np.random.Generator) -> Optional[np.ndarray]:
 
 def process_objects(obj_pcds: np.ndarray, rot: Optional[np.ndarray]):
     """Per-object center/size + unit-ball normalization
-    (ref sceneverse_base.py:444-469 _obj_processing_post)."""
-    pcds = obj_pcds.copy()
+    (ref sceneverse_base.py:444-469 _obj_processing_post).
+
+    All xyz reductions run on a contiguous (n, P, 3) buffer — reducing the
+    strided ``pcds[:, :, :3]`` view was a measured host hot spot (strided
+    reductions defeat numpy's fast paths), as were the full-cloud ``copy``
+    and the duplicated mean.
+    """
+    xyz = np.ascontiguousarray(obj_pcds[:, :, :3], dtype=np.float32)
     if rot is not None:
-        pcds[:, :, :3] = pcds[:, :, :3] @ rot.T
-    xyz = pcds[:, :, :3]
+        xyz = xyz @ rot.T
     center = xyz.mean(1)
     mn, mx = xyz.min(1), xyz.max(1)
     size = mx - mn
     obj_locs = np.concatenate([center, size], axis=1)
     obj_boxes = np.concatenate([(mn + mx) / 2, size], axis=1)
-    pcds[:, :, :3] -= xyz.mean(1, keepdims=True)
+    xyz -= center[:, None, :]
     max_dist = np.maximum(
-        np.sqrt((pcds[:, :, :3] ** 2).sum(2)).max(1), 1e-6)
-    pcds[:, :, :3] /= max_dist[:, None, None]
-    # copy=False: inputs are already float32 — the unconditional astype
-    # copies were a measured host hot spot at B=128
-    return (pcds.astype(np.float32, copy=False),
+        np.sqrt(np.einsum("opk,opk->op", xyz, xyz).max(1)), 1e-6)
+    xyz /= max_dist[:, None, None]
+    pcds = np.empty(obj_pcds.shape, np.float32)
+    pcds[:, :, :3] = xyz
+    pcds[:, :, 3:] = obj_pcds[:, :, 3:]
+    return (pcds,
             obj_locs.astype(np.float32, copy=False),
             obj_boxes.astype(np.float32, copy=False))
 
@@ -94,19 +100,29 @@ def sample_object_points(scene: Dict[str, np.ndarray], num_points: int,
             out[i, :, 3:] = scene["colors"][pick]
         return out
     n_inst = len(scene["inst_labels"])
-    out = np.zeros((n_inst, num_points, 6), np.float32)
-    # one argsort instead of n_inst full-cloud nonzero scans (measured host
-    # hot spot at B=128: the scan was O(n_points * n_inst) per item)
+    # one stable argsort (adaptive: ~free on the already-sorted labels real
+    # scans have) + per-group permutation/fill, then ONE fancy-index gather
+    # per channel block instead of per-object gathers.  Undersized groups
+    # fall back to with-replacement fill, matching the reference's
+    # ``replace=len<P`` semantics (sceneverse_base.py:307-310).
     inst = scene["instance_labels"]
     order = np.argsort(inst, kind="stable")
     bounds = np.searchsorted(inst[order], np.arange(n_inst + 1))
+    cnt = np.diff(bounds)
+    sel = np.zeros((n_inst, num_points), np.int64)
     for i in range(n_inst):
-        m = order[bounds[i]:bounds[i + 1]]
-        if len(m) == 0:
+        c = cnt[i]
+        if c == 0:
             continue
-        pick = rng.choice(m, size=num_points, replace=len(m) < num_points)
-        out[i, :, :3] = scene["points"][pick]
-        out[i, :, 3:] = scene["colors"][pick]
+        g = order[bounds[i]:bounds[i + 1]]
+        if c >= num_points:
+            sel[i] = g[rng.permutation(c)[:num_points]]
+        else:
+            sel[i] = g[rng.integers(0, c, num_points)]
+    out = np.empty((n_inst, num_points, 6), np.float32)
+    out[:, :, :3] = scene["points"][sel]
+    out[:, :, 3:] = scene["colors"][sel]
+    out[cnt == 0] = 0.0
     return out
 
 
@@ -316,16 +332,20 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
     batch["tgt_object_id_iou25"] = np.zeros((b, O), np.float32)
     batch["tgt_object_id_iou50"] = np.zeros((b, O), np.float32)
     tgt_int = np.zeros(b, np.int32)
+    # the padded point block is ~97% of batch bytes — allocate uninitialized
+    # and zero only the pad tail instead of zeroing everything then
+    # overwriting the real rows (a measured collate hot spot)
     if cfg.flat_obj:
         # n_obj <= O is guaranteed by process_item's truncation
         total = sum(it["n_obj"] for it in items)
         F = flat_obj_rows(total, b, O, cfg.flat_obj_bucket)
-        batch["pc_obj_flat"] = np.zeros((F, P, 6), np.float32)
+        batch["pc_obj_flat"] = np.empty((F, P, 6), np.float32)
+        batch["pc_obj_flat"][total:] = 0.0
         # pad slots index the zero row the model appends at F
         batch["pc_flat_slot"] = np.full((b, O), F, np.int32)
         flat_row = 0
     else:
-        batch["obj_fts"] = np.zeros((b, O, P, 6), np.float32)
+        batch["obj_fts"] = np.empty((b, O, P, 6), np.float32)
     for i, it in enumerate(items):
         n = it["n_obj"]
         if cfg.flat_obj:
@@ -335,6 +355,7 @@ def collate_unified(items: List[Dict], cfg: UnifiedPipelineConfig,
             flat_row += n
         else:
             batch["obj_fts"][i, :n] = it["obj_fts"]
+            batch["obj_fts"][i, n:] = 0.0
         batch["query_locs"][i, :n] = it["obj_locs"]
         batch["seg_center"][i, :n] = it["obj_locs"]
         batch["query_pad_masks"][i, :n] = True
