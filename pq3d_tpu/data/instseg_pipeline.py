@@ -577,10 +577,18 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
     return out
 
 
+def collate_processed(processed: List[Dict[str, np.ndarray]],
+                      cfg: InstSegPipelineConfig) -> Dict[str, np.ndarray]:
+    """Single dispatch point for layout selection — every consumer of
+    pre-processed scenes (training loaders, serving, benches) must batch
+    through here so layout branches stay in one place."""
+    if cfg.flat_pack:
+        return collate_flat(processed, cfg)
+    return collate(processed, cfg)
+
+
 def make_batch(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
                rng: np.random.Generator, train: bool = True
                ) -> Dict[str, np.ndarray]:
     processed = [process_scene(s, cfg, rng, train) for s in scenes]
-    if cfg.flat_pack:
-        return collate_flat(processed, cfg)
-    return collate(processed, cfg)
+    return collate_processed(processed, cfg)

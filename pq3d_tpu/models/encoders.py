@@ -361,3 +361,25 @@ class ObjectEncoder(nn.Module):
                              dropout=0.3, name="cls_head")(obj_feats, deterministic)
             return out, logits
         return out
+
+
+def check_swin_window(model, pipe_cfg) -> None:
+    """Validate that the host window packs match the swin3d attention grid.
+
+    The window packs the pipeline builds (InstSegPipelineConfig.swin_window)
+    and the windows SwinBlock reshapes into (VoxelEncoderCfg.swin_window)
+    must agree; a mismatch computes attention over arbitrary cell groups
+    with the wrong relative-bias table, SILENTLY whenever the bucketed pack
+    length happens to divide the model window volume.  Called from every
+    entry point that pairs a model with a pipeline config (training
+    builder, serving, export drivers).
+    """
+    venc = getattr(model, "voxel_enc", None)
+    if venc is None or getattr(venc, "backbone", None) != "swin3d":
+        return
+    win = int(getattr(pipe_cfg, "swin_window", 0) or 0)
+    if win != venc.swin_window:
+        raise ValueError(
+            f"swin window mismatch: pipeline swin_window={win} but the "
+            f"swin3d backbone expects {venc.swin_window} (model "
+            f"voxel_encoder backbone.config.window) — set them equal")

@@ -26,7 +26,8 @@ from flax import linen as nn
 
 from pq3d_tpu.models.layers import MaskedBatchNorm
 from pq3d_tpu.models.sparse_unet import (SparseConv, SparseConvTranspose,
-                                         conv_init, flatten_maps)
+                                         conv_init, flatten_maps,
+                                         offset_scene_indices)
 from pq3d_tpu.ops import window_maps
 from pq3d_tpu.ops.sparse import fast_row_gather
 
@@ -47,7 +48,7 @@ def flatten_window_maps(maps: Dict[str, jnp.ndarray],
                 for l in levels for j in (0, 1) for t in ("c2v", "slot")}
     out: Dict[str, jnp.ndarray] = {}
     # all window maps are (B, n): the shared rebase flattens to (B*n,)
-    from pq3d_tpu.models.sparse_unet import offset_scene_indices as off
+    off = offset_scene_indices
 
     for l in levels:
         p_l = maps[f"valid_{l}"].shape[1]

@@ -128,15 +128,17 @@ def build_optimizer(params, name: str = "AdamW", lr: float = 1e-4,
     return tx, schedule
 
 
-def build_from_config(cfg, params, total_steps: int, n_data_shards: int = 1):
+def build_from_config(cfg, params, total_steps: int):
     """Build (optimizer, schedule) from a solver config node
     (ref optim/build.py:10-14 + trainer/build.py:103).
 
-    ``n_data_shards`` is the data-parallel width: the reference scales the
-    configured warmup by the DP world size (ref optim/scheduler.py:20
-    ``warmup_steps = cfg.solver.sched.args.warmup_steps * cfg.num_gpu``), so
-    the shipped recipes (e.g. unified warmup_steps=5000 on 4 GPUs) mean
-    20k warmup steps."""
+    Warmup is the configured value, NOT scaled by the DP width: the
+    reference multiplies warmup by ``cfg.num_gpu`` (ref
+    optim/scheduler.py:20) but accelerate's ``AcceleratedScheduler.step``
+    advances the wrapped LambdaLR ``num_processes`` times per optimizer
+    step, so the two factors cancel — the net reference behavior is
+    ``warmup_steps`` *optimizer* steps regardless of world size, which is
+    exactly what a once-per-optimizer-step optax schedule needs."""
     solver = cfg.solver
     module_lrs = {}
     for head in cfg.model.get("heads", []) or []:
@@ -152,8 +154,7 @@ def build_from_config(cfg, params, total_steps: int, n_data_shards: int = 1):
         name=solver.optim.get("name", "AdamW"),
         lr=float(solver.lr),
         total_steps=total_steps,
-        warmup_steps=int(solver.sched.args.get("warmup_steps", 0))
-        * max(int(n_data_shards), 1),
+        warmup_steps=int(solver.sched.args.get("warmup_steps", 0)),
         sched_name=solver.sched.get("name", "warmup_cosine"),
         gamma=float(solver.sched.args.get("gamma", 0.1)),
         betas=tuple(solver.optim.args.get("betas", [0.9, 0.98])),

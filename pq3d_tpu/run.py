@@ -84,17 +84,8 @@ def build_instseg_trainer(cfg):
     val_loader, _ = make_loader("val", False)
 
     model = build_model(cfg)
-    venc = getattr(model, "voxel_enc", None)
-    if venc is not None and venc.backbone == "swin3d" \
-            and pipe_cfg.swin_window != venc.swin_window:
-        # the host window packs and the attention grid must agree; a
-        # mismatch computes attention over arbitrary cell groups with the
-        # wrong relative-bias table, silently (no shape error)
-        raise ValueError(
-            f"swin window mismatch: data.instseg_options.swin_window="
-            f"{pipe_cfg.swin_window} but the swin3d backbone expects "
-            f"{venc.swin_window} (model voxel_encoder backbone.config."
-            f"window) — set them equal")
+    from pq3d_tpu.models.encoders import check_swin_window
+    check_swin_window(model, pipe_cfg)
     m_loss = cfg.model.get("InstSegLoss", {}) or {}
     matcher = m_loss.get("matcher", {}) or {}
     loss_cfg = InstSegLossConfig(

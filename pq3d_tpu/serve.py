@@ -39,6 +39,7 @@ import queue
 import threading
 import time
 from collections import deque
+import concurrent.futures as _futures
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional
@@ -166,19 +167,25 @@ class _MicroBatchServer:
                 dt = time.time() - t0
                 for i in range(n_real):
                     _, fut, t_sub = items[i]
-                    if fut.cancelled():
-                        # a client gave up (fut.cancel()); set_result would
-                        # raise InvalidStateError and poison the batch
+                    try:
+                        fut.set_result(results[i])
+                    except _futures.InvalidStateError:
+                        # a client cancel() can land at ANY point before
+                        # set_result (checking fut.cancelled() first is a
+                        # TOCTOU race); swallowing it here keeps one
+                        # abandoned request from poisoning the batch
                         continue
                     self.stats.record_latency(time.time() - t_sub)
-                    fut.set_result(results[i])
                 self.stats.scenes += n_real
                 self.stats.steps += 1
                 self.stats.total_step_s += dt
             except Exception as e:   # report, don't kill the loop
                 for _, fut, _t in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+                    try:
+                        if not fut.done():
+                            fut.set_exception(e)
+                    except _futures.InvalidStateError:
+                        pass     # lost a cancel race; nothing to deliver
 
     def _to_device(self, np_batch):
         if self.mesh is not None:
@@ -222,6 +229,8 @@ class InstSegServer(_MicroBatchServer):
             raise ValueError(
                 "mesh serving needs the rectangular layout: flat_pack/"
                 "compact_conv arrays have no batch dim to shard")
+        from pq3d_tpu.models.encoders import check_swin_window
+        check_swin_window(model, pipe_cfg)
         import jax
         self.model = model
         if mesh is not None:
@@ -244,7 +253,7 @@ class InstSegServer(_MicroBatchServer):
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
 
     def _run_batch(self, scenes):
-        from pq3d_tpu.data.instseg_pipeline import (collate, collate_flat,
+        from pq3d_tpu.data.instseg_pipeline import (collate_processed,
                                                     process_scene)
         n_real = len(scenes)
         # preprocess each REAL scene exactly once; padding duplicates the
@@ -253,9 +262,7 @@ class InstSegServer(_MicroBatchServer):
         processed = [process_scene(s, self.pipe_cfg, self._rng, train=False)
                      for s in scenes]
         processed += [processed[-1]] * (self.batch_size - n_real)
-        np_batch = (collate_flat(processed, self.pipe_cfg)
-                    if self.pipe_cfg.flat_pack
-                    else collate(processed, self.pipe_cfg))
+        np_batch = collate_processed(processed, self.pipe_cfg)
         meta = np_batch.pop("_meta")
         S = self.pipe_cfg.max_segments
         for name, dim in self.extra_features.items():

@@ -125,12 +125,12 @@ class Query3DTrainer:
         variables = jax.jit(self.model.init, static_argnames=("train",))(
             {"params": p_rng, "dropout": d_rng}, batch, train=False)
         total_steps = self._total_steps or (self.epochs * 1000)
-        # warmup scales with the DP width like the reference's
-        # warmup_steps * num_gpu (ref optim/scheduler.py:20)
-        n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
+        # warmup is NOT scaled by DP width: the reference's
+        # warmup_steps * num_gpu (ref optim/scheduler.py:20) cancels
+        # against AcceleratedScheduler advancing the LambdaLR
+        # num_processes times per optimizer step
         optimizer, self._schedule = build_from_config(
-            self.cfg, variables["params"], total_steps,
-            n_data_shards=n_shards)
+            self.cfg, variables["params"], total_steps)
         self._optimizer = optimizer
         self._state = TrainState.create(variables, optimizer, s_rng)
         self._train_step = make_train_step(self.model, optimizer, self.loss_fn)

@@ -107,23 +107,42 @@ def test_build_from_config_plumbs_gamma_and_wd():
     assert float(jnp.abs(k).max()) > 0  # decay applied
 
 
-def test_warmup_scales_with_dp_width():
-    """Reference parity: warmup_steps is multiplied by the DP world size
-    (ref optim/scheduler.py:20 warmup_steps * cfg.num_gpu)."""
+def test_warmup_matches_reference_net_semantics():
+    """Reference NET parity, any DP width: the reference multiplies warmup
+    by cfg.num_gpu (ref optim/scheduler.py:20) BUT accelerate's
+    AcceleratedScheduler advances the wrapped LambdaLR num_processes times
+    per optimizer step, so the effective warmup is warmup_steps *optimizer*
+    steps regardless of world size.  Our once-per-optimizer-step schedule
+    with the unscaled warmup must equal the reference lambda evaluated at
+    step*num_gpu with warmup*num_gpu, for every world size."""
+    import math
+
     from pq3d_tpu.config import Config
     from pq3d_tpu.optim.optimizers import build_from_config
 
+    def ref_lambda(s, warmup, total):
+        # ref optim/scheduler.py:5-9 warmup_cosine, in LambdaLR units
+        if s <= warmup and warmup > 0:
+            return s / warmup
+        return max(0.5 * (1 + math.cos((s - warmup) / (total - warmup)
+                                       * math.pi)), 1e-5)
+
+    warmup, opt_steps, lr = 100, 2500, 1e-3
     cfg = Config({
         "model": {"heads": []},
-        "solver": {"lr": 1e-3,
+        "solver": {"lr": lr,
                    "optim": {"name": "AdamW", "args": {}},
                    "sched": {"name": "warmup_cosine",
-                             "args": {"warmup_steps": 100}}}})
+                             "args": {"warmup_steps": warmup}}}})
     params = fake_params()
-    _tx, s1 = build_from_config(cfg, params, total_steps=10_000)
-    _tx, s4 = build_from_config(cfg, params, total_steps=10_000,
-                                n_data_shards=4)
-    # at step 100: 1-shard warmup is done; 4-shard is 1/4 through warmup
-    assert float(s1(100)) == pytest.approx(1e-3, rel=1e-4)
-    assert float(s4(100)) == pytest.approx(0.25e-3, rel=1e-4)
-    assert float(s4(400)) == pytest.approx(1e-3, rel=1e-4)
+    _tx, sched = build_from_config(cfg, params, total_steps=opt_steps)
+    for num_gpu in (1, 4):
+        # the reference passes total_steps in pre-`prepare` loader units =
+        # optimizer steps * num_gpu (ref trainer/build.py:102)
+        for t in (0, 25, 100, 400, 2000, 2500):
+            want = lr * ref_lambda(t * num_gpu, warmup * num_gpu,
+                                   opt_steps * num_gpu)
+            assert float(sched(t)) == pytest.approx(want, rel=1e-5), \
+                (num_gpu, t)
+    # warmup completes at the configured step count, DP-invariant
+    assert float(sched(warmup)) == pytest.approx(lr, rel=1e-4)

@@ -64,6 +64,20 @@ def main():
         for m in re.finditer(r"^(\w+): ([\d.]+) ms for", text, re.M):
             rows.append((name, f"ballq/{m.group(1)}",
                          f"{float(m.group(2)):9.2f} ms", ""))
+        # bench_serve: "serve_instseg: 12.34 scenes/s p50=55.1 ms
+        # p99=80.2 ms steps=8 compiles=1 wall=2.60 s" (chip_playbook3)
+        for m in re.finditer(
+                r"^serve_(\w+): ([\d.]+) scenes/s p50=([\d.]+) ms "
+                r"p99=([\d.]+) ms", text, re.M):
+            rows.append((name, f"serve/{m.group(1)}",
+                         f"{float(m.group(2)):9.2f} sc/s",
+                         f"p50={m.group(3)} p99={m.group(4)} ms"))
+        # overfit sanity: "final loss 3.21" ... "AP PIPELINE OK"
+        m = re.search(r"^final loss ([\d.]+)", text, re.M)
+        if m:
+            ok = "OK" if "AP PIPELINE OK" in text else "INCOMPLETE"
+            rows.append((name, "overfit/final_loss",
+                         f"{float(m.group(1)):9.2f}", ok))
         # bench.py final JSON
         for line in text.splitlines():
             if line.startswith("{") and '"metric"' in line:
