@@ -141,18 +141,22 @@ def _augment(points, colors, rng: np.random.Generator):
 
 
 def _segment_centers(points, segment_id, num_segments):
-    sums = np.zeros((num_segments, 3), np.float64)
-    np.add.at(sums, segment_id, points)
-    cnt = np.bincount(segment_id, minlength=num_segments)[:, None]
-    return (sums / np.maximum(cnt, 1)).astype(np.float32)
+    # per-axis bincount(weights=...) accumulates in f64 in the same array
+    # order as np.add.at but runs ~20x faster (ufunc.at has no fast path)
+    cnt = np.maximum(np.bincount(segment_id, minlength=num_segments), 1)
+    sums = np.stack([np.bincount(segment_id, weights=points[:, c],
+                                 minlength=num_segments) for c in range(3)],
+                    axis=1)
+    return (sums / cnt[:, None]).astype(np.float32)
 
 
 def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
                   rng: np.random.Generator, train: bool = True
                   ) -> Dict[str, np.ndarray]:
     """One scene -> unpadded host arrays + sparse hierarchy."""
-    points = scene["points"].astype(np.float32).copy()
-    colors = scene["colors"].astype(np.float32).copy()
+    # astype(copy=True) already yields a private buffer — no extra .copy()
+    points = scene["points"].astype(np.float32)
+    colors = scene["colors"].astype(np.float32)
     segment_id = scene["segment_id"]
     inst_point = scene["instance_labels"]
     inst_labels = scene["inst_labels"]
