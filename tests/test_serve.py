@@ -184,3 +184,37 @@ def test_cancelled_future_does_not_poison_batch():
     finally:
         release.set()
         srv.close()
+
+
+def test_cancel_race_during_delivery_does_not_poison_batch():
+    """A cancel() landing BETWEEN any pre-check and set_result raises
+    InvalidStateError inside the delivery loop; the worker must contain it
+    to that one future instead of re-raising into the batch except-handler
+    (which would overwrite the remaining futures' results)."""
+    import concurrent.futures as futures
+    import threading
+    from pq3d_tpu.serve import _MicroBatchServer
+
+    release = threading.Event()
+
+    class Slow(_MicroBatchServer):
+        def _run_batch(self, reqs):
+            release.wait(timeout=30)
+            return [r * 2 for r in reqs] + \
+                [None] * (self.batch_size - len(reqs))
+
+    srv = Slow(batch_size=3, max_delay_s=0.01)
+    try:
+        f1 = srv.submit(21)
+        f2 = srv.submit(100)
+        f3 = srv.submit(7)
+        # simulate the race: f2 reports not-cancelled right up until
+        # delivery, when set_result finds it already cancelled
+        f2.set_result = lambda res: (_ for _ in ()).throw(
+            futures.InvalidStateError("simulated cancel race"))
+        release.set()
+        assert f1.result(timeout=30) == 42
+        assert f3.result(timeout=30) == 14
+    finally:
+        release.set()
+        srv.close()
