@@ -176,11 +176,13 @@ def bench_instseg(jax, jnp, rng):
             "compact+int8": ("dense_block", False, True, True, 0, True),
             # window-attention backbone (models/swin3d.py)
             "swin": ("none", False, False, False, 4)}
-    # default ladder = baseline + the three staged serving winners (each a
-    # separate fault-isolated compile; ~20-40 s each on chip).  The full
-    # ladder (sorted/int8/swin) runs via BENCH_VARIANTS (NEXTSTEPS.md).
+    # default ladder = baseline + the chip-measured winners (2026-08-19,
+    # PERF.md): dense_block 358 ms, flat 251 ms vs gather 425 ms at B=4.
+    # compact measured 4.1x SLOWER (1027 ms: per-output partial gathers are
+    # tiny-row pathological) and sorted was a wash — both dropped from the
+    # default; the full ladder runs via BENCH_VARIANTS (NEXTSTEPS.md).
     names = os.environ.get(
-        "BENCH_VARIANTS", "gather,dense_block,flat,compact").split(",")
+        "BENCH_VARIANTS", "gather,dense_block,flat").split(",")
     for name in names:
       try:                      # a failed variant must not kill the headline
         entry = spec[name.strip()]   # inside the try: a typo'd name must
