@@ -81,6 +81,33 @@ class InstSegPipelineConfig:
     # stem only needs nbr3_0, e.g. swin3d)
     stem_mode: str = "gather"
     stem_block: int = 8
+    # fixed pad (in 8^3 blocks) for the dense-block stem pack.  Without it
+    # the pack is bucketed from the batch's actual occupied-block count, so
+    # stem_dense/stem_c2v/stem_nbrblk change shape across batches and force
+    # recompiles even when level_caps pins every other array.  When
+    # level_caps is set and this is None, a default of level_caps[0] // 16
+    # is derived (real 0.02 m scans occupy ~N/30 blocks — PERF.md valid-tap
+    # table — so /16 is ~2x headroom).  A batch that overflows the cap
+    # falls back to the bucketed size for that batch (a recompile, never a
+    # crash) with a warning.
+    stem_block_cap: Optional[int] = None
+
+    def stem_pad_blocks(self, n_win_max: int) -> int:
+        """Static block-pad for the dense stem pack (see stem_block_cap)."""
+        cap = self.stem_block_cap
+        if cap is None and self.level_caps:
+            cap = window_maps.bucket(int(self.level_caps[0]) // 16)
+        if cap is not None:
+            if n_win_max <= cap:
+                return cap
+            import warnings
+            warnings.warn(
+                f"dense-block stem pack overflows stem_block_cap "
+                f"({n_win_max} > {cap} occupied {self.stem_block}^3 "
+                f"blocks); falling back to a bucketed pad for this batch "
+                f"(one-off recompile). Raise stem_block_cap to re-pin the "
+                f"shape.", stacklevel=2)
+        return window_maps.bucket(n_win_max)
 
     def __post_init__(self):
         if self.level_cap_ladder:
@@ -385,7 +412,7 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
         b3 = blk ** 3
         packs = [window_maps.build_window_pack(
             s["vox_coords"], blk, 0, with_neighbors=True) for s in scenes]
-        nb_pad = window_maps.bucket(max(p["n_win"] for p in packs))
+        nb_pad = cfg.stem_pad_blocks(max(p["n_win"] for p in packs))
         cin = scenes[0]["voxel_feats"].shape[1]
         dense = np.zeros((b, nb_pad * b3, cin), np.float32)
         c2v = np.full((b, nb_pad * b3), -1, np.int32)

@@ -18,6 +18,25 @@ import time
 
 
 
+def _mesh_cfg_from(cfg):
+    """Build a MeshConfig from the optional ``parallel:`` config node.
+
+    YAML surface (all optional):
+        parallel: {data: -1, fsdp: 1, tp: 1, fsdp_min_size: 65536}
+    data=-1 means "all remaining devices" (pure DP — reference parity,
+    its only parallelism is Accelerate DDP, ref trainer/build.py:123-129).
+    fsdp/tp opt into ZeRO-3-style param sharding / Megatron tensor
+    parallelism over the same mesh (pq3d_tpu/parallel/mesh.py).
+    """
+    from pq3d_tpu.parallel.mesh import MeshConfig
+    node = cfg.get("parallel") or {}
+    return MeshConfig(
+        data=int(node.get("data", -1)),
+        fsdp=int(node.get("fsdp", 1)),
+        tp=int(node.get("tp", 1)),
+        fsdp_min_size=int(node.get("fsdp_min_size", 2 ** 16)))
+
+
 def _optimizer_total_steps(cfg, steps_per_epoch: int) -> int:
     """Schedule horizon in OPTIMIZER steps: divide the micro-step count by
     gradient accumulation like the reference (ref trainer/build.py:102)."""
@@ -52,6 +71,8 @@ def build_instseg_trainer(cfg):
         filter_out_classes=tuple(iopt.get("filter_out_classes", (0, 2))),
         ignore_label=int(iopt.get("ignore_label", -100)),
         stem_mode=iopt.get("stem_mode", "gather"),
+        stem_block_cap=(int(iopt["stem_block_cap"])
+                        if iopt.get("stem_block_cap") else None),
         swin_window=int(iopt.get("swin_window", 0) or 0),
         flat_pack=bool(iopt.get("flat_pack", False)))
     if pipe_cfg.flat_pack:
@@ -129,7 +150,8 @@ def build_instseg_trainer(cfg):
     trainer_cls = TRAINER_REGISTRY.get(cfg.get("trainer", "Query3DTrainer"))
     total_steps = _optimizer_total_steps(cfg, steps_per_epoch)
     return trainer_cls(cfg, model, loss_fn, train_loader, val_loader,
-                       evaluator, total_steps=total_steps)
+                       evaluator, total_steps=total_steps,
+                       mesh_cfg=_mesh_cfg_from(cfg))
 
 
 def build_multitask_trainer(cfg):
@@ -218,7 +240,8 @@ def build_multitask_trainer(cfg):
     trainer_cls = TRAINER_REGISTRY.get(cfg.get("trainer", "MultitaskTrainer"))
     total_steps = _optimizer_total_steps(cfg, steps_per_epoch)
     return trainer_cls(cfg, model, loss_fn, train_loader, val_sets=val_sets,
-                       detokenize=toks.detokenize, total_steps=total_steps)
+                       detokenize=toks.detokenize, total_steps=total_steps,
+                       mesh_cfg=_mesh_cfg_from(cfg))
 
 
 def _rget(cfg, dotted, default=None):

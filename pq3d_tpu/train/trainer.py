@@ -83,6 +83,7 @@ class Query3DTrainer:
             wait=int(cfg.get("profile_wait", 10)),
             active=int(cfg.get("profile_active", 10)),
             enabled=bool(cfg.get("profile", False)))
+        self.mesh_cfg = mesh_cfg
         n_dev = len(jax.devices())
         bs = int(cfg.dataloader.batchsize)
         if bool(cfg.dataloader.get("force_single_device", False)):
@@ -94,18 +95,22 @@ class Query3DTrainer:
                       f"{n_dev} devices (flat layout)")
             self.mesh = None
         elif n_dev > 1:
-            if bs % n_dev != 0:
+            # the batch shards over the 'data' axis only — fsdp/tp axes
+            # replicate it, so divisibility is against dp, not n_dev
+            dp = (mesh_cfg.data if mesh_cfg.data > 0
+                  else n_dev // (mesh_cfg.fsdp * mesh_cfg.tp))
+            if bs % max(dp, 1) != 0:
                 # never fall back silently to one device — on a pod that is
                 # a silent n_dev x throughput cliff.  Either fix the config
                 # or opt into the fallback explicitly.
                 if not bool(cfg.dataloader.get("allow_single_device", False)):
                     raise ValueError(
                         f"dataloader.batchsize={bs} is not divisible by "
-                        f"{n_dev} devices; set a divisible batchsize or "
-                        f"dataloader.allow_single_device=True to run on one "
-                        f"device deliberately")
-                print(f"[trainer] batchsize {bs} not divisible by {n_dev} "
-                      f"devices — running single-device (explicit opt-in)")
+                        f"dp={dp} (of {n_dev} devices); set a divisible "
+                        f"batchsize or dataloader.allow_single_device=True "
+                        f"to run on one device deliberately")
+                print(f"[trainer] batchsize {bs} not divisible by dp={dp} "
+                      f"— running single-device (explicit opt-in)")
                 self.mesh = None
             else:
                 self.mesh = make_mesh(mesh_cfg)
@@ -133,6 +138,18 @@ class Query3DTrainer:
             self.cfg, variables["params"], total_steps)
         self._optimizer = optimizer
         self._state = TrainState.create(variables, optimizer, s_rng)
+        if self.mesh is not None:
+            # apply the configured param shardings (fsdp/tp; pure-DP
+            # MeshConfig yields P() == replicated for every param).  The
+            # batch is sharded per-step in _put; XLA inserts the
+            # grad-psum / fsdp all-gathers / tp collectives from these
+            # annotations alone (scaling-book recipe).
+            from pq3d_tpu.parallel.mesh import shard_params
+            self._state = self._state.replace(
+                params=shard_params(self._state.params, self.mesh,
+                                    self.mesh_cfg),
+                opt_state=shard_params(self._state.opt_state, self.mesh,
+                                       self.mesh_cfg))
         self._train_step = make_train_step(self.model, optimizer, self.loss_fn)
         self._eval_step = make_eval_step(self.model, self.loss_fn)
         n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))

@@ -36,6 +36,42 @@ def test_instseg_batches_shape_stable():
         "instseg batches must have identical shapes across scenes"
 
 
+def test_instseg_dense_stem_shape_stable_under_level_caps():
+    """With level_caps set, the dense-block stem pack is pinned to
+    stem_block_cap (default level_caps[0]/16) so stem_dense/stem_c2v/
+    stem_nbrblk keep one shape across batches (ADVICE round-2 item); an
+    overflowing batch falls back to a bucketed pad with a warning."""
+    import pytest
+    cfg = InstSegPipelineConfig(voxel_size=0.1, num_queries=16,
+                                max_segments=64, max_instances=16,
+                                voxel_bucket=1024, stem_mode="dense_block",
+                                level_caps=[4096, 2048, 512, 128, 64])
+    rng = np.random.default_rng(0)
+    shapes = []
+    for seed in range(3):
+        srng = np.random.default_rng(seed)
+        scenes = [synthetic.make_scene(srng, n_points=600 + 400 * seed,
+                                       n_instances=3 + seed, n_segments=24)
+                  for _ in range(2)]
+        batch = make_batch(scenes, cfg, rng, train=True)
+        shapes.append(tuple(batch["maps"][k].shape for k in
+                            ("stem_dense", "stem_c2v", "stem_slot",
+                             "stem_nbrblk")))
+        assert batch["maps"]["stem_nbrblk"].shape[1] == 4096 // 16
+    assert shapes[0] == shapes[1] == shapes[2]
+
+    tight = InstSegPipelineConfig(
+        voxel_size=0.1, num_queries=16, max_segments=64, max_instances=16,
+        voxel_bucket=1024, stem_mode="dense_block",
+        level_caps=[4096, 2048, 512, 128, 64], stem_block_cap=8)
+    scenes = [synthetic.make_scene(np.random.default_rng(9), n_points=2000,
+                                   n_instances=4, n_segments=24)
+              for _ in range(2)]
+    with pytest.warns(UserWarning, match="stem_block_cap"):
+        batch = make_batch(scenes, tight, rng, train=True)
+    assert batch["maps"]["stem_nbrblk"].shape[1] > 8
+
+
 def test_instseg_level_cap_ladder():
     """The bucket ladder picks the smallest rung that fits the batch and
     errors when nothing fits (tighter-voxel-buckets lever, PERF.md)."""
