@@ -270,6 +270,306 @@ def conv3_zx3(x, base, codes, w, out_valid=None,
     return acc.astype(x.dtype)
 
 
+def conv3_zpair(x, base, codes, w, out_valid=None,
+                compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32):
+    """z-run conv with PAIR fetches: one 2C-wide row (slots 0,1) + one C
+    row (slot 2) per column — 27 -> 18 fetches, rows <= 384 B at C=96
+    (the chip shows <=384 B rows cost one fetch unit)."""
+    cin, cout = w.shape[1], w.shape[2]
+    n = x.shape[0]
+    xb = x.astype(compute_dtype)
+    wb = w.astype(compute_dtype)
+    x2 = jnp.concatenate([xb, jnp.roll(xb, -1, 0)], axis=1)  # row i = [x i, x i+1]
+    acc = jnp.zeros((base.shape[0], cout), accum_dtype)
+    for c in range(9):
+        b = base[:, c]
+        pair = sparse.fast_row_gather(x2, b).reshape(-1, 2, cin)
+        single = sparse.fast_row_gather(xb, jnp.minimum(b + 2, n - 1))
+        for dz in (-1, 0, 1):
+            xi = jnp.zeros((base.shape[0], cin), compute_dtype)
+            for p in range(3):
+                if (p, dz) not in _ZT_COMBOS:
+                    continue
+                m = codes[:, c, p] == dz
+                src = single if p == 2 else pair[:, p]
+                xi = xi + jnp.where(m[:, None], src, 0)
+            acc = acc + jnp.dot(xi, wb[c * 3 + dz + 1],
+                                preferred_element_type=accum_dtype)
+    if out_valid is not None:
+        acc = jnp.where(out_valid[:, None], acc, 0)
+    return acc.astype(x.dtype)
+
+
+def section_zpair(scenes, batch):
+    maps = batch["maps"]
+    rng = np.random.default_rng(6)
+    for lvl, c in [(0, 96), (1, 96), (2, 128), (0, 32)]:
+        nbr_np = np.asarray(maps[f"nbr3_{lvl}"])
+        n_pad = nbr_np.shape[0]
+        base, codes = build_ztriple_plan(nbr_np, n_pad)
+        nbr = jnp.asarray(nbr_np)
+        valid = jnp.asarray(maps[f"valid_{lvl}"])
+        basej, codesj = jnp.asarray(base), jnp.asarray(codes)
+        x = jnp.asarray(rng.standard_normal((n_pad, c)), jnp.bfloat16)
+        w27 = jnp.asarray(rng.standard_normal((27, c, c)) * 0.05,
+                          jnp.bfloat16)
+        ref_fn = jax.jit(lambda x, nbr, valid, w: sparse.sparse_conv(
+            x, nbr, w, None, valid, accum_dtype=jnp.bfloat16))
+        base_t = jax.jit(lambda x, nbr, valid, w: jnp.sum(sparse.sparse_conv(
+            x, nbr, w, None, valid, accum_dtype=jnp.bfloat16),
+            dtype=jnp.float32))
+        f = jax.jit(lambda x, b, cd, v, w: conv3_zpair(
+            x, b, cd, w, v, accum_dtype=jnp.bfloat16))
+        f_t = jax.jit(lambda x, b, cd, v, w: jnp.sum(conv3_zpair(
+            x, b, cd, w, v, accum_dtype=jnp.bfloat16), dtype=jnp.float32))
+        ref = np.asarray(ref_fn(x, nbr, valid, w27).astype(jnp.float32))
+        got = np.asarray(f(x, basej, codesj, valid, w27)
+                         .astype(jnp.float32))
+        vm = np.asarray(valid)
+        err = np.abs(got[vm] - ref[vm]).max() / (np.abs(ref[vm]).max() + 1e-6)
+        dt0 = slope(base_t, x, nbr, valid, w27)
+        dt1 = slope(f_t, x, basej, codesj, valid, w27)
+        print(f"L{lvl} C={c:3d} N={n_pad:6d}: gather {dt0*1e3:6.2f} ms | "
+              f"zpair {dt1*1e3:6.2f} ms ({dt0/dt1:.2f}x, err {err:.1e})",
+              flush=True)
+
+
+def conv3_zx2(x, base, codes, w, out_valid=None,
+              compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32):
+    """z-run conv, TWO fetches per column from ONE rolled-pair array:
+    x2[i] = [x[i], x[i+1]] (N, 2C); fetch x2[base] (slots 0,1) and
+    x2[base+2] (slot 2 = its first half) — 18 fetches, 2C-lane rows
+    (192 lanes at C=96, under the zx3 288-lane cliff)."""
+    cin, cout = w.shape[1], w.shape[2]
+    n = x.shape[0]
+    xb = x.astype(compute_dtype)
+    wb = w.astype(compute_dtype)
+    x2 = jnp.concatenate([xb, jnp.roll(xb, -1, 0)], axis=1)
+    acc = jnp.zeros((base.shape[0], cout), accum_dtype)
+    for c in range(9):
+        b = base[:, c]
+        lo = sparse.fast_row_gather(x2, b).reshape(-1, 2, cin)
+        hi = sparse.fast_row_gather(
+            x2, jnp.minimum(b + 2, n - 1)).reshape(-1, 2, cin)
+        slotv = (lo[:, 0], lo[:, 1], hi[:, 0])
+        for dz in (-1, 0, 1):
+            xi = jnp.zeros((base.shape[0], cin), compute_dtype)
+            for p in range(3):
+                if (p, dz) not in _ZT_COMBOS:
+                    continue
+                m = codes[:, c, p] == dz
+                xi = xi + jnp.where(m[:, None], slotv[p], 0)
+            acc = acc + jnp.dot(xi, wb[c * 3 + dz + 1],
+                                preferred_element_type=accum_dtype)
+    if out_valid is not None:
+        acc = jnp.where(out_valid[:, None], acc, 0)
+    return acc.astype(x.dtype)
+
+
+def conv3_zsplit(x, base, codes, w, out_valid=None,
+                 compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32):
+    """zx3 with the 3C row split into two half-feature arrays — 18 fetches
+    of 3*(C/2) lanes (144 at C=96) from two (N, 3C/2) sources."""
+    cin, cout = w.shape[1], w.shape[2]
+    half = cin // 2
+    n = x.shape[0]
+    xb = x.astype(compute_dtype)
+    wb = w.astype(compute_dtype)
+    halves = []
+    for sl in (slice(0, half), slice(half, cin)):
+        xh = xb[:, sl]
+        halves.append(jnp.concatenate(
+            [jnp.roll(xh, 1, 0), xh, jnp.roll(xh, -1, 0)], axis=1))
+    acc = jnp.zeros((base.shape[0], cout), accum_dtype)
+    for c in range(9):
+        idx = jnp.minimum(base[:, c] + 1, n - 1)
+        tripa = sparse.fast_row_gather(halves[0], idx).reshape(-1, 3, half)
+        tripb = sparse.fast_row_gather(halves[1], idx).reshape(-1, 3, half)
+        for dz in (-1, 0, 1):
+            xia = jnp.zeros((base.shape[0], half), compute_dtype)
+            xib = jnp.zeros((base.shape[0], half), compute_dtype)
+            for p in range(3):
+                if (p, dz) not in _ZT_COMBOS:
+                    continue
+                m = (codes[:, c, p] == dz)[:, None]
+                xia = xia + jnp.where(m, tripa[:, p], 0)
+                xib = xib + jnp.where(m, tripb[:, p], 0)
+            wk = wb[c * 3 + dz + 1]
+            acc = acc + jnp.dot(xia, wk[:half],
+                                preferred_element_type=accum_dtype)
+            acc = acc + jnp.dot(xib, wk[half:],
+                                preferred_element_type=accum_dtype)
+    if out_valid is not None:
+        acc = jnp.where(out_valid[:, None], acc, 0)
+    return acc.astype(x.dtype)
+
+
+def conv3_csplit(x, nbr, w, out_valid=None, parts=2,
+                 compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32):
+    """Baseline 27-tap conv with each row gather split into `parts`
+    feature-chunks from separate (N, C/parts) sources — tests whether
+    narrow-lane gathers beat one wide gather at C>=256."""
+    cin, cout = w.shape[1], w.shape[2]
+    step = cin // parts
+    xb = x.astype(compute_dtype)
+    wb = w.astype(compute_dtype)
+    srcs = [jnp.asarray(xb[:, i * step:(i + 1) * step]) for i in range(parts)]
+    acc = jnp.zeros((nbr.shape[0], cout), accum_dtype)
+    for k in range(27):
+        idx = jnp.maximum(nbr[:, k], 0)
+        m = (nbr[:, k] >= 0)[:, None]
+        for i in range(parts):
+            xi = jnp.where(m, sparse.fast_row_gather(srcs[i], idx), 0)
+            acc = acc + jnp.dot(xi, wb[k, i * step:(i + 1) * step],
+                                preferred_element_type=accum_dtype)
+    if out_valid is not None:
+        acc = jnp.where(out_valid[:, None], acc, 0)
+    return acc.astype(x.dtype)
+
+
+def conv3_unroll(x, nbr, w, out_valid=None,
+                 compute_dtype=jnp.bfloat16, accum_dtype=jnp.float32):
+    """Baseline gather conv with the 27-tap loop UNROLLED (no lax.scan) —
+    lets XLA overlap/pipeline independent gathers."""
+    xb = x.astype(compute_dtype)
+    wb = w.astype(compute_dtype)
+    acc = jnp.zeros((nbr.shape[0], w.shape[2]), accum_dtype)
+    for k in range(27):
+        idx = jnp.maximum(nbr[:, k], 0)
+        xi = jnp.where((nbr[:, k] >= 0)[:, None],
+                       sparse.fast_row_gather(xb, idx), 0)
+        acc = acc + jnp.dot(xi, wb[k], preferred_element_type=accum_dtype)
+    if out_valid is not None:
+        acc = jnp.where(out_valid[:, None], acc, 0)
+    return acc.astype(x.dtype)
+
+
+def _run_variant(maps, rng, lvl, c, name, make_fn, needs_plan):
+    nbr_np = np.asarray(maps[f"nbr3_{lvl}"])
+    n_pad = nbr_np.shape[0]
+    nbr = jnp.asarray(nbr_np)
+    valid = jnp.asarray(maps[f"valid_{lvl}"])
+    x = jnp.asarray(rng.standard_normal((n_pad, c)), jnp.bfloat16)
+    w27 = jnp.asarray(rng.standard_normal((27, c, c)) * 0.05, jnp.bfloat16)
+    ref_fn = jax.jit(lambda x, nbr, valid, w: sparse.sparse_conv(
+        x, nbr, w, None, valid, accum_dtype=jnp.bfloat16))
+    base_t = jax.jit(lambda x, nbr, valid, w: jnp.sum(sparse.sparse_conv(
+        x, nbr, w, None, valid, accum_dtype=jnp.bfloat16),
+        dtype=jnp.float32))
+    if needs_plan:
+        bs, cd = build_ztriple_plan(nbr_np, n_pad)
+        bs, cd = jnp.asarray(bs), jnp.asarray(cd)
+        args = (x, bs, cd, valid, w27)
+        fn = make_fn()
+        f = jax.jit(lambda x, b, c_, v, w: fn(x, b, c_, w, v))
+        f_t = jax.jit(lambda x, b, c_, v, w: jnp.sum(
+            fn(x, b, c_, w, v), dtype=jnp.float32))
+    else:
+        args = (x, nbr, valid, w27)
+        fn = make_fn()
+        f = jax.jit(lambda x, n, v, w: fn(x, n, w, v))
+        f_t = jax.jit(lambda x, n, v, w: jnp.sum(
+            fn(x, n, w, v), dtype=jnp.float32))
+    ref = np.asarray(ref_fn(x, nbr, valid, w27).astype(jnp.float32))
+    got = np.asarray(f(*args).astype(jnp.float32))
+    vm = np.asarray(valid)
+    err = np.abs(got[vm] - ref[vm]).max() / (np.abs(ref[vm]).max() + 1e-6)
+    dt0 = slope(base_t, x, nbr, valid, w27)
+    dt1 = slope(f_t, *args)
+    print(f"L{lvl} C={c:3d} N={n_pad:6d}: gather {dt0*1e3:6.2f} ms | "
+          f"{name} {dt1*1e3:6.2f} ms ({dt0/dt1:.2f}x, err {err:.1e})",
+          flush=True)
+
+
+def conv3_zx3_unroll_gemm(x, base, codes, w, out_valid=None,
+                          compute_dtype=jnp.bfloat16,
+                          accum_dtype=jnp.float32):
+    """zx3 with the 27 masked GEMMs collapsed to 9 (one (3C)x(Cout) GEMM per
+    column on the aligned triple) — tests GEMM-count overhead at small N."""
+    cin, cout = w.shape[1], w.shape[2]
+    n = x.shape[0]
+    xb = x.astype(compute_dtype)
+    wb = w.astype(compute_dtype)
+    x3 = jnp.concatenate([jnp.roll(xb, 1, 0), xb, jnp.roll(xb, -1, 0)],
+                         axis=1)
+    acc = jnp.zeros((base.shape[0], cout), accum_dtype)
+    for c in range(9):
+        trip = sparse.fast_row_gather(x3, jnp.minimum(base[:, c] + 1, n - 1))
+        trip = trip.reshape(-1, 3, cin)
+        # re-align slots to z-offsets, then one wide GEMM with the 3 taps
+        # stacked: wide[:, p*cin:(p+1)*cin] @ w3[p]
+        aligned = []
+        for dz in (-1, 0, 1):
+            xi = jnp.zeros((base.shape[0], cin), compute_dtype)
+            for p in range(3):
+                if (p, dz) not in _ZT_COMBOS:
+                    continue
+                m = codes[:, c, p] == dz
+                xi = xi + jnp.where(m[:, None], trip[:, p], 0)
+            aligned.append(xi)
+        wide = jnp.concatenate(aligned, axis=1)
+        w3 = jnp.concatenate([wb[c * 3], wb[c * 3 + 1], wb[c * 3 + 2]],
+                             axis=0)
+        acc = acc + jnp.dot(wide, w3, preferred_element_type=accum_dtype)
+    if out_valid is not None:
+        acc = jnp.where(out_valid[:, None], acc, 0)
+    return acc.astype(x.dtype)
+
+
+def section_wave3(scenes, batch):
+    maps = batch["maps"]
+    rng = np.random.default_rng(8)
+    un = lambda: (lambda x, n, w, v: conv3_unroll(
+        x, n, w, v, accum_dtype=jnp.bfloat16))
+    zg = lambda: (lambda x, b, c_, w, v: conv3_zx3_unroll_gemm(
+        x, b, c_, w, v, accum_dtype=jnp.bfloat16))
+    z3 = lambda: (lambda x, b, c_, w, v: conv3_zx3(
+        x, b, c_, w, v, accum_dtype=jnp.bfloat16))
+    specs = [
+        ("unroll", 4, 256, un, False),
+        ("unroll", 3, 128, un, False),
+        ("unroll", 2, 128, un, False),
+        ("unroll", 2, 64, un, False),
+        ("unroll", 1, 96, un, False),
+        ("unroll", 1, 32, un, False),
+        ("zx3gemm", 2, 64, zg, True),
+        ("zx3gemm", 1, 32, zg, True),
+        ("zx3", 3, 128, z3, True),
+        ("zx3", 4, 256, z3, True),
+    ]
+    for name, lvl, c, mk, plan in specs:
+        _run_variant(maps, rng, lvl, c, name, mk, plan)
+
+
+def section_wave2(scenes, batch):
+    maps = batch["maps"]
+    rng = np.random.default_rng(7)
+    specs = [
+        ("unroll", 0, 96, lambda: (lambda x, n, w, v: conv3_unroll(
+            x, n, w, v, accum_dtype=jnp.bfloat16)), False),
+        ("unroll", 3, 256, lambda: (lambda x, n, w, v: conv3_unroll(
+            x, n, w, v, accum_dtype=jnp.bfloat16)), False),
+        ("csplit2", 3, 256, lambda: (lambda x, n, w, v: conv3_csplit(
+            x, n, w, v, parts=2, accum_dtype=jnp.bfloat16)), False),
+        ("csplit2", 4, 256, lambda: (lambda x, n, w, v: conv3_csplit(
+            x, n, w, v, parts=2, accum_dtype=jnp.bfloat16)), False),
+        ("csplit2", 2, 128, lambda: (lambda x, n, w, v: conv3_csplit(
+            x, n, w, v, parts=2, accum_dtype=jnp.bfloat16)), False),
+        ("zx2", 0, 96, lambda: (lambda x, b, c_, w, v: conv3_zx2(
+            x, b, c_, w, v, accum_dtype=jnp.bfloat16)), True),
+        ("zx2", 1, 96, lambda: (lambda x, b, c_, w, v: conv3_zx2(
+            x, b, c_, w, v, accum_dtype=jnp.bfloat16)), True),
+        ("zsplit", 0, 96, lambda: (lambda x, b, c_, w, v: conv3_zsplit(
+            x, b, c_, w, v, accum_dtype=jnp.bfloat16)), True),
+        ("zsplit", 1, 96, lambda: (lambda x, b, c_, w, v: conv3_zsplit(
+            x, b, c_, w, v, accum_dtype=jnp.bfloat16)), True),
+        ("zsplit", 3, 256, lambda: (lambda x, b, c_, w, v: conv3_zsplit(
+            x, b, c_, w, v, accum_dtype=jnp.bfloat16)), True),
+    ]
+    for name, lvl, c, mk, plan in specs:
+        _run_variant(maps, rng, lvl, c, name, mk, plan)
+
+
 def section_zx3(scenes, batch):
     maps = batch["maps"]
     rng = np.random.default_rng(5)
@@ -475,11 +775,11 @@ def section_model(scenes, batch):
     unet = Res16UNet(out_channels=200, accum="bfloat16",
                      conv1_kernel_size=5)
     uvars = jax.jit(unet.init, static_argnames=("train",))(
-        jax.random.key(0), b["voxel_features"], b["maps"], train=False)
+        jax.random.key(0), b["voxel_feats"], b["maps"], train=False)
     ufwd = jax.jit(lambda v, x, m: sum(
         jnp.sum(o) for o in jax.tree.leaves(
             unet.apply(v, x, m, train=False))))
-    dt_u = slope(ufwd, uvars, b["voxel_features"], b["maps"])
+    dt_u = slope(ufwd, uvars, b["voxel_feats"], b["maps"])
     print(f"U-Net fwd alone: {dt_u*1e3:7.1f} ms "
           f"(decoder+heads+pool ~= {1e3*(dt_full-dt_u):.1f} ms)", flush=True)
 
@@ -497,6 +797,12 @@ def main():
         section_ztriple(scenes, batch)
     if "zx3" in sections:
         section_zx3(scenes, batch)
+    if "wave2" in sections:
+        section_wave2(scenes, batch)
+    if "wave3" in sections:
+        section_wave3(scenes, batch)
+    if "zpair" in sections:
+        section_zpair(scenes, batch)
     if "dense3" in sections:
         section_dense3(scenes, batch)
     if "model" in sections:
