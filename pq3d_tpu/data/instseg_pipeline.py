@@ -24,6 +24,10 @@ import numpy as np
 
 from pq3d_tpu.ops import kernel_maps, sampling, voxelize, window_maps
 
+# hierarchy levels that get z-run fetch plans under ztriple_conv: the only
+# levels whose conv shapes pass sparse.ztriple_applicable on chip
+ZTRIPLE_LEVELS = (1, 2, 3)
+
 COLOR_MEAN = np.array([0.47793125906962, 0.4303257521323044, 0.3749598901421883], np.float32)
 COLOR_STD = np.array([0.2834475483823543, 0.27566157565723015, 0.27018971370874995], np.float32)
 
@@ -91,6 +95,13 @@ class InstSegPipelineConfig:
     # falls back to the bucketed size for that batch (a recompile, never a
     # crash) with a warning.
     stem_block_cap: Optional[int] = None
+    # ship z-run fetch plans (ops/kernel_maps.build_ztriple_plan) for
+    # hierarchy levels 1-3: the 3^3 convs whose shapes win on chip
+    # (C<=64 anywhere; C=128 at the L3 voxel count) run with 9 wide
+    # gathers instead of 27 (ops/sparse.sparse_conv_ztriple; the
+    # per-conv predicate is sparse.ztriple_applicable).  Levels 0 and 4
+    # are skipped: their conv shapes route to the baseline/unrolled paths.
+    ztriple_conv: bool = False
 
     def stem_pad_blocks(self, n_win_max: int) -> int:
         """Static block-pad for the dense stem pack (see stem_block_cap)."""
@@ -407,6 +418,12 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
             sm = s["segment_masks"][:Q, :S]
             oam[i, :sm.shape[0], :sm.shape[1]] = sm
         out["offline_attn_mask"] = oam
+    if include_voxel and cfg.ztriple_conv:
+        for l in ZTRIPLE_LEVELS:
+            base, codes = kernel_maps.build_ztriple_plan(
+                maps[f"nbr3_{l}"].reshape(-1, 27), n_pad=pad[l])
+            maps[f"zt{l}_base"] = base.reshape(b, pad[l], 9)
+            maps[f"zt{l}_code"] = codes.reshape(b, pad[l], 9, 3)
     if cfg.stem_mode == "dense_block":
         blk = cfg.stem_block
         b3 = blk ** 3
@@ -584,6 +601,13 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
         sl = slice(starts[0][i], starts[0][i] + n0)
         vf[sl] = s["voxel_feats"]
         v2s[sl] = np.minimum(s["voxel2segment"], S)
+
+    if cfg.ztriple_conv:
+        for l in ZTRIPLE_LEVELS:
+            zb, zc = kernel_maps.build_ztriple_plan(maps[f"nbr3_{l}"],
+                                                    n_pad=tot[l])
+            maps[f"zt{l}_base"] = zb
+            maps[f"zt{l}_code"] = zc
 
     if cfg.compact_conv:
         for l in range(n_levels):

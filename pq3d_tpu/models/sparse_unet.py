@@ -59,6 +59,14 @@ def flatten_maps(maps: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
         p_l = maps[f"valid_{l}"].shape[1]
         out[f"valid_{l}"] = maps[f"valid_{l}"].reshape(-1)
         out[f"nbr3_{l}"] = off(maps[f"nbr3_{l}"], p_l)
+        if f"zt{l}_base" in maps:
+            # z-run bases are always >= 0 (non-neighbor slots are masked by
+            # the codes), so every row gets the scene offset
+            zb = maps[f"zt{l}_base"]
+            shift = (jnp.arange(b, dtype=jnp.int32) * p_l).reshape(b, 1, 1)
+            out[f"zt{l}_base"] = (zb + shift).reshape(-1, zb.shape[-1])
+            out[f"zt{l}_code"] = maps[f"zt{l}_code"].reshape(
+                (-1,) + maps[f"zt{l}_code"].shape[2:])
     if "nbr5_0" in maps:
         out["nbr5_0"] = off(maps["nbr5_0"], maps["valid_0"].shape[1])
     for l in range(4):
@@ -105,7 +113,7 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, valid, parent=None, parent_off=None,
-                 in_valid=None):
+                 in_valid=None, zplan=None):
         if isinstance(nbr, dict):
             # tap-compacted plan (flat_pack + compact_conv); symmetric
             # stencils get the scatter-free compact backward under
@@ -129,6 +137,23 @@ class SparseConv(nn.Module):
         w = self.param("kernel", conv_init, (k, x.shape[-1], self.out_channels))
         acc = jnp.dtype(self.accum)
         sg = self.sorted_gather
+        if (zplan is not None and k == 27 and parent is None
+                and sparse.ztriple_applicable(nbr.shape[0], x.shape[-1],
+                                              self.out_channels)):
+            # z-run fetch plan (9 wide gathers instead of 27; chip-tuned
+            # predicate keeps the baseline where the plan loses)
+            zb, zc = zplan
+            if self.grad_mode == "scatter_free":
+                y = sparse.sparse_conv_ztriple_sym(x, zb, zc, w, valid,
+                                                   accum_dtype=acc)
+            else:
+                y = sparse.sparse_conv_ztriple(x, zb, zc, w, valid,
+                                               accum_dtype=acc)
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.out_channels,))
+                y = jnp.where(valid[..., None], y + b, 0)
+            return y
         if self.grad_mode == "scatter_free" and parent is not None:
             y = sparse.sparse_conv_down(x, nbr, w, parent, parent_off,
                                         valid, in_valid, accum_dtype=acc,
@@ -199,7 +224,7 @@ class BasicBlock(nn.Module):
     int8_gather: bool = False
 
     @nn.compact
-    def __call__(self, x, nbr, valid):
+    def __call__(self, x, nbr, valid, zplan=None):
         train = self.train
         gm = self.grad_mode
         sg = self.sorted_gather
@@ -207,12 +232,12 @@ class BasicBlock(nn.Module):
         residual = x
         out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
                          sorted_gather=sg, int8_gather=i8,
-                         name="conv1")(x, nbr, valid)
+                         name="conv1")(x, nbr, valid, zplan=zplan)
         out = MaskedBatchNorm(self.bn_momentum, name="norm1")(out, valid, not train)
         out = jax.nn.relu(out)
         out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
                          sorted_gather=sg, int8_gather=i8,
-                         name="conv2")(out, nbr, valid)
+                         name="conv2")(out, nbr, valid, zplan=zplan)
         out = MaskedBatchNorm(self.bn_momentum, name="norm2")(out, valid, not train)
         if x.shape[-1] != self.planes:
             residual = nn.Dense(self.planes, use_bias=False, kernel_init=conv_init,
@@ -242,13 +267,13 @@ class ResStage(nn.Module):
     int8_gather: bool = False
 
     @nn.compact
-    def __call__(self, x, nbr, valid, train: bool):
+    def __call__(self, x, nbr, valid, train: bool, zplan=None):
         block_cls = remat_block_cls(BasicBlock, self.remat_policy, train)
         for i in range(self.layers):
             x = block_cls(self.planes, self.bn_momentum, train, self.accum,
                           self.grad_mode, self.sorted_gather,
                           self.int8_gather,
-                          name=f"block{i}")(x, nbr, valid)
+                          name=f"block{i}")(x, nbr, valid, zplan)
         return x
 
 
@@ -310,6 +335,8 @@ class Res16UNet(nn.Module):
                  for l in range(5)]
         else:
             n = [fm[f"nbr3_{l}"] for l in range(5)]
+        zp = [(fm[f"zt{l}_base"], fm[f"zt{l}_code"])
+              if f"zt{l}_base" in fm else None for l in range(5)]
         x = x.reshape(b * p0, cin)
         bn = lambda name: MaskedBatchNorm(self.bn_momentum, name=name)
         if flat_in:
@@ -351,7 +378,8 @@ class Res16UNet(nn.Module):
             out = jax.nn.relu(bn(f"bn{l+1}")(out, v[l + 1], not train))
             out = ResStage(enc_planes[l], self.layers[l], self.bn_momentum,
                            self.remat_policy, self.accum, gm, sg, i8,
-                           name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train)
+                           name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train,
+                                               zp[l + 1])
             skips.append(out)
 
         feature_maps = [out]  # L4 (flat)
@@ -369,7 +397,8 @@ class Res16UNet(nn.Module):
             out = jnp.concatenate([out, skips[lvl]], axis=-1)
             out = ResStage(dec_planes[i], self.layers[i + 4], self.bn_momentum,
                            self.remat_policy, self.accum, gm, sg, i8,
-                           name=f"stage{i+5}")(out, n[lvl], v[lvl], train)
+                           name=f"stage{i+5}")(out, n[lvl], v[lvl], train,
+                                               zp[lvl])
             feature_maps.append(out)
 
         final = nn.Dense(self.out_channels, kernel_init=conv_init,

@@ -74,13 +74,34 @@ def quantize_rows(x: jnp.ndarray, eps: float = 1e-6):
     return q, s
 
 
+def tap_unroll(n_rows: int, cin: int, cout: int) -> int:
+    """Chip-tuned tap-loop unroll factor for the gather conv.
+
+    The ``lax.scan`` over kernel taps serializes the 27 gathers; fully
+    unrolling lets XLA software-pipeline independent gathers against the
+    GEMMs.  Measured on v5e (chip_runs/0819b): unroll is 3.6-4.5x faster at
+    C=256 (N<=16k), a wash at C<=128 mid-size, and ~20% SLOWER at the
+    L0 shape (N~246k, C=96) where the loop is purely fetch-rate-bound and
+    the unrolled HLO scheduling adds overhead.  Heuristic: unroll only
+    where the win is proven — wide channels (>=256 on either side).
+
+    TPU-only: the 27x-unrolled loop body makes XLA:CPU compiles explode
+    (minutes-long, and observed to segfault the CPU backend compiler on
+    this image), and the fetch-pipelining rationale is TPU-specific.
+    """
+    if jax.default_backend() != "tpu":
+        return 1
+    return 27 if max(cin, cout) >= 256 else 1
+
+
 def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None,
                 out_valid: Optional[jnp.ndarray] = None,
                 compute_dtype=jnp.bfloat16,
                 accum_dtype=jnp.float32,
                 sorted_maps: bool = False,
-                int8_gather: bool = False) -> jnp.ndarray:
+                int8_gather: bool = False,
+                unroll: Optional[int] = None) -> jnp.ndarray:
     """Sparse convolution via gather->GEMM.
 
     Args:
@@ -104,13 +125,15 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
             xs, ns = inp
             return carry, sparse_conv(xs, ns, w, bias, None,
                                       compute_dtype, accum_dtype,
-                                      sorted_maps, int8_gather)
+                                      sorted_maps, int8_gather, unroll)
         _, out = jax.lax.scan(per_scene, 0, (x, nbr))
         if out_valid is not None:
             out = jnp.where(out_valid[..., None], out, 0)
         return out
 
     k_total = nbr.shape[1]
+    if unroll is None:
+        unroll = tap_unroll(nbr.shape[0], w.shape[1], w.shape[2])
     if int8_gather:
         xb, scale = quantize_rows(x)
         wb = w.astype(jnp.float32) * scale[None, :, None]
@@ -137,7 +160,8 @@ def sparse_conv(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
         scan_in = (mono_idx.T, mono_valid.T, wb)
     else:
         scan_in = (jnp.maximum(nbr, 0).T, (nbr >= 0).T, wb)
-    acc, _ = jax.lax.scan(body, init, scan_in, length=k_total)
+    acc, _ = jax.lax.scan(body, init, scan_in, length=k_total,
+                          unroll=min(unroll, k_total))
     if bias is not None:
         acc = acc + bias
     if out_valid is not None:
@@ -342,6 +366,138 @@ def conv0_dense_block(dense_in: jnp.ndarray, nbr_win: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 
+# (fetched slot p, kernel z-offset dz) pairs that can occur in a z-run
+# fetch: voxel keys are row-major ravel-sorted with z fastest
+# (ops/voxelize.ravel_hash), so the up-to-3 z-neighbors of a column occupy
+# consecutive rows starting at the run base; slot 0 is the first existing
+# neighbor (dz -1/0/+1), slot 1 can only be dz 0/+1, slot 2 only dz +1.
+_ZT_COMBOS = ((0, -1), (0, 0), (0, 1), (1, 0), (1, 1), (2, 1))
+
+
+def ztriple_applicable(n_rows: int, cin: int, cout: int) -> bool:
+    """Chip-tuned predicate: does the z-run conv beat the 27-tap gather?
+
+    Measured on v5e (chip_runs/0819b): wins 1.9-2.4x at C<=64 (3C-lane rows
+    stay within one fetch granule) and at (16k rows, C=128); loses at
+    (41k, 128), (131k, 96) and (245k, 96) where the 3x-materialized source
+    and mask-select overhead outweigh the 27->9 fetch reduction.  C>=256
+    shapes route to the unrolled tap loop instead (tap_unroll)."""
+    c = max(cin, cout)
+    if c >= 256:
+        return False
+    if c <= 64:
+        return True
+    return n_rows * c <= 5_000_000
+
+
+def sparse_conv_ztriple(x: jnp.ndarray, zbase: jnp.ndarray,
+                        zcode: jnp.ndarray, w: jnp.ndarray,
+                        out_valid: Optional[jnp.ndarray] = None,
+                        compute_dtype=jnp.bfloat16,
+                        accum_dtype=jnp.float32) -> jnp.ndarray:
+    """3^3 sparse conv via z-run fetches: 9 wide gathers instead of 27.
+
+    Voxel rows are ravel-key sorted with z fastest, so for each output row
+    and each of the 9 (dy, dx) kernel columns the up-to-3 z-neighbors sit in
+    consecutive input rows.  We materialize ``x3[i] = [x[i-1], x[i], x[i+1]]``
+    (two rolls + concat, contiguous) and fetch ONE (3*Cin)-lane row per
+    column at ``zbase+1``; host-built ``zcode`` says which fetched slot
+    carries which kernel z-offset (-2 = none), and 6 masked adds re-align
+    the slots before the per-offset GEMMs.  FLOPs match the baseline conv;
+    HBM fetch count drops 3x (PERF.md round-3 ladder).
+
+    Args:
+      x:     (N, Cin) flat voxel features (padded rows zero).
+      zbase: (N_out, 9) int32 run base rows (host: kernel_maps.build_ztriple_plan).
+      zcode: (N_out, 9, 3) int8 kernel z-offset per fetched slot, -2 = none.
+      w:     (27, Cin, Cout), tap order z-fastest (kernel_maps.kernel_offsets).
+    """
+    cin, cout = w.shape[1], w.shape[2]
+    n = x.shape[0]
+    xb = x.astype(compute_dtype)
+    wb = w.astype(compute_dtype)
+    x3 = jnp.concatenate([jnp.roll(xb, 1, 0), xb, jnp.roll(xb, -1, 0)],
+                         axis=1)
+    acc = jnp.zeros((zbase.shape[0], cout), accum_dtype)
+    for c in range(9):
+        trip = fast_row_gather(x3, jnp.minimum(zbase[:, c] + 1, n - 1))
+        trip = jax.ad_checkpoint.checkpoint_name(trip, "conv_gather")
+        trip = trip.reshape(-1, 3, cin)
+        for dz in (-1, 0, 1):
+            xi = jnp.zeros((zbase.shape[0], cin), compute_dtype)
+            for p in range(3):
+                if (p, dz) not in _ZT_COMBOS:
+                    continue
+                m = zcode[:, c, p] == dz
+                xi = xi + jnp.where(m[:, None], trip[:, p], 0)
+            acc = acc + jnp.dot(xi, wb[c * 3 + dz + 1],
+                                preferred_element_type=accum_dtype)
+    if out_valid is not None:
+        acc = jnp.where(out_valid[:, None], acc, 0)
+    return acc.astype(x.dtype)
+
+
+def _ztriple_weight_grad(x: jnp.ndarray, zbase: jnp.ndarray,
+                         zcode: jnp.ndarray, dy: jnp.ndarray,
+                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """dW[c*3+dz+1] = select(x via z-run fetch)^T @ dy — re-gathers through
+    the same plan instead of storing the 27 x N x Cin activations."""
+    cin = x.shape[1]
+    n = x.shape[0]
+    xb = x.astype(compute_dtype)
+    dyb = dy.astype(compute_dtype)
+    x3 = jnp.concatenate([jnp.roll(xb, 1, 0), xb, jnp.roll(xb, -1, 0)],
+                         axis=1)
+    dws = []
+    for c in range(9):
+        trip = fast_row_gather(x3, jnp.minimum(zbase[:, c] + 1, n - 1))
+        trip = trip.reshape(-1, 3, cin)
+        for dz in (-1, 0, 1):
+            xi = jnp.zeros((zbase.shape[0], cin), compute_dtype)
+            for p in range(3):
+                if (p, dz) not in _ZT_COMBOS:
+                    continue
+                m = zcode[:, c, p] == dz
+                xi = xi + jnp.where(m[:, None], trip[:, p], 0)
+            dws.append(jnp.dot(xi.T, dyb,
+                               preferred_element_type=jnp.float32))
+    return jnp.stack(dws)
+
+
+def sparse_conv_ztriple_sym(x: jnp.ndarray, zbase: jnp.ndarray,
+                            zcode: jnp.ndarray, w: jnp.ndarray,
+                            out_valid: Optional[jnp.ndarray] = None,
+                            compute_dtype=jnp.bfloat16,
+                            accum_dtype=jnp.float32) -> jnp.ndarray:
+    """z-run conv with the scatter-free symmetric-stencil backward.
+
+    Same duality as :func:`sparse_conv_sym`: the 3^3 stencil is symmetric,
+    so dx = conv(dy, nbr, flip_k(W)^T); and since the z-run conv computes
+    exactly conv(., nbr, .) for any weights, the SAME plan evaluates dx.
+    """
+
+    @jax.custom_vjp
+    def f(x, w):
+        return sparse_conv_ztriple(x, zbase, zcode, w, out_valid,
+                                   compute_dtype, accum_dtype)
+
+    def fwd(x, w):
+        return f(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dy = _mask_rows(dy, out_valid)
+        w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
+        dx = sparse_conv_ztriple(dy, zbase, zcode, w_t, None,
+                                 compute_dtype, accum_dtype).astype(x.dtype)
+        dw = _ztriple_weight_grad(x, zbase, zcode, dy,
+                                  compute_dtype).astype(w.dtype)
+        return dx, dw
+
+    f.defvjp(fwd, bwd)
+    return f(x, w)
+
+
 def _mask_rows(dy: jnp.ndarray, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
     return dy if valid is None else jnp.where(valid[:, None], dy, 0)
 
@@ -364,7 +520,9 @@ def _conv_weight_grad(x: jnp.ndarray, nbr: jnp.ndarray, dy: jnp.ndarray,
         xi = jnp.where(m[:, None], xi, 0)
         return _, jnp.dot(xi.T, dyb, preferred_element_type=jnp.float32)
 
-    _, dw = jax.lax.scan(body, 0, (idx_all.T, valid_all.T))
+    _, dw = jax.lax.scan(body, 0, (idx_all.T, valid_all.T),
+                         unroll=tap_unroll(nbr.shape[0], x.shape[1],
+                                           dy.shape[1]))
     return dw
 
 

@@ -32,7 +32,7 @@ from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
 BATCH = 4
 
 
-def build_batch(stem_mode, flat=False, compact=False, swin=0):
+def build_batch(stem_mode, flat=False, compact=False, swin=0, ztriple=False):
     rng = np.random.default_rng(0)
     cfg = InstSegPipelineConfig(
         voxel_size=0.15 if SMOKE else 0.02,
@@ -41,7 +41,7 @@ def build_batch(stem_mode, flat=False, compact=False, swin=0):
         max_instances=16 if SMOKE else 120,
         voxel_bucket=256 if SMOKE else 8192, use_aug=False,
         stem_mode=stem_mode, flat_pack=flat, compact_conv=compact,
-        swin_window=swin)
+        swin_window=swin, ztriple_conv=ztriple)
     scenes = [synthetic.make_scene(
         rng, n_points=800 if SMOKE else 80_000,
         n_instances=6 if SMOKE else 24,
@@ -111,14 +111,21 @@ def main():
             "compact_int8": ("dense_block", False, True, True, 0,
                              "res16unet", True),
             "swin": ("none", False, False, False, 4, "swin3d"),
-            "flat_swin": ("none", False, True, False, 4, "swin3d")}
+            "flat_swin": ("none", False, True, False, 4, "swin3d"),
+            # z-run fetch plans + unrolled C>=256 tap loops (round-3 wave
+            # winners; ops/sparse.{sparse_conv_ztriple,tap_unroll})
+            "zt": ("dense_block", False, False, False, 0, "res16unet",
+                   False, True),
+            "flat_zt": ("dense_block", False, True, False, 0, "res16unet",
+                        False, True)}
     batches = {}
     for name in variants:
         stem, sg, flat, compact, swin, backbone = spec[name][:6]
         int8 = len(spec[name]) > 6 and spec[name][6]
-        bkey = (stem, flat, compact, swin)
+        ztriple = len(spec[name]) > 7 and spec[name][7]
+        bkey = (stem, flat, compact, swin, ztriple)
         if bkey not in batches:
-            batches[bkey] = build_batch(stem, flat, compact, swin)
+            batches[bkey] = build_batch(stem, flat, compact, swin, ztriple)
         batch, host_s = batches[bkey]
         model = build_model(sg, backbone, int8)
         variables = jax.jit(model.init, static_argnames=("train",))(

@@ -5,7 +5,9 @@ Usage: python tools/bench_train_step.py [remat_policy] [grad_mode] [opts]
   grad_mode:    native (default) | scatter_free
   opts:         comma list of 'sorted' (sorted-index gathers),
                 'dense_stem' (dense-block conv0), 'flat' (flat-packed
-                layout), 'compact' (tap-compacted convs; implies flat)
+                layout), 'compact' (tap-compacted convs; implies flat),
+                'ztriple' (z-run fetch plans for the L1-3 convs),
+                'swin' (swin3d window-attention backbone; implies no stem)
 """
 import os as _os, sys as _sys
 _sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
@@ -15,9 +17,11 @@ POLICY = sys.argv[1] if len(sys.argv) > 1 else "full"
 GRAD_MODE = sys.argv[2] if len(sys.argv) > 2 else "native"
 OPTS = (sys.argv[3].split(",") if len(sys.argv) > 3 else [])
 SORTED = "sorted" in OPTS
-STEM = "dense_block" if "dense_stem" in OPTS else "gather"
+SWIN = "swin" in OPTS
+STEM = "none" if SWIN else ("dense_block" if "dense_stem" in OPTS else "gather")
 COMPACT = "compact" in OPTS
 FLAT = COMPACT or ("flat" in OPTS)
+ZTRIPLE = "ztriple" in OPTS
 from pq3d_tpu.utils.compile_cache import enable_compile_cache
 enable_compile_cache(jax)
 from pq3d_tpu.data import synthetic
@@ -31,7 +35,8 @@ rng = np.random.default_rng(0)
 pipe_cfg = InstSegPipelineConfig(voxel_size=0.02, num_queries=120, max_segments=512,
                                  max_instances=120, voxel_bucket=8192, use_aug=False,
                                  stem_mode=STEM, flat_pack=FLAT,
-                                 compact_conv=COMPACT)
+                                 compact_conv=COMPACT, ztriple_conv=ZTRIPLE,
+                                 swin_window=4 if SWIN else 0)
 scenes = [synthetic.make_scene(rng, n_points=80_000, n_instances=24, n_segments=400) for _ in range(4)]
 for s in scenes: s["inst_labels"] = np.minimum(s["inst_labels"], 199)
 batch = make_batch(scenes, pipe_cfg, rng, train=True)
@@ -48,7 +53,8 @@ model = Query3DUnified(memories=("voxel","mv","pc"), heads=("mask",), hidden_siz
     unified=UnifiedEncoderCfg(num_layers=4, num_blocks=3, num_attention_heads=12, structure="parallel",
                               spatial_selfattn=True, use_self_mask=True),
     voxel_enc=VoxelEncoderCfg(hlevels=(0,1,2,3), remat_policy=POLICY,
-                              grad_mode=GRAD_MODE, sorted_gather=SORTED),
+                              grad_mode=GRAD_MODE, sorted_gather=SORTED,
+                              backbone="swin3d" if SWIN else "res16unet"),
     mask_head_cfg=MaskHeadCfg(num_targets=201, filter_out_classes=(0,2)))
 variables = jax.jit(model.init, static_argnames=("train",))({"params": jax.random.key(0), "dropout": jax.random.key(1)}, batch, train=False)
 print("init done", flush=True)
