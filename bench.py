@@ -174,20 +174,26 @@ def bench_instseg(jax, jnp, rng):
             "flat+sorted": ("dense_block", True, True, False, 0),
             "compact": ("dense_block", False, True, True, 0),
             "compact+int8": ("dense_block", False, True, True, 0, True),
+            # z-run fetch plans for the L1-3 convs (ops/sparse
+            # .sparse_conv_ztriple) + auto tap-unroll at C>=256
+            "flat_zt": ("dense_block", False, True, False, 0, False, True),
             # window-attention backbone (models/swin3d.py)
-            "swin": ("none", False, False, False, 4)}
+            "swin": ("none", False, False, False, 4),
+            "flat_swin": ("none", False, True, False, 4)}
     # default ladder = baseline + the chip-measured winners (2026-08-19,
-    # PERF.md): dense_block 358 ms, flat 251 ms vs gather 425 ms at B=4.
-    # compact measured 4.1x SLOWER (1027 ms: per-output partial gathers are
-    # tiny-row pathological) and sorted was a wash — both dropped from the
-    # default; the full ladder runs via BENCH_VARIANTS (NEXTSTEPS.md).
+    # PERF.md round-3 ladder): flat_zt 215 ms (18.6/s, res16unet parity
+    # topology), flat_swin 168 ms (23.8/s, TPU-native serving backbone) vs
+    # gather 425 ms at B=4.  compact measured 4.1x SLOWER, sorted and int8
+    # were washes — dropped from the default; the full ladder runs via
+    # BENCH_VARIANTS (NEXTSTEPS.md).
     names = os.environ.get(
-        "BENCH_VARIANTS", "gather,dense_block,flat").split(",")
+        "BENCH_VARIANTS", "gather,flat_zt,flat_swin").split(",")
     for name in names:
       try:                      # a failed variant must not kill the headline
         entry = spec[name.strip()]   # inside the try: a typo'd name must
         stem, sorted_g, flat, compact, swin = entry[:5]  # not drop results
         int8 = len(entry) > 5 and entry[5]
+        ztriple = len(entry) > 6 and entry[6]
         pipe_cfg = InstSegPipelineConfig(
             voxel_size=0.15 if SMOKE else 0.02,
             num_queries=16 if SMOKE else 120,
@@ -195,7 +201,7 @@ def bench_instseg(jax, jnp, rng):
             max_instances=16 if SMOKE else 120,
             voxel_bucket=256 if SMOKE else 8192, use_aug=False,
             stem_mode=stem, flat_pack=flat, compact_conv=compact,
-            swin_window=swin)
+            swin_window=swin, ztriple_conv=ztriple)
         t0 = time.time()
         batch = make_batch(scenes, pipe_cfg, rng, train=False)
         host_t = time.time() - t0
@@ -235,9 +241,7 @@ def bench_instseg(jax, jnp, rng):
         fwd = jax.jit(lambda v, b: sum(
             jnp.sum(x) for x in jax.tree.leaves(
                 model.apply(v, b, train=False))))
-        key = "swin" if swin else (
-            ("compact" if compact else ("flat" if flat else stem))
-            + ("+sorted" if sorted_g else "") + ("+int8" if int8 else ""))
+        key = name.strip()
         variants[key] = _time_calls(fwd, variables, batch)
         host_times[key] = host_t
         print(f"# instseg {key}: {variants[key]*1000:.1f} ms",

@@ -241,6 +241,12 @@ def process_item(scene: Dict[str, np.ndarray], lang: Dict,
         "tgt_object_ids": tgt_ids,
         "iou25_ids": iou25_ids,
         "iou50_ids": iou50_ids,
+        # GT target boxes for box-matched eval (Multi3DReferEval;
+        # ref multi3drefer_eval.py:60-82 compares selected predicted boxes
+        # against the item's GT boxes) — meta_ keys travel the host-only
+        # ``_meta`` side channel into eval batches (unified_loader.py:22-31)
+        "meta_tgt_obj_boxes": (obj_boxes[np.asarray(tgt_ids, np.int64)]
+                               if tgt_ids else np.zeros((0, 6), np.float32)),
     }
     # offline per-object features, cropped consistently with the object list
     # (ref sceneverse_base.py:385-394 load via selected_obj_idxs)

@@ -285,6 +285,14 @@ def experiment_name(cfg) -> str:
 
 
 def main(argv=None):
+    # PQ3D_PLATFORM=cpu forces the backend BEFORE any jax init.  Needed
+    # because this image's sitecustomize force-registers the TPU plugin and
+    # ignores the JAX_PLATFORMS env var (see .claude/skills/verify); the
+    # dress-rehearsal / CI paths use it to run the full recipe on CPU.
+    plat = os.environ.get("PQ3D_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     parser = argparse.ArgumentParser("pq3d_tpu.run")
     parser.add_argument("--config-name", required=True)
     parser.add_argument("overrides", nargs="*")

@@ -167,11 +167,26 @@ class Query3DTrainer:
         ``pytorch_model*.bin`` checkpoints (ref trainer/build.py:176-186
         glob + non-strict load)."""
         from pq3d_tpu.train.checkpoints import load_pretrain
-        if os.path.isdir(os.path.join(path, "latest")):
-            state, _ = self.ckpt.__class__(path).restore("latest",
-                                                         self._state)
-            self._state = self._state.replace(
-                params=load_pretrain(self._state.params, state.params))
+        orbax_dir = None
+        for cand in (os.path.join(path, "latest"), path):
+            if os.path.isdir(cand) and os.path.exists(
+                    os.path.join(cand, "_CHECKPOINT_METADATA")):
+                orbax_dir = cand
+                break
+        if orbax_dir:
+            # Target-free restore: a stage-1 checkpoint's state tree does
+            # NOT match the stage-2 state template (different model/opt),
+            # so restore the raw pytree and copy leaves non-strictly —
+            # reference semantics (strict=False, trainer/build.py:176-186).
+            import orbax.checkpoint as ocp
+            raw = ocp.StandardCheckpointer().restore(orbax_dir)
+            pre = raw.get("state", raw)
+            repl = {"params": load_pretrain(self._state.params,
+                                            pre.get("params", {}))}
+            if self._state.batch_stats and pre.get("batch_stats"):
+                repl["batch_stats"] = load_pretrain(self._state.batch_stats,
+                                                    pre["batch_stats"])
+            self._state = self._state.replace(**repl)
             return
         import glob
         bins = []

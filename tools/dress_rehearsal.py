@@ -1,0 +1,204 @@
+"""Full-scale dress rehearsal on a realistic-statistics replica.
+
+Runs the reference's ENTIRE two-stage recipe (ref README.md:120-157) end to
+end through the real ``run.py`` configs against an on-disk SceneVerse
+replica with real-scan statistics (pq3d_tpu/data/replica.py: ~150k points,
+0.02 m -> ~80k voxels, 1000+ segments, full ScanNet200 label space,
+10-35-word captions):
+
+  1. generate the replica (train+val scans, all 7 task annotations,
+     Mask3D-style proposals, offline mv/voxel/segment features)
+  2. stage 1  — instseg_sceneverse.yaml: train -> official-protocol eval
+     -> checkpoint
+  3. stage 1b — resume=True from the snapshot: one more epoch (preemption
+     recovery path)
+  4. stage 2  — unified_tasks_sceneverse.yaml: warm start from the stage-1
+     checkpoint, all 7 datasets, per-dataset evaluators
+  5. report — metric values parsed from each run's metrics.jsonl
+
+Each stage runs ``python -m pq3d_tpu.run`` in a SUBPROCESS (one TPU process
+at a time; fresh backend state per stage).
+
+Usage:
+  python tools/dress_rehearsal.py                  # full stats (chip; ~1-2 h)
+  python tools/dress_rehearsal.py --scale small --platform cpu  # pre-flight
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+def run_stage(name, config, overrides, log_dir, timeout=7200,
+              platform=None):
+    cmd = [sys.executable, "-m", "pq3d_tpu.run", "--config-name", config,
+           *overrides]
+    log = os.path.join(log_dir, f"{name}.log")
+    print(f"[rehearsal] {name}: {' '.join(cmd)}\n  -> {log}", flush=True)
+    env = dict(os.environ)
+    # zero-egress image: skip hf-hub's 5-retry backoff before the documented
+    # synthetic-tokenizer fallback kicks in
+    env.setdefault("HF_HUB_OFFLINE", "1")
+    if platform:
+        env["PQ3D_PLATFORM"] = platform     # run.py forces the backend
+        env["JAX_CACHE_DIR"] = "/tmp/jaxcache_cpu"
+    t0 = time.time()
+    with open(log, "w") as f:
+        r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                           timeout=timeout, cwd=ROOT, env=env)
+    dt = time.time() - t0
+    if r.returncode != 0:
+        print(open(log).read()[-4000:])
+        raise RuntimeError(f"stage {name} failed rc={r.returncode}")
+    print(f"[rehearsal] {name}: OK ({dt / 60:.1f} min)", flush=True)
+    return dt
+
+
+def last_metrics(exp_dir, prefix):
+    """Latest metric values from records whose prefix starts with
+    ``prefix`` (metrics.jsonl records carry a 'prefix' field; eval records
+    use 'val' / 'val-<Dataset>', train/metrics.py ExpTracker.log)."""
+    path = os.path.join(exp_dir, "metrics.jsonl")
+    out = {}
+    if not os.path.exists(path):
+        return out
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            p = str(rec.get("prefix", ""))
+            if not p.startswith(prefix):
+                continue
+            for k, v in rec.items():
+                if k in ("step", "time", "prefix"):
+                    continue
+                if isinstance(v, (int, float)):
+                    out[f"{p}/{k}"] = v
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=("full", "small"), default="full")
+    ap.add_argument("--root", default="/tmp/pq3d_rehearsal")
+    ap.add_argument("--epochs1", type=int, default=None)
+    ap.add_argument("--epochs2", type=int, default=None)
+    ap.add_argument("--platform", default=None,
+                    help="force jax backend in each stage (e.g. cpu)")
+    ap.add_argument("--report", default=None,
+                    help="write a markdown report here")
+    args = ap.parse_args()
+
+    from pq3d_tpu.data.replica import ReplicaSpec, write_replica
+
+    small = args.scale == "small"
+    spec = (ReplicaSpec(n_train=2, n_val=1, n_points=12_000, n_objects=10,
+                        n_anno_per_scan=4) if small else ReplicaSpec())
+    base = os.path.join(args.root, "sceneverse")
+    pred = os.path.join(args.root, "pred")
+    aux = os.path.join(args.root, "aux")
+    logs = os.path.join(args.root, "logs")
+    os.makedirs(logs, exist_ok=True)
+    if not os.path.exists(os.path.join(base, "ScanNet")):
+        t0 = time.time()
+        ids = write_replica(base, pred, aux, spec)
+        print(f"[rehearsal] replica: {len(ids)} scans, "
+              f"{spec.n_points} pts/scan ({time.time() - t0:.0f}s)")
+    else:
+        print(f"[rehearsal] reusing replica at {base}")
+
+    stage1_dir = os.path.join(args.root, "stage1")
+    stage2_dir = os.path.join(args.root, "stage2")
+    e1 = args.epochs1 or (2 if small else 4)
+    e2 = args.epochs2 or (1 if small else 2)
+
+    common1 = [
+        f"data.scene_verse_base={base}", f"data.scene_verse_aux={aux}",
+        "data.load_scan_options.load_image_segment_feat=true",
+        "data.load_scan_options.load_point_segment_feat=true",
+        f"exp_dir={stage1_dir}", f"solver.epochs={e1}",
+        f"solver.epochs_per_eval={e1}", "eval.save=true",
+        "dataloader.batchsize=2", "dataloader.batchsize_eval=1",
+    ]
+    if small:
+        common1 += [
+            "data.instseg_options.voxel_size=0.05",
+            "data.instseg_options.num_queries=16",
+            "data.instseg_options.max_segments=128",
+            # Hungarian solve needs n_queries >= n_instances (as in the
+            # real config: 120 >= 120)
+            "data.instseg_options.max_instances=16",
+            "data.instseg_options.voxel_bucket=2048",
+            "data.instseg_options.level_caps=null",
+            "model.hidden_size=96",
+            "model.unified_encoder.args.num_layers=1",
+            "model.unified_encoder.args.num_blocks=1",
+            "model.voxel_encoder.args.backbone_kwargs.config.conv1_kernel_size=3",
+        ]
+    timings = {}
+    timings["stage1"] = run_stage("stage1", "instseg_sceneverse.yaml",
+                                  common1, logs, platform=args.platform)
+    m1 = last_metrics(stage1_dir, "val")
+
+    # resume path: one extra epoch from the snapshot + latest checkpoint
+    timings["stage1_resume"] = run_stage(
+        "stage1_resume", os.path.join(stage1_dir, "config.yaml"),
+        ["resume=true", f"solver.epochs={e1 + 1}",
+         f"solver.epochs_per_eval={e1 + 1}"], logs,
+        platform=args.platform)
+
+    ckpt = os.path.join(stage1_dir, "ckpt", "latest")
+    common2 = [
+        f"data.scene_verse_base={base}", f"data.scene_verse_aux={aux}",
+        f"data.scene_verse_pred={pred}",
+        f"exp_dir={stage2_dir}", f"solver.epochs={e2}",
+        f"solver.epochs_per_eval={e2}", f"pretrain_ckpt_path={ckpt}",
+        "solver.sched.args.warmup_steps=10",
+        "dataloader.batchsize=4", "dataloader.batchsize_eval=4",
+    ]
+    if small:
+        common2 += [
+            "data.unified_options.max_obj_len=12",
+            "data.unified_options.num_points=128",
+            "data.unified_options.prompt_len=24",
+            "data.unified_options.response_len=12",
+            "model.hidden_size=96",
+            "model.unified_encoder.args.num_layers=1",
+            "model.txt_tower.width=96", "model.txt_tower.layers=2",
+            "model.txt_tower.heads=4",
+            "model.generation_head.args.d_model=64",
+            "model.generation_head.args.num_layers=1",
+            "model.generation_head.args.num_heads=4",
+            "model.generation_head.args.d_kv=16",
+            "model.generation_head.args.d_ff=128",
+        ]
+    timings["stage2"] = run_stage("stage2", "unified_tasks_sceneverse.yaml",
+                                  common2, logs, platform=args.platform)
+    m2 = last_metrics(stage2_dir, "val")
+
+    report = ["# Dress rehearsal — realistic-replica two-stage recipe", "",
+              f"scale={args.scale}; replica: {spec.n_train}+{spec.n_val} "
+              f"scans x {spec.n_points} pts, {spec.n_objects} objects, "
+              f"full ScanNet200 label space", "",
+              "| stage | wall (min) |", "|---|---|"]
+    report += [f"| {k} | {v / 60:.1f} |" for k, v in timings.items()]
+    report += ["", "## Stage-1 eval (official ScanNet protocol)", ""]
+    report += [f"- {k}: {v:.4f}" for k, v in sorted(m1.items())]
+    report += ["", "## Stage-2 per-dataset eval", ""]
+    report += [f"- {k}: {v:.4f}" for k, v in sorted(m2.items())]
+    text = "\n".join(report)
+    print(text)
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(text + "\n")
+
+
+if __name__ == "__main__":
+    main()
