@@ -125,10 +125,32 @@ def bench_unified(jax, jnp, rng):
     v_bf16 = cast_params_bf16(variables)
     variants["bf16"] = _time_calls(fwd, v_bf16, cast_batch_bf16(batch))
 
-    # flat-object serving layout (UnifiedPipelineConfig.flat_obj): PointNet++
-    # runs only on the batch's real objects; equivalence pinned by
-    # tests/test_flat_obj.py.  Separate compile — fault-isolated.
-    names = os.environ.get("BENCH_UNIFIED_VARIANTS", "flat").split(",")
+    # two-phase decode split (GenerationHeadCfg.two_phase): forward and the
+    # 50-token greedy decode as separate jits — fused together, XLA
+    # schedules the bf16 decode loop ~2.5x slower (PERF.md round-3 "bf16
+    # inversion"); the split makes bf16 the fastest serving config
+    # (chip: single f32 25.2 / single bf16 29.9 / two-phase bf16 21.8 ms).
+    names = os.environ.get("BENCH_UNIFIED_VARIANTS", "flat,two").split(",")
+    if "two" in names:
+        try:
+            import dataclasses as _dc
+            from pq3d_tpu.models.generation import decode_states
+            m2 = model.clone(generation_head_cfg=_dc.replace(
+                model.generation_head_cfg, two_phase=True))
+            fwd2 = jax.jit(lambda v, b: m2.apply(v, b, train=False))
+            dec2 = jax.jit(decode_states, static_argnames=("cfg",))
+
+            def _two(v, b):
+                out = fwd2(v, b)
+                toks = dec2(v, out["generation_enc"],
+                            out["generation_enc_mask"],
+                            cfg=m2.generation_head_cfg)
+                return jnp.sum(out["ground_logits"]), toks
+            variants["two_bf16"] = _time_calls(
+                _two, v_bf16, cast_batch_bf16(batch))
+        except Exception as e:
+            print(f"# unified two-phase variant failed: "
+                  f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
     if "flat" in names:
         try:
             fbatch, _ = make_batch(True)

@@ -71,9 +71,8 @@ class SegVoxelEncoder(nn.Module):
 
         if self.backbone == "swin3d":
             from pq3d_tpu.models.swin3d import Swin3DUNet
-            # swin has no conv-gather levers (and no remat support — its
-            # window attention saves all activations); say so at init
-            # rather than silently dropping an explicitly-enabled lever
+            # swin has no conv-gather levers; say so at init rather than
+            # silently dropping an explicitly-enabled lever
             dropped = [n for n, on in (
                 ("sorted_gather", self.sorted_gather),
                 ("int8_gather", self.int8_gather)) if on]
@@ -85,6 +84,10 @@ class SegVoxelEncoder(nn.Module):
                                   bn_momentum=self.bn_momentum,
                                   accum=self.accum,
                                   grad_mode=self.grad_mode,
+                                  # any non-'none' policy checkpoints the
+                                  # Swin blocks (the (nw,h,w3,w3) attention
+                                  # logits OOM full-scale training)
+                                  remat=self.remat_policy != "none",
                                   name="backbone")
         else:
             backbone = Res16UNet(out_channels=self.backbone_out_channels,

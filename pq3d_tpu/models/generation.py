@@ -58,4 +58,30 @@ class T5GenerationHead(nn.Module):
                     None, deterministic=True)
             return jnp.zeros((b, L), jnp.int32)
 
+        if c.two_phase:
+            # serving lever: return the projected encoder states and let the
+            # caller run decode_states() as its OWN jit.  Fused into the big
+            # jit, XLA schedules the bf16 decode loop ~2.5x slower than the
+            # identical standalone decode (chip A/B, PERF.md round-3 "bf16
+            # inversion"; an optimization_barrier did NOT restore it) — the
+            # split does, and costs no extra host round-trip since the
+            # states stay on device between the two dispatches.
+            return enc
+
         return decoder.decode(enc, query_valid, L, early_exit=c.early_exit)
+
+
+def decode_states(variables, enc: jnp.ndarray, enc_mask: jnp.ndarray,
+                  cfg) -> jnp.ndarray:
+    """Phase-2 greedy decode over states returned by a ``two_phase`` head.
+
+    ``variables`` is the FULL model variable tree; the decoder params are
+    extracted from ``params/generation_head/decoder``.  Jit this separately
+    from the model forward (see GenerationHeadCfg.two_phase)."""
+    dec = T5Decoder(vocab_size=cfg.vocab_size, d_model=cfg.d_model,
+                    d_kv=cfg.d_kv, d_ff=cfg.d_ff,
+                    num_layers=cfg.num_layers, heads=cfg.num_heads)
+    params = variables["params"]["generation_head"]["decoder"]
+    return dec.apply({"params": params}, enc, enc_mask,
+                     cfg.max_new_tokens, early_exit=cfg.early_exit,
+                     method=T5Decoder.decode)

@@ -115,6 +115,10 @@ class GenerationHeadCfg:
     # stop decoding once every row has emitted EOS (token-exact with the
     # fixed-length scan; serving lever — see t5.py:decode)
     early_exit: bool = False
+    # eval returns generation_enc(+_mask) instead of tokens; the caller runs
+    # generation.decode_states as a SEPARATE jit (bf16 serving lever: fused
+    # into the big jit the bf16 decode loop schedules ~2.5x slower)
+    two_phase: bool = False
 
 
 @MODEL_REGISTRY.register(name="Query3DUnified")
@@ -360,8 +364,18 @@ class Query3DUnified(nn.Module):
                         out["generation_logits"] = gen(
                             query, query_valid, labels=batch["response"],
                             deterministic=True)
-                    out["generation_tokens"] = gen(
-                        query, query_valid, labels=None, deterministic=True)
+                    if self.generation_head_cfg.two_phase \
+                            and not self.is_initializing():
+                        # serving split (see generation.decode_states):
+                        # states out, caller decodes in its own jit
+                        out["generation_enc"] = gen(
+                            query, query_valid, labels=None,
+                            deterministic=True)
+                        out["generation_enc_mask"] = query_valid
+                    else:
+                        out["generation_tokens"] = gen(
+                            query, query_valid, labels=None,
+                            deterministic=True)
             else:
                 raise NotImplementedError(f"unknown head {head}")
         return out

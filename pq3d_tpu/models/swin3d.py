@@ -120,17 +120,24 @@ class SwinBlock(nn.Module):
 
 
 class SwinStage(nn.Module):
-    """``depth`` Swin blocks alternating regular / shifted partitions."""
+    """``depth`` Swin blocks alternating regular / shifted partitions.
+
+    ``remat=True`` checkpoints each block: the (nw, h, w3, w3) f32
+    attention logits are the dominant training activation (GBs at the
+    L1 voxel counts — full-scale training OOMs a 16 GB v5e without this)
+    and are cheap to recompute in the backward."""
     dim: int
     depth: int
     num_heads: int
     window: int
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, packs, valid):
+        block_cls = nn.remat(SwinBlock) if self.remat else SwinBlock
         for i in range(self.depth):
             c2v, slot = packs[i % 2]
-            x = SwinBlock(self.dim, self.num_heads, self.window,
+            x = block_cls(self.dim, self.num_heads, self.window,
                           name=f"block{i}")(x, c2v, slot, valid)
         return x
 
@@ -153,6 +160,7 @@ class Swin3DUNet(nn.Module):
     bn_momentum: float = 0.02
     grad_mode: str = "native"
     accum: str = "float32"
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -191,7 +199,7 @@ class Swin3DUNet(nn.Module):
             packs = [(wm[f"win{l}s{j}_c2v"], wm[f"win{l}s{j}_slot"])
                      for j in (0, 1)]
             out = SwinStage(self.channels[i], self.depths[i],
-                            self.num_heads[i], self.window,
+                            self.num_heads[i], self.window, self.remat,
                             name=f"stage{l}")(out, packs, v[l])
             skips.append(out)
 
@@ -211,7 +219,8 @@ class Swin3DUNet(nn.Module):
             if lvl >= 1:
                 packs = [(wm[f"win{lvl}s{j}_c2v"], wm[f"win{lvl}s{j}_slot"])
                          for j in (0, 1)]
-                out = SwinStage(cdec, 1, self.num_heads[lvl - 1], self.window,
+                out = SwinStage(cdec, 1, self.num_heads[lvl - 1],
+                                self.window, self.remat,
                                 name=f"dec{lvl}")(out, packs, v[lvl])
             else:
                 out = SparseConv(cdec, accum=self.accum, grad_mode=gm,

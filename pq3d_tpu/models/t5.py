@@ -245,7 +245,10 @@ class T5Decoder(nn.Module):
             ck, cv = blk.cross_attn.kv_proj(enc)
             # cache dtype follows the PROJECTED dtype (== param compute
             # dtype), not enc's — under a bf16 param cast enc may still be
-            # f32 while projections run bf16
+            # f32 while projections run bf16.  (An f32-cache variant was
+            # chip-A/B'd against the bf16 serving inversion and changed
+            # nothing — the loop-scheduling fence in generation.py is the
+            # actual fix; PERF.md round-3 "bf16 inversion".)
             caches.append({
                 "self_k": jnp.zeros((b, self.heads, L1, self.d_kv),
                                     ck.dtype),

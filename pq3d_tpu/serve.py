@@ -313,9 +313,18 @@ class UnifiedServer(_MicroBatchServer):
 
         def _forward(v, b):
             out = model.apply(v, b, train=False)
-            return {k: out[k] for k in ("ground_logits", "generation_tokens")
-                    if k in out}
+            return {k: out[k] for k in ("ground_logits", "generation_tokens",
+                                        "generation_enc",
+                                        "generation_enc_mask") if k in out}
         self._fwd = jax.jit(_forward)
+        gen_cfg = getattr(model, "generation_head_cfg", None)
+        self._decode = None
+        if gen_cfg is not None and getattr(gen_cfg, "two_phase", False):
+            # phase-2 greedy decode as its own jit (bf16 serving lever;
+            # see GenerationHeadCfg.two_phase)
+            from pq3d_tpu.models.generation import decode_states
+            self._decode = jax.jit(decode_states, static_argnames=("cfg",))
+            self._gen_cfg = gen_cfg
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
 
     def _run_batch(self, reqs):
@@ -333,6 +342,12 @@ class UnifiedServer(_MicroBatchServer):
         np_batch = {k: v for k, v in np_batch.items()
                     if not k.startswith("_")}
         out = self._fwd(self.variables, self._to_device(np_batch))
+        if self._decode is not None and "generation_enc" in out:
+            out = dict(out)
+            out["generation_tokens"] = self._decode(
+                {"params": self.variables["params"]},
+                out.pop("generation_enc"), out.pop("generation_enc_mask"),
+                cfg=self._gen_cfg)
         out = {k: np.asarray(v) for k, v in out.items()}
         # object slots == query slots in the unified batch (one query per
         # candidate object, collate_unified:277-300)

@@ -356,6 +356,7 @@ class MultitaskTrainer(Query3DTrainer):
                          total_steps=total_steps, mesh_cfg=mesh_cfg)
         self.val_sets = val_sets or []   # list of (name, loader, evaluator)
         self.detokenize = detokenize or (lambda toks: "")
+        self._decode_states_fn = None    # lazy jit for two-phase decode
 
     def postprocess_for_eval(self, out, batch) -> Dict[str, Any]:
         """Decode generation tokens into text predictions
@@ -364,6 +365,19 @@ class MultitaskTrainer(Query3DTrainer):
             k: np.asarray(v) for k, v in out.items()
             if k in ("og3d_logits", "ground_logits", "generation_logits",
                      "answer_scores")}
+        if "generation_enc" in out and "generation_tokens" not in out:
+            # two-phase decode (GenerationHeadCfg.two_phase): run phase 2
+            # as its own jit over the returned states
+            from pq3d_tpu.models.generation import decode_states
+            if self._decode_states_fn is None:
+                import jax
+                self._decode_states_fn = jax.jit(
+                    decode_states, static_argnames=("cfg",))
+            out = dict(out)
+            out["generation_tokens"] = self._decode_states_fn(
+                {"params": self._state.params},
+                out["generation_enc"], out["generation_enc_mask"],
+                cfg=self.model.generation_head_cfg)
         if "generation_tokens" in out:
             toks = np.asarray(out["generation_tokens"])
             texts = [self.detokenize(t) for t in toks]

@@ -89,3 +89,23 @@ def test_early_exit_decode_token_exact():
     toks_b = np.asarray(T5GenerationHead(cfg=cfg_full).apply(
         v2, enc2, mask2, labels=None))
     np.testing.assert_array_equal(toks_a, toks_b)
+
+
+def test_two_phase_decode_token_exact():
+    """two_phase returns projected states; decode_states over them must be
+    token-exact with the fused single-phase decode (serving split,
+    GenerationHeadCfg.two_phase)."""
+    import dataclasses
+    from pq3d_tpu.models.generation import decode_states
+
+    head, v, enc, mask = setup()
+    toks = np.asarray(head.apply(v, enc, mask, labels=None))
+
+    cfg2 = dataclasses.replace(CFG, two_phase=True)
+    head2 = T5GenerationHead(cfg=cfg2)
+    states = head2.apply(v, enc, mask, labels=None)
+    assert states.shape == (2, 5, CFG.d_model)
+    # decode_states expects the FULL model tree layout
+    full_v = {"params": {"generation_head": v["params"]}}
+    toks2 = np.asarray(decode_states(full_v, states, mask, cfg2))
+    np.testing.assert_array_equal(toks2, toks)
