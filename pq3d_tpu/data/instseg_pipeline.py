@@ -317,7 +317,12 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
                 f"no level_cap_ladder rung fits batch voxel counts "
                 f"{true_max}; largest rung {list(cfg.level_cap_ladder[-1])}")
     elif cfg.level_caps:
-        pad = list(cfg.level_caps)
+        # normally the configured caps verbatim (one compiled shape); a
+        # scene that overflowed a cap was bucket-padded by build_hierarchy
+        # (see kernel_maps.build_hierarchy fallback) — follow its pad so
+        # the batch buffers fit (a recompile for this batch, not a crash)
+        pad = [max(int(c), max(s["hierarchy"].pad_sizes[l] for s in scenes))
+               for l, c in enumerate(cfg.level_caps)]
     else:
         pad = [max(s["hierarchy"].pad_sizes[l] for s in scenes)
                for l in range(n_levels)]

@@ -62,7 +62,7 @@ class ReplicaSpec:
     n_val: int = 3
     n_points: int = 150_000
     n_objects: int = 28          # plus wall/floor/ceiling instances
-    extent: float = 7.0          # room side, meters
+    extent: float = 4.6          # room side, meters (~21 m^2, ScanNet-typical)
     height: float = 2.7
     segment_size: float = 0.5    # supervoxel quantization -> ~600-1000
                                  # segments (per-instance split, real-scan
@@ -81,6 +81,30 @@ def _box_surface(rng, center, size, n):
     return (center + p * size).astype(np.float32)
 
 
+_VOX = 0.02     # replica surfaces are dense at the instseg voxel size
+
+
+def _lattice_patch(rng, axis, value, lo, hi, n_cells):
+    """Contiguous axis-aligned surface patch: one point per 0.02 m lattice
+    cell, rows packed in-order — so the occupied voxels are CONTIGUOUS and
+    the stride-2 hierarchy collapses at real-scan ratios (L1 ~= L0/4 on
+    surfaces; isolated-point sampling gives L1 ~= L0 and blows the shipped
+    level_caps).  axis = the fixed dim; (lo, hi) bound the two free dims."""
+    dims = [d for d in range(3) if d != axis]
+    w = max(int((hi[0] - lo[0]) / _VOX), 1)
+    h = max(int((hi[1] - lo[1]) / _VOX), 1)
+    n_cells = min(n_cells, w * h)
+    if n_cells <= 0:
+        return np.zeros((0, 3), np.float32)
+    idx = np.arange(n_cells)
+    p = np.empty((n_cells, 3), np.float32)
+    p[:, dims[0]] = lo[0] + (idx % w) * _VOX + rng.random(n_cells) * _VOX
+    p[:, dims[1]] = lo[1] + (idx // w) * _VOX + rng.random(n_cells) * _VOX
+    p[:, axis] = value + rng.standard_normal(n_cells).astype(np.float32) \
+        * 0.003
+    return p
+
+
 def make_room_scan(rng: np.random.Generator, spec: ReplicaSpec) -> Dict:
     """One room: floor/ceiling/4 walls + box-surface furniture.
 
@@ -90,11 +114,16 @@ def make_room_scan(rng: np.random.Generator, spec: ReplicaSpec) -> Dict:
     scan_data .pth files (ref sceneverse_base.py:147-171)."""
     E, H = spec.extent, spec.height
     n = spec.n_points
-    # point budget: ~40% structure, ~55% objects, ~5% unlabeled clutter
-    n_floor = int(n * 0.13)
-    n_ceil = int(n * 0.07)
-    n_wall = int(n * 0.05)          # per wall
-    n_clut = int(n * 0.05)
+    # CELL budget (one lattice point per occupied 0.02 m voxel), scaled so
+    # the default spec lands at real-scan voxel counts (~55-62k at 0.02 m,
+    # under the shipped level_caps[0]=65536); points are then duplicated up
+    # to n_points like real oversampled mesh vertices
+    cell_budget = min(max(n // 3, 2000), 58_000)
+    n_clut = int(cell_budget * 0.005)   # isolated noise never merges
+                                        # down the hierarchy - keep rare
+    c_floor = int(cell_budget * 0.25)
+    c_ceil = int(cell_budget * 0.10)
+    c_wall = int(cell_budget * 0.05)          # per wall
     pts: List[np.ndarray] = []
     inst: List[np.ndarray] = []
     inst_to_label: Dict[int, str] = {}
@@ -103,27 +132,28 @@ def make_room_scan(rng: np.random.Generator, spec: ReplicaSpec) -> Dict:
         pts.append(p.astype(np.float32))
         inst.append(np.full(len(p), iid, np.int64))
 
-    def plane(nn, axis, value, jitter=0.01):
-        p = rng.random((nn, 3)).astype(np.float32)
-        p[:, 0] *= E
-        p[:, 1] *= E
-        p[:, 2] *= H
-        p[:, axis] = value + rng.standard_normal(nn).astype(np.float32) * jitter
-        return p
+    def patch(axis, value, cells, iid):
+        # random contiguous patch on a room plane
+        lo_all = [0.0, 0.0, 0.0]
+        hi_all = [E, E, H]
+        dims = [d for d in range(3) if d != axis]
+        lo = [lo_all[dims[0]], lo_all[dims[1]]]
+        hi = [hi_all[dims[0]], hi_all[dims[1]]]
+        add(_lattice_patch(rng, axis, value, lo, hi, cells), iid)
 
     iid = 0
-    add(plane(n_floor, 2, 0.0), iid)
+    patch(2, 0.0, c_floor, iid)
     inst_to_label[iid] = "floor"
     iid += 1
-    add(plane(n_ceil, 2, H), iid)
+    patch(2, H, c_ceil, iid)
     inst_to_label[iid] = "ceiling"
     iid += 1
     for axis, value in ((0, 0.0), (0, E), (1, 0.0), (1, E)):
-        add(plane(n_wall, axis, value), iid)
+        patch(axis, value, c_wall, iid)
         inst_to_label[iid] = "wall"
         iid += 1
 
-    n_obj_pts = n - n_floor - n_ceil - 4 * n_wall - n_clut
+    n_obj_pts = cell_budget - c_floor - c_ceil - 4 * c_wall - n_clut
     # head-heavy class draw over the FULL ScanNet200 space: common
     # furniture large and frequent, tail classes small and rare
     head_idx = [CLASS_LABELS_200.index(c) for c in HEAD_CATS_200
@@ -132,6 +162,7 @@ def make_room_scan(rng: np.random.Generator, spec: ReplicaSpec) -> Dict:
     all_idx = [i for i, c in enumerate(CLASS_LABELS_200)
                if c not in ("wall", "floor", "ceiling")]
     centers = []
+    specs = []
     for k in range(spec.n_objects):
         cls = (int(rng.choice(head_idx)) if rng.random() < 0.7
                else int(rng.choice(all_idx)))
@@ -139,9 +170,28 @@ def make_room_scan(rng: np.random.Generator, spec: ReplicaSpec) -> Dict:
         center = np.array([rng.random() * (E - 1.5) + 0.75,
                            rng.random() * (E - 1.5) + 0.75,
                            size[2] / 2 + 0.02])
-        share = max(int(n_obj_pts * float(size.prod()) ** 0.5), 200)
+        specs.append((cls, center, size))
+    # cell shares proportional to surface area, normalized so every object
+    # fits inside the cell budget (no object starves)
+    weights = np.array([float(s.prod()) ** 0.5 for _, _, s in specs])
+    shares = np.maximum(
+        (weights / weights.sum() * n_obj_pts).astype(int), 400)
+    for (cls, center, size), share in zip(specs, shares):
         centers.append((center, size))
-        add(_box_surface(rng, center, size, share), iid)
+        # dense lattice patches over the box's side faces + top
+        faces = [(0, center[0] - size[0] / 2), (0, center[0] + size[0] / 2),
+                 (1, center[1] - size[1] / 2), (1, center[1] + size[1] / 2),
+                 (2, center[2] + size[2] / 2)]
+        per_face = int(share) // len(faces)
+        ps = []
+        for axis, value in faces:
+            dims = [d for d in range(3) if d != axis]
+            lo = [center[dims[0]] - size[dims[0]] / 2,
+                  center[dims[1]] - size[dims[1]] / 2]
+            hi = [center[dims[0]] + size[dims[0]] / 2,
+                  center[dims[1]] + size[dims[1]] / 2]
+            ps.append(_lattice_patch(rng, axis, value, lo, hi, per_face))
+        add(np.concatenate(ps), iid)
         inst_to_label[iid] = CLASS_LABELS_200[cls]
         iid += 1
     clut = rng.random((n_clut, 3)).astype(np.float32) * \
@@ -149,8 +199,18 @@ def make_room_scan(rng: np.random.Generator, spec: ReplicaSpec) -> Dict:
     pts.append(clut)
     inst.append(np.full(n_clut, -100, np.int64))
 
-    points = np.concatenate(pts)[:n]
-    instance = np.concatenate(inst)[:n]
+    points = np.concatenate(pts)
+    instance = np.concatenate(inst)
+    # real scans oversample surfaces (mesh vertices cluster): duplicate
+    # lattice points with sub-voxel jitter up to n_points — voxel count
+    # stays ~= the cell budget while the point count matches real scans
+    extra = max(n - len(points), 0)
+    dup = rng.integers(0, len(points), extra)
+    jit = rng.standard_normal((extra, 3)).astype(np.float32) * 0.002
+    points = np.concatenate([points, points[dup] + jit])[:n]
+    instance = np.concatenate([instance, instance[dup]])[:n]
+    perm = rng.permutation(len(points))
+    points, instance = points[perm], instance[perm]
     # colors keyed to instance for realistic segment/color correlation
     colors = (np.abs(np.sin(instance[:, None] * np.array([1.7, 2.3, 3.1])))
               * 200 + 27 + rng.standard_normal((len(points), 3)) * 8)

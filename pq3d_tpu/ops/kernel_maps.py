@@ -364,10 +364,22 @@ def build_hierarchy(coords0: np.ndarray, pad_sizes: Optional[List[int]] = None,
     num_voxels = [len(c) for c in levels]
     if pad_sizes is None:
         pad_sizes = bucket_pad_sizes(num_voxels, bucket=bucket)
-    for l in range(NUM_LEVELS):
-        if num_voxels[l] > pad_sizes[l]:
-            raise ValueError(
-                f"level {l} has {num_voxels[l]} voxels > pad {pad_sizes[l]}")
+    else:
+        # a scene can legitimately exceed a configured level cap (real scans
+        # vary; deep levels especially).  Fall back to a bucketed pad for
+        # the overflowing level — ONE recompile for that shape, never a
+        # crash (same policy as the dense-stem stem_block_cap fallback).
+        pad_sizes = list(pad_sizes)
+        for l in range(NUM_LEVELS):
+            if num_voxels[l] > pad_sizes[l]:
+                grown = bucket_pad_sizes(num_voxels, bucket=bucket)[l]
+                import warnings
+                warnings.warn(
+                    f"level {l} has {num_voxels[l]} voxels > configured cap "
+                    f"{pad_sizes[l]}; padding to {grown} for this scene "
+                    f"(recompile, not a crash — raise level_caps[{l}] to "
+                    f"avoid)")
+                pad_sizes[l] = grown
 
     from pq3d_tpu.ops._native import lib
     if lib() is not None:

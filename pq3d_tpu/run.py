@@ -74,7 +74,9 @@ def build_instseg_trainer(cfg):
         stem_block_cap=(int(iopt["stem_block_cap"])
                         if iopt.get("stem_block_cap") else None),
         swin_window=int(iopt.get("swin_window", 0) or 0),
-        flat_pack=bool(iopt.get("flat_pack", False)))
+        flat_pack=bool(iopt.get("flat_pack", False)),
+        compact_conv=bool(iopt.get("compact_conv", False)),
+        ztriple_conv=bool(iopt.get("ztriple_conv", False)))
     if pipe_cfg.flat_pack:
         import jax as _jax
         if len(_jax.devices()) > 1:

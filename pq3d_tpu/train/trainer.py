@@ -33,12 +33,15 @@ def prefetch_batches(batch_iter: Iterable, n_prefetch: int = 2):
     DataLoader workers for this (data/build.py:56-66)."""
     q: "queue.Queue" = queue.Queue(maxsize=n_prefetch)
     sentinel = object()
+    err: list = []
 
     def worker():
         try:
             for b in batch_iter:
                 q.put(b)
-        finally:
+        except BaseException as e:   # propagate to the consumer — a dead
+            err.append(e)            # loader must fail the step loop, not
+        finally:                     # silently end the epoch at 0 batches
             q.put(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
@@ -46,6 +49,8 @@ def prefetch_batches(batch_iter: Iterable, n_prefetch: int = 2):
     while True:
         b = q.get()
         if b is sentinel:
+            if err:
+                raise RuntimeError("data loader thread failed") from err[0]
             break
         yield b
 
@@ -283,6 +288,8 @@ class Query3DTrainer:
         self.evaluator.reset()
         for batch in prefetch_batches(self.val_data(epoch)):
             batch = self._put(batch)
+            if self._state is None:   # mode=test / eval-before-train
+                self._lazy_init(batch)
             out = self._eval_step(self._state, batch)
             self.evaluator.update(jax.tree.map(np.asarray, out),
                                   jax.tree.map(np.asarray, batch))
