@@ -91,11 +91,16 @@ class _MicroBatchServer:
     per real request and postprocessing skips the padding rows."""
 
     def __init__(self, batch_size: int, max_delay_s: float = 0.05,
-                 mesh=None, device=None):
+                 mesh=None, device=None, cast=None):
         self.batch_size = batch_size
         self.max_delay_s = max_delay_s
         self.mesh = mesh
         self.device = device
+        # optional host-side batch transform applied before device put —
+        # e.g. utils/inference.cast_batch_bf16 paired with bf16-cast
+        # variables, so the whole forward runs at the MXU bf16 rate
+        # (f32 inputs would promote bf16 params back to f32)
+        self.cast = cast
         if mesh is not None and device is not None:
             raise ValueError("mesh and device pinning are exclusive: a "
                              "sharded server spans devices, a pinned one "
@@ -107,6 +112,15 @@ class _MicroBatchServer:
                     f"batch_size {batch_size} not divisible by the mesh's "
                     f"data axis ({dp}); the sharded forward would be ragged")
         self.stats = ServerStats()
+        # explicit AOT executable cache: batch-shape signature -> compiled
+        # executable.  jax.jit's own lookup lives in a GLOBAL LRU
+        # (PjitFunctionCache, capacity 8192) shared by every jitted function
+        # in the process — under a long-lived process it can evict this
+        # server's entry, and jit_cache_size() would under-count.  Owning
+        # the executables makes the compile count exact and the executable
+        # set bounded by the shape ladder, independent of anything else the
+        # process compiles.
+        self._exe: Dict[Any, Any] = {}
         self._q: "queue.Queue" = queue.Queue()
         self._closed = False
         self._close_lock = threading.Lock()
@@ -133,7 +147,27 @@ class _MicroBatchServer:
         self._thread.join()
 
     def jit_cache_size(self) -> int:
-        return self._fwd._cache_size()
+        """Number of distinct executables this server has compiled (exact:
+        counts the server-owned AOT cache, not the process-global jit LRU)."""
+        return len(self._exe)
+
+    def _aot_call(self, tag: str, jitted, *args, _key_args=None, **static):
+        """Dispatch through the server-owned AOT executable cache.
+
+        ``_key_args`` (default: all of ``args``) selects the pytrees whose
+        leaf shapes/dtypes key the cache — pass just the batch when the
+        other args (model variables) are fixed for the server's lifetime.
+        Static kwargs are baked into the executable at lower() time.
+        """
+        import jax
+        src = args if _key_args is None else _key_args
+        leaves = jax.tree_util.tree_leaves(src)
+        key = (tag,) + tuple((tuple(l.shape), str(l.dtype)) for l in leaves)
+        exe = self._exe.get(key)
+        if exe is None:
+            exe = jitted.lower(*args, **static).compile()
+            self._exe[key] = exe
+        return exe(*args)
 
     # ----------------------------------------------------------------- loop
     def _collect(self):
@@ -188,6 +222,8 @@ class _MicroBatchServer:
                         pass     # lost a cancel race; nothing to deliver
 
     def _to_device(self, np_batch):
+        if self.cast is not None:
+            np_batch = self.cast(np_batch)
         if self.mesh is not None:
             from pq3d_tpu.parallel.mesh import shard_batch
             return shard_batch(np_batch, self.mesh)
@@ -211,7 +247,7 @@ class InstSegServer(_MicroBatchServer):
                  batch_size: int, num_classes: int, topk: int = 100,
                  score_threshold: float = 0.0, max_delay_s: float = 0.05,
                  extra_features: Optional[Dict[str, int]] = None,
-                 mesh=None, device=None):
+                 mesh=None, device=None, cast=None):
         if not pipe_cfg.level_caps and not pipe_cfg.flat_pack:
             # flat_pack ignores level_caps: its shapes are bucket-laddered
             # by voxel_bucket instead (see module docstring)
@@ -250,7 +286,8 @@ class InstSegServer(_MicroBatchServer):
             out = model.apply(v, b, train=False)
             return out["predictions_class"][-1], out["predictions_mask"][-1]
         self._fwd = jax.jit(_forward)
-        super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
+        super().__init__(batch_size, max_delay_s, mesh=mesh, device=device,
+                         cast=cast)
 
     def _run_batch(self, scenes):
         from pq3d_tpu.data.instseg_pipeline import (collate_processed,
@@ -269,7 +306,9 @@ class InstSegServer(_MicroBatchServer):
             np_batch[f"{name}_seg_fts"] = np.zeros(
                 (self.batch_size, S, dim), np.float32)
             np_batch[f"{name}_seg_pad_masks"] = np_batch["seg_pad_masks"]
-        cls_l, mask_l = self._fwd(self.variables, self._to_device(np_batch))
+        dev_batch = self._to_device(np_batch)
+        cls_l, mask_l = self._aot_call("fwd", self._fwd, self.variables,
+                                       dev_batch, _key_args=(dev_batch,))
         cls_l = np.asarray(cls_l)
         mask_l = np.asarray(mask_l)
         seg_valid = np.asarray(np_batch["seg_pad_masks"])
@@ -289,7 +328,8 @@ class UnifiedServer(_MicroBatchServer):
 
     def __init__(self, model, variables, pipe_cfg, batch_size: int,
                  feature_dims: Dict[str, int], detokenize=None,
-                 max_delay_s: float = 0.05, mesh=None, device=None):
+                 max_delay_s: float = 0.05, mesh=None, device=None,
+                 cast=None):
         import jax
         from pq3d_tpu.data.unified_pipeline import (collate_unified,
                                                     process_item)
@@ -325,7 +365,8 @@ class UnifiedServer(_MicroBatchServer):
             from pq3d_tpu.models.generation import decode_states
             self._decode = jax.jit(decode_states, static_argnames=("cfg",))
             self._gen_cfg = gen_cfg
-        super().__init__(batch_size, max_delay_s, mesh=mesh, device=device)
+        super().__init__(batch_size, max_delay_s, mesh=mesh, device=device,
+                         cast=cast)
 
     def _run_batch(self, reqs):
         n_real = len(reqs)
@@ -341,13 +382,16 @@ class UnifiedServer(_MicroBatchServer):
                                  self.feature_dims, train=False)
         np_batch = {k: v for k, v in np_batch.items()
                     if not k.startswith("_")}
-        out = self._fwd(self.variables, self._to_device(np_batch))
+        dev_batch = self._to_device(np_batch)
+        out = self._aot_call("fwd", self._fwd, self.variables, dev_batch,
+                             _key_args=(dev_batch,))
         if self._decode is not None and "generation_enc" in out:
             out = dict(out)
-            out["generation_tokens"] = self._decode(
-                {"params": self.variables["params"]},
-                out.pop("generation_enc"), out.pop("generation_enc_mask"),
-                cfg=self._gen_cfg)
+            enc = out.pop("generation_enc")
+            enc_mask = out.pop("generation_enc_mask")
+            out["generation_tokens"] = self._aot_call(
+                "decode", self._decode, {"params": self.variables["params"]},
+                enc, enc_mask, _key_args=(enc, enc_mask), cfg=self._gen_cfg)
         out = {k: np.asarray(v) for k, v in out.items()}
         # object slots == query slots in the unified batch (one query per
         # candidate object, collate_unified:277-300)

@@ -402,6 +402,8 @@ class MultitaskTrainer(Query3DTrainer):
             for batch in loader(epoch):
                 meta = batch.get("_meta", {})
                 dev_batch = self._put(batch)
+                if self._state is None:   # mode=test / eval-before-train
+                    self._lazy_init(dev_batch)
                 out = self._eval_step(self._state, dev_batch)
                 host_out = self.postprocess_for_eval(out, batch)
                 eval_batch = {k: np.asarray(v) for k, v in batch.items()

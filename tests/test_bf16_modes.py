@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pq3d_tpu.models.clip_text import CLIPTextEncoder
+import pytest
 
 
 def test_clip_bf16_tower_close_to_f32():
@@ -27,6 +28,7 @@ def test_clip_bf16_tower_close_to_f32():
     assert obf.dtype == np.float32  # trainable projection output stays f32
 
 
+@pytest.mark.slow
 def test_bf16_param_cast_unified_forward_close():
     """Whole-model bf16 param cast (utils/inference.py): the unified
     forward's outputs stay close to f32 and grounding rankings agree."""

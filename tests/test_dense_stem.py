@@ -12,6 +12,7 @@ import numpy as np
 from pq3d_tpu.data import synthetic
 from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
 from pq3d_tpu.ops import kernel_maps, sparse, window_maps
+import pytest
 
 
 def _scene_coords(n=800, extent=30, seed=0):
@@ -75,6 +76,7 @@ def test_dense_stem_weight_grad_matches():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_pipeline_dense_stem_end_to_end():
     """make_batch(stem_mode='dense_block') drives Res16UNet to the same
     result as the gathered stem with shared params."""

@@ -9,6 +9,9 @@ from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
 from pq3d_tpu.export import export_forward, exported_platforms, load_forward
 from pq3d_tpu.models.query3d import (EncoderCfg, MaskHeadCfg, Query3DUnified,
                                      UnifiedEncoderCfg, VoxelEncoderCfg)
+import pytest
+
+pytestmark = pytest.mark.slow  # >=~1 min on the 1-core box (fast tier: -m "not slow")
 
 
 def _setup():

@@ -10,6 +10,7 @@ from pq3d_tpu.config import Config
 from pq3d_tpu.data.unified_datasets import SyntheticRefer
 from pq3d_tpu.data.unified_loader import UnifiedTaskLoader
 from pq3d_tpu.data.unified_pipeline import UnifiedPipelineConfig
+import pytest
 
 
 def _loaders(flat):
@@ -48,6 +49,7 @@ def test_collate_flat_obj_matches_padded():
     np.testing.assert_array_equal(pad["mv_seg_fts"], flat["mv_seg_fts"])
 
 
+@pytest.mark.slow
 def test_object_encoder_flat_equivalence():
     """Frozen-backbone ObjectEncoder: flat layout == padded layout exactly
     (BN runs in eval mode, so per-object features are independent)."""
@@ -73,6 +75,7 @@ def test_object_encoder_flat_equivalence():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_model_flat_obj_equivalence():
     """Query3DUnified consumes pc_obj_flat/pc_flat_slot and reproduces the
     padded path's ground logits at valid queries."""

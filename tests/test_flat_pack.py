@@ -12,6 +12,8 @@ from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
 from pq3d_tpu.models.query3d import (EncoderCfg, MaskHeadCfg, Query3DUnified,
                                      UnifiedEncoderCfg, VoxelEncoderCfg)
 
+pytestmark = pytest.mark.slow  # >=~1 min on the 1-core box (fast tier: -m "not slow")
+
 
 def _scenes(rng, sizes=(700, 1000)):
     scenes = [synthetic.make_scene(rng, n_points=n, n_instances=3,

@@ -7,6 +7,8 @@ import pytest
 
 from pq3d_tpu.config import load_config, default_config_dir
 
+pytestmark = pytest.mark.slow  # >=~1 min on the 1-core box (fast tier: -m "not slow")
+
 
 @pytest.fixture(scope="module")
 def gt_trainer(tmp_path_factory):

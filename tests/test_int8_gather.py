@@ -7,6 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from pq3d_tpu.ops import kernel_maps, sparse
+import pytest
 
 
 def _maps(seed=0, n=700, extent=24):
@@ -51,6 +52,7 @@ def test_int8_conv_close_to_f32():
     assert r > 0.999
 
 
+@pytest.mark.slow
 def test_int8_flag_through_unet():
     """Res16UNet with int8_gather compiles and stays close to the f32-gather
     forward in eval mode (BN running stats; identical params)."""

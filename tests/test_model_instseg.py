@@ -10,6 +10,8 @@ from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
                                      MaskHeadCfg, VoxelEncoderCfg, EncoderCfg)
 from pq3d_tpu.optim.losses import InstSegLossConfig, instseg_set_loss
 
+pytestmark = pytest.mark.slow  # >=~1 min on the 1-core box (fast tier: -m "not slow")
+
 
 PIPE_CFG = InstSegPipelineConfig(
     voxel_size=0.15, num_queries=16, max_segments=64, max_instances=16,

@@ -75,6 +75,7 @@ def model_and_vars(batch):
     return model, variables
 
 
+@pytest.mark.slow
 def test_train_forward_and_losses(batch, model_and_vars):
     from pq3d_tpu.optim.losses import cross_entropy, generation_loss
     model, variables = model_and_vars

@@ -43,6 +43,7 @@ def trainer(tmp_path_factory):
     return build_multitask_trainer(cfg)
 
 
+@pytest.mark.slow
 def test_train_epoch_losses_finite(trainer):
     metrics = trainer.train_epoch(0)
     assert np.isfinite(metrics["loss"])
@@ -60,7 +61,15 @@ def test_multi_dataset_eval(trainer):
     assert all(np.isfinite(v) for v in results.values())
 
 
+def _ensure_init(trainer):
+    """The module-scoped trainer inits lazily on its first batch; don't
+    depend on an earlier test in this file having run one."""
+    if trainer._state is None:
+        trainer.eval_epoch(0)
+
+
 def test_checkpoint_roundtrip(trainer):
+    _ensure_init(trainer)
     state = trainer._state
     trainer.ckpt.save("latest", state, trainer.tracker.state_dict())
     restored, tr = trainer.ckpt.restore("latest", state)
@@ -74,6 +83,7 @@ def test_async_checkpoint_roundtrip(trainer, tmp_path):
     """async_save overlaps the orbax commit with training; close() makes it
     durable, and consecutive overwrites of the same name stay serialized."""
     from pq3d_tpu.train.checkpoints import CheckpointManager
+    _ensure_init(trainer)
     state = trainer._state
     mgr = CheckpointManager(str(tmp_path / "ckpt"), async_save=True)
     mgr.save("latest", state, {"epoch": 1, "best_result": 0.5})

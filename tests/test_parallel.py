@@ -157,6 +157,7 @@ def test_set_loss_per_scene_normalization():
     np.testing.assert_allclose(float(out["loss_mask"]), joint, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_unified_model_sharded_forward_matches_replicated():
     """The FULL stage-2 unified model (CLIP text tower + mixed-fusion
     decoder + ground head + T5 generation) under dp x fsdp x tp sharding ==
@@ -217,6 +218,7 @@ def test_unified_model_sharded_forward_matches_replicated():
                                   np.asarray(ref["generation_tokens"]))
 
 
+@pytest.mark.slow
 def test_yaml_parallel_node_shards_trainer_params(tmp_path):
     """VERDICT round-2 item 4: a YAML-selected parallel.tp=2 run must
     actually shard decoder params on the mesh — the dp x fsdp x tp

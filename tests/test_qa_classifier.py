@@ -52,6 +52,7 @@ def test_answer_label_in_batch(qa_trainer):
     assert (batch["answer_label"].sum(-1) >= 1).all()
 
 
+@pytest.mark.slow
 def test_answer_loss_trains(qa_trainer):
     metrics = qa_trainer.train_epoch(0)
     assert "answer_loss" in metrics

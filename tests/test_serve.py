@@ -33,6 +33,7 @@ def _pipe():
         level_caps=[512, 256, 128, 128, 128])
 
 
+@pytest.mark.slow
 def test_server_serves_scenes_with_one_compile():
     rng = np.random.default_rng(0)
     pipe = _pipe()

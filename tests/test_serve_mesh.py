@@ -13,6 +13,8 @@ from pq3d_tpu.models.query3d import (EncoderCfg, MaskHeadCfg, Query3DUnified,
 from pq3d_tpu.parallel.mesh import MeshConfig, make_mesh
 from pq3d_tpu.serve import InstSegServer
 
+pytestmark = pytest.mark.slow  # >=~1 min on the 1-core box (fast tier: -m "not slow")
+
 
 def _model():
     return Query3DUnified(

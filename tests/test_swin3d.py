@@ -12,6 +12,8 @@ from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
 from pq3d_tpu.models.swin3d import Swin3DUNet, WindowAttention
 from pq3d_tpu.ops import window_maps
 
+pytestmark = pytest.mark.slow  # >=~1 min on the 1-core box (fast tier: -m "not slow")
+
 
 def _coords(n=500, seed=0):
     rng = np.random.default_rng(seed)

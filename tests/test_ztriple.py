@@ -14,6 +14,7 @@ import numpy as np
 
 from pq3d_tpu.data import instseg_pipeline as ip
 from pq3d_tpu.ops import kernel_maps, sparse
+import pytest
 
 
 def _maps(seed=0, n=700, extent=24):
@@ -108,6 +109,7 @@ def _unet_out(batch, seed=0):
     return np.asarray(out)
 
 
+@pytest.mark.slow
 def test_unet_forward_equal_with_ztriple_both_layouts():
     rng = np.random.default_rng(7)
     scenes = [_tiny_scene(rng), _tiny_scene(rng)]

@@ -66,7 +66,14 @@ def _report(which, srv, wall_s):
 def bench_instseg_serve():
     rng = np.random.default_rng(0)
     stem = os.environ.get("SERVE_STEM", "dense_block")
+    # SERVE_VARIANT picks the chip-measured round-3 winners (PERF.md):
+    #   dense     — rectangular dense_block stem (round-2 winner; meshable)
+    #   flat_zt   — flat pack + z-run fetch convs (res16unet parity topology)
+    #   flat_swin — flat pack + swin3d window-attention backbone (fastest)
+    variant = os.environ.get("SERVE_VARIANT", "dense")
     bs = int(os.environ.get("SERVE_BATCH", "2" if SMOKE else "4"))
+    flat = variant in ("flat_zt", "flat_swin")
+    swin = variant == "flat_swin"
     pipe = InstSegPipelineConfig(
         voxel_size=0.15 if SMOKE else 0.02,
         num_queries=16 if SMOKE else 120,
@@ -75,7 +82,11 @@ def bench_instseg_serve():
         voxel_bucket=512 if SMOKE else 8192,
         level_caps=((512, 512, 512, 256, 128) if SMOKE
                     else (65536, 40960, 16384, 4096, 2048)),
-        use_aug=False, stem_mode=stem)
+        use_aug=False,
+        stem_mode="none" if swin else stem,
+        flat_pack=flat,
+        swin_window=4 if swin else 0,
+        ztriple_conv=variant == "flat_zt")
     scenes = [synthetic.make_scene(
         rng, n_points=(600 + 100 * (i % 3)) if SMOKE
         else (60_000 + 5000 * (i % 5)),
@@ -92,7 +103,9 @@ def bench_instseg_serve():
                                   num_attention_heads=12,
                                   structure="parallel",
                                   spatial_selfattn=True, use_self_mask=True),
-        voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16"),
+        voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16",
+                                  backbone="swin3d" if swin
+                                  else "res16unet"),
         mask_head_cfg=MaskHeadCfg(num_targets=201, filter_out_classes=(0, 2)))
     init_batch = make_batch(scenes[:bs], pipe, rng, train=False)
     S = pipe.max_segments
@@ -150,6 +163,9 @@ def bench_unified_serve():
         ground_head_cfg=GroundHeadCfg(),
         generation_head_cfg=GenerationHeadCfg(
             max_new_tokens=4 if SMOKE else 50,
+            # two-phase decode: the chip-measured bf16 serving winner
+            # (PERF.md round-3; 21.8 ms vs 25.2 single-jit f32 at B=8)
+            two_phase=os.environ.get("SERVE_BF16", "1") == "1",
             **({"d_model": 64, "d_kv": 16, "d_ff": 128, "num_layers": 1,
                 "num_heads": 4} if SMOKE else {})),
         txt_cfg=TxtEncoderCfg(**({"width": 96, "layers": 1, "heads": 12}
@@ -168,8 +184,14 @@ def bench_unified_serve():
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         jax.tree.map(np.asarray, init_batch), train=False)
 
+    cast = None
+    if os.environ.get("SERVE_BF16", "1") == "1":
+        from pq3d_tpu.utils.inference import cast_batch_bf16, cast_params_bf16
+        variables = cast_params_bf16(variables)
+        cast = cast_batch_bf16
     srv = UnifiedServer(model, variables, pipe, batch_size=bs,
-                        feature_dims=feature_dims, max_delay_s=0.02)
+                        feature_dims=feature_dims, max_delay_s=0.02,
+                        cast=cast)
     try:
         _warm(srv, reqs[0])
         t0 = time.time()
