@@ -55,7 +55,11 @@ class ServerStats:
     scenes: int = 0
     steps: int = 0
     total_wait_s: float = 0.0   # first-submit -> dispatch batching wait
-    total_step_s: float = 0.0
+    total_step_s: float = 0.0   # summed per-batch dispatch->resolve time
+    # wall-clock span of processed batches: with the pipelined worker,
+    # per-batch times overlap, so throughput must come from the span
+    t_first: float = 0.0
+    t_last: float = 0.0
     # bounded: a long-running server must not grow host RAM per request;
     # quantiles come from the most recent window
     latencies_s: "deque" = field(
@@ -73,8 +77,9 @@ class ServerStats:
         with self._lock:
             lat = np.asarray(self.latencies_s) if self.latencies_s else \
                 np.zeros(1)
+        span = self.t_last - self.t_first
         return {"scenes": self.scenes, "steps": self.steps,
-                "scenes_per_sec": self.scenes / max(self.total_step_s, 1e-9),
+                "scenes_per_sec": self.scenes / max(span, 1e-9),
                 "p50_latency_s": float(np.quantile(lat, 0.5)),
                 "p99_latency_s": float(np.quantile(lat, 0.99))}
 
@@ -170,8 +175,16 @@ class _MicroBatchServer:
         return exe(*args)
 
     # ----------------------------------------------------------------- loop
-    def _collect(self):
-        first = self._q.get()
+    def _collect(self, first_timeout=None):
+        """``first_timeout=None`` blocks until a request (idle server);
+        a finite value bounds the wait (pipelined loop with a batch in
+        flight).  Returns ``None`` on the shutdown sentinel, ``[]`` when
+        the bounded wait found nothing."""
+        try:
+            first = self._q.get(timeout=first_timeout) \
+                if first_timeout is not None else self._q.get()
+        except queue.Empty:
+            return []
         if first is None:
             return None
         items = [first]
@@ -188,38 +201,88 @@ class _MicroBatchServer:
         return items
 
     def _loop(self):
+        """Pipelined worker: while a batch's device step is in flight
+        (dispatched asynchronously by jax), the NEXT backlogged batch's
+        host work (preprocess + collate + device put + dispatch) runs on
+        the CPU — so under load the chip never idles waiting for the host.
+        Depth-1: at most one batch in flight, so request latency is never
+        stretched by a deep queue."""
+        inflight = None    # (items, n_real, state, t_dispatch)
+        shutdown = False
         while True:
-            items = self._collect()
-            if items is None:
+            items = None
+            if not shutdown:
+                # only wait for stragglers when nothing is in flight —
+                # with a batch on the device, take whatever is queued NOW
+                # and get back to resolving
+                items = self._collect(
+                    first_timeout=0.0 if inflight is not None else None)
+            if items is None and not shutdown:
+                shutdown = True
+                items = []
+            nxt = None
+            if items:
+                t0 = time.time()
+                reqs = [it[0] for it in items]
+                self.stats.total_wait_s += t0 - min(it[2] for it in items)
+                try:
+                    state = self._dispatch(reqs)
+                    nxt = (items, len(reqs), state, t0)
+                except Exception as e:   # host-side failure: report,
+                    self._fail(items, e)  # don't kill the loop
+            if inflight is not None:
+                self._resolve(inflight)
+            inflight = nxt
+            if shutdown and inflight is None:
                 return
-            t0 = time.time()
-            reqs = [it[0] for it in items]
-            n_real = len(reqs)
-            self.stats.total_wait_s += t0 - min(it[2] for it in items)
+
+    def _resolve(self, inflight):
+        items, n_real, state, t0 = inflight
+        try:
+            results = self._finish(state)
+            dt = time.time() - t0
+            for i in range(n_real):
+                _, fut, t_sub = items[i]
+                try:
+                    fut.set_result(results[i])
+                except _futures.InvalidStateError:
+                    # a client cancel() can land at ANY point before
+                    # set_result (checking fut.cancelled() first is a
+                    # TOCTOU race); swallowing it here keeps one
+                    # abandoned request from poisoning the batch
+                    continue
+                self.stats.record_latency(time.time() - t_sub)
+            self.stats.scenes += n_real
+            self.stats.steps += 1
+            self.stats.total_step_s += dt
+            if self.stats.t_first == 0.0:
+                self.stats.t_first = t0
+            self.stats.t_last = time.time()
+        except Exception as e:
+            self._fail(items, e)
+
+    @staticmethod
+    def _fail(items, e):
+        for _, fut, _t in items:
             try:
-                results = self._run_batch(reqs)
-                dt = time.time() - t0
-                for i in range(n_real):
-                    _, fut, t_sub = items[i]
-                    try:
-                        fut.set_result(results[i])
-                    except _futures.InvalidStateError:
-                        # a client cancel() can land at ANY point before
-                        # set_result (checking fut.cancelled() first is a
-                        # TOCTOU race); swallowing it here keeps one
-                        # abandoned request from poisoning the batch
-                        continue
-                    self.stats.record_latency(time.time() - t_sub)
-                self.stats.scenes += n_real
-                self.stats.steps += 1
-                self.stats.total_step_s += dt
-            except Exception as e:   # report, don't kill the loop
-                for _, fut, _t in items:
-                    try:
-                        if not fut.done():
-                            fut.set_exception(e)
-                    except _futures.InvalidStateError:
-                        pass     # lost a cancel race; nothing to deliver
+                if not fut.done():
+                    fut.set_exception(e)
+            except _futures.InvalidStateError:
+                pass     # lost a cancel race; nothing to deliver
+
+    # Subclasses either implement the pipelined pair — _dispatch (host
+    # work + async device dispatch) and _finish (device readback + host
+    # postprocess) — or just override _run_batch, which degrades to
+    # un-pipelined execution (all work at the _finish stage).
+    def _dispatch(self, reqs):
+        return reqs
+
+    def _finish(self, state):
+        return self._run_batch(state)
+
+    def _run_batch(self, reqs):
+        raise NotImplementedError(
+            "implement _dispatch/_finish (pipelined) or _run_batch")
 
     def _to_device(self, np_batch):
         if self.cast is not None:
@@ -289,7 +352,7 @@ class InstSegServer(_MicroBatchServer):
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device,
                          cast=cast)
 
-    def _run_batch(self, scenes):
+    def _dispatch(self, scenes):
         from pq3d_tpu.data.instseg_pipeline import (collate_processed,
                                                     process_scene)
         n_real = len(scenes)
@@ -309,9 +372,14 @@ class InstSegServer(_MicroBatchServer):
         dev_batch = self._to_device(np_batch)
         cls_l, mask_l = self._aot_call("fwd", self._fwd, self.variables,
                                        dev_batch, _key_args=(dev_batch,))
+        # device arrays are futures (async dispatch): readback in _finish
+        return (n_real, cls_l, mask_l, np_batch["seg_pad_masks"], meta)
+
+    def _finish(self, state):
+        n_real, cls_l, mask_l, seg_pad, meta = state
         cls_l = np.asarray(cls_l)
         mask_l = np.asarray(mask_l)
-        seg_valid = np.asarray(np_batch["seg_pad_masks"])
+        seg_valid = np.asarray(seg_pad)
         return [rank_instances(cls_l[i], mask_l[i], seg_valid[i],
                                num_classes=self.num_classes, topk=self.topk,
                                score_threshold=self.score_threshold,
@@ -368,7 +436,7 @@ class UnifiedServer(_MicroBatchServer):
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device,
                          cast=cast)
 
-    def _run_batch(self, reqs):
+    def _dispatch(self, reqs):
         n_real = len(reqs)
         processed = []
         for scene, lang in reqs:
@@ -386,16 +454,22 @@ class UnifiedServer(_MicroBatchServer):
         out = self._aot_call("fwd", self._fwd, self.variables, dev_batch,
                              _key_args=(dev_batch,))
         if self._decode is not None and "generation_enc" in out:
+            # phase-2 decode dispatches asynchronously on the fwd outputs —
+            # both stay on device; nothing blocks until _finish reads back
             out = dict(out)
             enc = out.pop("generation_enc")
             enc_mask = out.pop("generation_enc_mask")
             out["generation_tokens"] = self._aot_call(
                 "decode", self._decode, {"params": self.variables["params"]},
                 enc, enc_mask, _key_args=(enc, enc_mask), cfg=self._gen_cfg)
+        return (n_real, out, np_batch["query_pad_masks"])
+
+    def _finish(self, state):
+        n_real, out, query_pad = state
         out = {k: np.asarray(v) for k, v in out.items()}
         # object slots == query slots in the unified batch (one query per
         # candidate object, collate_unified:277-300)
-        obj_valid = np.asarray(np_batch["query_pad_masks"])
+        obj_valid = np.asarray(query_pad)
         results = []
         for i in range(n_real):
             r: Dict[str, Any] = {}
