@@ -102,6 +102,33 @@ class InstSegPipelineConfig:
     # per-conv predicate is sparse.ztriple_applicable).  Levels 0 and 4
     # are skipped: their conv shapes route to the baseline/unrolled paths.
     ztriple_conv: bool = False
+    # flat-pack SERVING shape lock: minimum sizes for every batch-varying
+    # flat dimension, so consecutive batches collate to ONE executable
+    # (keys: 'tot_{l}' packed voxel totals, 'rect_{l}' rectangularization
+    # width, 'win{l}s{j}_nw' swin window counts, 'stem_nb' stem blocks).
+    # Build with flat_shape_caps_from(sample_batch, margin).  A batch that
+    # overflows a cap falls back to its bucketed size (a recompile, never
+    # a crash) — same contract as stem_block_cap.  Every flat array
+    # tolerates tail padding by construction (valid=False / index -1 /
+    # trash-bucket rows), so the lock only raises pad sizes.
+    flat_shape_caps: Optional[Dict[str, int]] = None
+
+    def flat_dim(self, name: str, computed: int) -> int:
+        """Apply the flat shape lock to one batch-varying dimension."""
+        if not self.flat_shape_caps:
+            return computed
+        cap = self.flat_shape_caps.get(name)
+        if cap is None:
+            return computed
+        if computed > cap:
+            import warnings
+            warnings.warn(
+                f"flat dim {name} overflows its shape cap ({computed} > "
+                f"{cap}); falling back to the bucketed size for this batch "
+                f"(one-off recompile). Raise flat_shape_caps['{name}'].",
+                stacklevel=2)
+            return computed
+        return int(cap)
 
     def stem_pad_blocks(self, n_win_max: int) -> int:
         """Static block-pad for the dense stem pack (see stem_block_cap)."""
@@ -480,8 +507,17 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
     counts = [[h.num_voxels[l] for h in hs] for l in range(n_levels)]
     starts = [np.concatenate([[0], np.cumsum(c)]).astype(np.int64)
               for c in counts]
-    tot = [window_maps.bucket(int(st[-1]), cfg.voxel_bucket)
-           for st in starts]
+    flat_dims: Dict[str, int] = {}
+
+    def _dim(name: str, computed: int) -> int:
+        # record the TRUE (pre-lock) size so a serving auto-lock can be
+        # derived / grown from actual traffic, then apply the lock
+        flat_dims[name] = int(computed)
+        return cfg.flat_dim(name, computed)
+
+    tot = [_dim(f"tot_{l}", window_maps.bucket(int(starts[l][-1]),
+                                               cfg.voxel_bucket))
+           for l in range(n_levels)]
 
     maps: Dict[str, np.ndarray] = {}
     for l in range(n_levels):
@@ -527,7 +563,8 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
     maps["anc_local"] = anc_local
     maps["voxel_scene"] = scene_id
     for l in range(n_levels):
-        pmax = max(counts[l]) if counts[l] else 1
+        pmax = _dim(f"rect_{l}",
+                    window_maps.bucket(max(counts[l]) if counts[l] else 1))
         rect = np.full((b, pmax), -1, np.int32)
         for i in range(b):
             rect[i, :counts[l][i]] = np.arange(
@@ -545,7 +582,8 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
                 nwin = [int(s["swin_packs"][f"{key}_nwin"]) for s in scenes]
                 wstart = np.concatenate([[0], np.cumsum(nwin)]).astype(
                     np.int64)
-                nw_tot = window_maps.bucket(int(wstart[-1]))
+                nw_tot = _dim(f"{key}_nw",
+                              window_maps.bucket(int(wstart[-1])))
                 c2v = np.full(nw_tot * w3, -1, np.int32)
                 slot = np.full(tot[l], -1, np.int32)
                 for i, s in enumerate(scenes):
@@ -566,7 +604,7 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
             s["vox_coords"], blk, 0, with_neighbors=True) for s in scenes]
         nwin = [p["n_win"] for p in packs]
         wstart = np.concatenate([[0], np.cumsum(nwin)]).astype(np.int64)
-        nb_tot = window_maps.bucket(int(wstart[-1]))
+        nb_tot = _dim("stem_nb", window_maps.bucket(int(wstart[-1])))
         cin = scenes[0]["voxel_feats"].shape[1]
         dense = np.zeros((nb_tot * b3, cin), np.float32)
         c2v = np.full(nb_tot * b3, -1, np.int32)
@@ -634,7 +672,22 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
     out["maps"] = maps
     out["voxel_feats"] = vf
     out["voxel2segment"] = v2s
+    out["_meta"]["flat_dims"] = flat_dims
     return out
+
+
+def flat_shape_caps_from(dims: Dict[str, int],
+                         cfg: InstSegPipelineConfig,
+                         margin: float = 1.3) -> Dict[str, int]:
+    """Derive a ``flat_shape_caps`` lock from one batch's TRUE flat dims
+    (``batch['_meta']['flat_dims']``), scaled by ``margin`` and re-bucketed.
+    Serving recipe: collate one representative batch, lock the caps,
+    rebuild the pipe config — every subsequent batch that fits compiles to
+    the SAME executable (InstSegServer does this automatically)."""
+    return {name: window_maps.bucket(
+                int(n * margin),
+                cfg.voxel_bucket if name.startswith("tot_") else 256)
+            for name, n in dims.items()}
 
 
 def collate_processed(processed: List[Dict[str, np.ndarray]],

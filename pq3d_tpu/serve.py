@@ -352,6 +352,29 @@ class InstSegServer(_MicroBatchServer):
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device,
                          cast=cast)
 
+    def _update_flat_lock(self, dims) -> None:
+        """Flat-pack shape lock from observed traffic: the first batch (and
+        any batch that overflows the current lock) grows
+        ``pipe_cfg.flat_shape_caps`` (margin-scaled), so steady-state
+        serving converges to ONE executable instead of one per bucketed
+        batch-total combination (chip: 9 compiles over 8 batches without
+        the lock).  Pass ``flat_shape_caps`` explicitly for strict
+        compile-once serving."""
+        if not dims:
+            return
+        caps = self.pipe_cfg.flat_shape_caps
+        if caps is not None and all(v <= caps.get(k, 0)
+                                    for k, v in dims.items()):
+            return
+        import dataclasses
+        from pq3d_tpu.data.instseg_pipeline import flat_shape_caps_from
+        new = flat_shape_caps_from(dims, self.pipe_cfg)
+        if caps:
+            new = {k: max(new.get(k, 0), caps.get(k, 0))
+                   for k in set(new) | set(caps)}
+        self.pipe_cfg = dataclasses.replace(self.pipe_cfg,
+                                            flat_shape_caps=new)
+
     def _dispatch(self, scenes):
         from pq3d_tpu.data.instseg_pipeline import (collate_processed,
                                                     process_scene)
@@ -364,6 +387,8 @@ class InstSegServer(_MicroBatchServer):
         processed += [processed[-1]] * (self.batch_size - n_real)
         np_batch = collate_processed(processed, self.pipe_cfg)
         meta = np_batch.pop("_meta")
+        if self.pipe_cfg.flat_pack:
+            self._update_flat_lock(meta.get("flat_dims"))
         S = self.pipe_cfg.max_segments
         for name, dim in self.extra_features.items():
             np_batch[f"{name}_seg_fts"] = np.zeros(

@@ -122,7 +122,11 @@ def bench_instseg_serve():
                         num_classes=200, topk=100, max_delay_s=0.02,
                         extra_features={"mv": 768, "pc": 768})
     try:
-        _warm(srv, scenes[0])
+        # warm with the LARGEST scene: with flat_pack the server locks its
+        # shape envelope (flat_shape_caps) from the first batch, so warming
+        # at the top of the size range makes every later batch reuse ONE
+        # executable
+        _warm(srv, max(scenes, key=lambda s: len(s["points"])))
         t0 = time.time()
         futs = [srv.submit(s) for s in scenes]
         for f in futs:
