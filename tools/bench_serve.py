@@ -45,10 +45,14 @@ N_REQ = int(os.environ.get("SERVE_SCENES", "6" if SMOKE else "32"))
 
 
 def _warm(srv, request):
-    """One request through the server (jit compile), then reset stats so
-    the report excludes the compile latency.  The worker thread updates
-    stats AFTER resolving the future — the short sleep lets that batch's
-    bookkeeping land on the old stats object before the swap."""
+    """Two requests through the server (jit compiles), then reset stats so
+    the report excludes compile latency.  Two passes because a flat-pack
+    server locks its shape envelope from the FIRST batch and the second
+    compiles the locked executable every later batch reuses.  The worker
+    thread updates stats AFTER resolving the future — the short sleep lets
+    that batch's bookkeeping land on the old stats object before the
+    swap."""
+    srv.submit(request).result(timeout=3600)
     srv.submit(request).result(timeout=3600)
     time.sleep(0.5)
     srv.stats = ServerStats()
