@@ -61,6 +61,7 @@ class SegVoxelEncoder(nn.Module):
     swin_window: int = 4   # swin3d only; must match the host window packs
     sorted_gather: bool = False
     int8_gather: bool = False
+    pallas_conv: bool = False   # windowed pallas conv (ops/pallas_zt)
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -75,7 +76,8 @@ class SegVoxelEncoder(nn.Module):
             # silently dropping an explicitly-enabled lever
             dropped = [n for n, on in (
                 ("sorted_gather", self.sorted_gather),
-                ("int8_gather", self.int8_gather)) if on]
+                ("int8_gather", self.int8_gather),
+                ("pallas_conv", self.pallas_conv)) if on]
             if dropped and self.is_initializing():
                 print(f"[SegVoxelEncoder] swin3d backbone has no "
                       f"{'/'.join(dropped)} — option(s) ignored")
@@ -98,6 +100,7 @@ class SegVoxelEncoder(nn.Module):
                                  grad_mode=self.grad_mode,
                                  sorted_gather=self.sorted_gather,
                                  int8_gather=self.int8_gather,
+                                 pallas_conv=self.pallas_conv,
                                  name="backbone")
         bb_train = train and not self.freeze_backbone
         # feature_maps are FLAT (B*P_l, C) arrays, [L4, L3, L2, L1, L0]

@@ -73,6 +73,7 @@ class VoxelEncoderCfg:
                                  # pipeline's data.instseg_options.swin_window
     sorted_gather: bool = False  # sorted-index conv gathers (ops/sparse)
     int8_gather: bool = False    # int8-quantized tap gathers (inference)
+    pallas_conv: bool = False    # windowed pallas conv (ops/pallas_zt)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -250,6 +251,7 @@ class Query3DUnified(nn.Module):
                         swin_window=self.voxel_enc.swin_window,
                         sorted_gather=self.voxel_enc.sorted_gather,
                         int8_gather=self.voxel_enc.int8_gather,
+                        pallas_conv=self.voxel_enc.pallas_conv,
                         name="voxel_encoder")(
                             batch["voxel_feats"], batch["maps"],
                             batch["voxel2segment"],
@@ -499,7 +501,8 @@ def build_model(cfg) -> Query3DUnified:
             swin_window=int(bk_cfg.get("window",
                                        a.get("swin_window", 4)) or 4),
             sorted_gather=a.get("sorted_gather", False),
-            int8_gather=a.get("int8_gather", False))
+            int8_gather=a.get("int8_gather", False),
+            pallas_conv=a.get("pallas_conv", False))
         voxel_obj_enc = EncoderCfg(input_feat_size=128)
 
     mask_head_cfg = None

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pq3d_tpu.ops import sparse
+from pq3d_tpu.ops import pallas_zt, sparse
 from pq3d_tpu.models.layers import MaskedBatchNorm
 
 conv_init = nn.initializers.variance_scaling(2.0, "fan_in", "normal")
@@ -113,7 +113,7 @@ class SparseConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, nbr, valid, parent=None, parent_off=None,
-                 in_valid=None, zplan=None):
+                 in_valid=None, zplan=None, pzt=None):
         if isinstance(nbr, dict):
             # tap-compacted plan (flat_pack + compact_conv); symmetric
             # stencils get the scatter-free compact backward under
@@ -137,6 +137,23 @@ class SparseConv(nn.Module):
         w = self.param("kernel", conv_init, (k, x.shape[-1], self.out_channels))
         acc = jnp.dtype(self.accum)
         sg = self.sorted_gather
+        if (pzt is not None and k == 27 and parent is None
+                and pallas_zt.pallas_zt_applicable(
+                    nbr.shape[0], x.shape[-1], self.out_channels)):
+            # windowed pallas conv: streaming-DMA windows + MXU one-hot
+            # gather, breaking the random-fetch floor (chip_runs/0819d).
+            # Always the custom-VJP form — autodiff cannot differentiate
+            # through the manual-DMA kernel, and the symmetric-stencil
+            # backward is the fast path anyway.
+            import os as _os
+            y = pallas_zt.pallas_zt_conv_sym(
+                x, w, pzt, valid,
+                interpret=bool(_os.environ.get("PQ3D_PALLAS_INTERPRET")))
+            if self.use_bias:
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.out_channels,))
+                y = jnp.where(valid[..., None], y + b, 0)
+            return y
         if (zplan is not None and k == 27 and parent is None
                 and sparse.ztriple_applicable(nbr.shape[0], x.shape[-1],
                                               self.out_channels)):
@@ -224,7 +241,7 @@ class BasicBlock(nn.Module):
     int8_gather: bool = False
 
     @nn.compact
-    def __call__(self, x, nbr, valid, zplan=None):
+    def __call__(self, x, nbr, valid, zplan=None, pzt=None):
         train = self.train
         gm = self.grad_mode
         sg = self.sorted_gather
@@ -232,12 +249,12 @@ class BasicBlock(nn.Module):
         residual = x
         out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
                          sorted_gather=sg, int8_gather=i8,
-                         name="conv1")(x, nbr, valid, zplan=zplan)
+                         name="conv1")(x, nbr, valid, zplan=zplan, pzt=pzt)
         out = MaskedBatchNorm(self.bn_momentum, name="norm1")(out, valid, not train)
         out = jax.nn.relu(out)
         out = SparseConv(self.planes, accum=self.accum, grad_mode=gm,
                          sorted_gather=sg, int8_gather=i8,
-                         name="conv2")(out, nbr, valid, zplan=zplan)
+                         name="conv2")(out, nbr, valid, zplan=zplan, pzt=pzt)
         out = MaskedBatchNorm(self.bn_momentum, name="norm2")(out, valid, not train)
         if x.shape[-1] != self.planes:
             residual = nn.Dense(self.planes, use_bias=False, kernel_init=conv_init,
@@ -267,13 +284,13 @@ class ResStage(nn.Module):
     int8_gather: bool = False
 
     @nn.compact
-    def __call__(self, x, nbr, valid, train: bool, zplan=None):
+    def __call__(self, x, nbr, valid, train: bool, zplan=None, pzt=None):
         block_cls = remat_block_cls(BasicBlock, self.remat_policy, train)
         for i in range(self.layers):
             x = block_cls(self.planes, self.bn_momentum, train, self.accum,
                           self.grad_mode, self.sorted_gather,
                           self.int8_gather,
-                          name=f"block{i}")(x, nbr, valid, zplan)
+                          name=f"block{i}")(x, nbr, valid, zplan, pzt)
         return x
 
 
@@ -312,6 +329,10 @@ class Res16UNet(nn.Module):
     sorted_gather: bool = False  # sorted-index gather hint (see ops/sparse)
     int8_gather: bool = False   # int8 tap gathers on the 3^3 convs
     #   (inference only; silently off in train mode)
+    pallas_conv: bool = False   # windowed pallas conv on the fetch-floor
+    #   3^3 shapes (ops/pallas_zt; per-shape routing via
+    #   pallas_zt_applicable).  Plans are built on device from the shipped
+    #   neighbor maps — no extra host work or transfer.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, maps: Dict[str, jnp.ndarray],
@@ -337,6 +358,18 @@ class Res16UNet(nn.Module):
             n = [fm[f"nbr3_{l}"] for l in range(5)]
         zp = [(fm[f"zt{l}_base"], fm[f"zt{l}_code"])
               if f"zt{l}_base" in fm else None for l in range(5)]
+        # device-built windowed-conv plans for levels where some 3^3 conv
+        # can route to the pallas kernel (channel check happens per conv in
+        # SparseConv; the n-gates here match pallas_zt_applicable)
+        pzt = [None] * 5
+        if self.pallas_conv and "cmp0_in" not in fm:
+            for l in range(5):
+                n_l = fm[f"valid_{l}"].shape[0]
+                # probe with (96, 128) — the widest-reach channel pair of
+                # the topology: captures the n/backend/env gates; exact
+                # channels re-checked per conv
+                if pallas_zt.pallas_zt_applicable(n_l, 96, 128):
+                    pzt[l] = pallas_zt.device_zt_plan(fm[f"nbr3_{l}"])
         x = x.reshape(b * p0, cin)
         bn = lambda name: MaskedBatchNorm(self.bn_momentum, name=name)
         if flat_in:
@@ -379,7 +412,7 @@ class Res16UNet(nn.Module):
             out = ResStage(enc_planes[l], self.layers[l], self.bn_momentum,
                            self.remat_policy, self.accum, gm, sg, i8,
                            name=f"stage{l+1}")(out, n[l + 1], v[l + 1], train,
-                                               zp[l + 1])
+                                               zp[l + 1], pzt[l + 1])
             skips.append(out)
 
         feature_maps = [out]  # L4 (flat)
@@ -398,7 +431,7 @@ class Res16UNet(nn.Module):
             out = ResStage(dec_planes[i], self.layers[i + 4], self.bn_momentum,
                            self.remat_policy, self.accum, gm, sg, i8,
                            name=f"stage{i+5}")(out, n[lvl], v[lvl], train,
-                                               zp[lvl])
+                                               zp[lvl], pzt[lvl])
             feature_maps.append(out)
 
         final = nn.Dense(self.out_channels, kernel_init=conv_init,

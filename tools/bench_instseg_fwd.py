@@ -62,7 +62,8 @@ def build_batch(stem_mode, flat=False, compact=False, swin=0, ztriple=False):
     return jax.tree.map(jnp.asarray, batch), host_s
 
 
-def build_model(sorted_gather, backbone="res16unet", int8=False):
+def build_model(sorted_gather, backbone="res16unet", int8=False,
+                pallas_conv=False):
     return Query3DUnified(
         memories=("voxel", "mv", "pc"), heads=("mask",),
         hidden_size=96 if SMOKE else 768,
@@ -74,7 +75,8 @@ def build_model(sorted_gather, backbone="res16unet", int8=False):
                                   spatial_selfattn=True, use_self_mask=True),
         voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16",
                                   sorted_gather=sorted_gather,
-                                  backbone=backbone, int8_gather=int8),
+                                  backbone=backbone, int8_gather=int8,
+                                  pallas_conv=pallas_conv),
         mask_head_cfg=MaskHeadCfg(num_targets=201,
                                   filter_out_classes=(0, 2)))
 
@@ -117,17 +119,22 @@ def main():
             "zt": ("dense_block", False, False, False, 0, "res16unet",
                    False, True),
             "flat_zt": ("dense_block", False, True, False, 0, "res16unet",
-                        False, True)}
+                        False, True),
+            # + windowed pallas conv on the fetch-floor shapes
+            # (ops/pallas_zt; routing per pallas_zt_applicable)
+            "flat_pzt": ("dense_block", False, True, False, 0, "res16unet",
+                         False, True, True)}
     batches = {}
     for name in variants:
         stem, sg, flat, compact, swin, backbone = spec[name][:6]
         int8 = len(spec[name]) > 6 and spec[name][6]
         ztriple = len(spec[name]) > 7 and spec[name][7]
+        pzt = len(spec[name]) > 8 and spec[name][8]
         bkey = (stem, flat, compact, swin, ztriple)
         if bkey not in batches:
             batches[bkey] = build_batch(stem, flat, compact, swin, ztriple)
         batch, host_s = batches[bkey]
-        model = build_model(sg, backbone, int8)
+        model = build_model(sg, backbone, int8, pzt)
         variables = jax.jit(model.init, static_argnames=("train",))(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             batch, train=False)
