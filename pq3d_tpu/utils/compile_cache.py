@@ -34,11 +34,29 @@ def _platform_hint(jax) -> str:
         return ""
 
 
+def _host_fingerprint() -> str:
+    """Short hash of this host's CPU flags.  XLA:CPU AOT cache entries are
+    machine-feature-specific: entries written by a DIFFERENT host (the axon
+    platform remote-compiles on one, and VMs migrate) load with
+    'machine feature mismatch ... could lead to SIGILL' errors — observed
+    live on this image with +prefer-no-scatter entries in the _cpu cache."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(line.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
 def enable_compile_cache(jax) -> None:
     """Point jax at the persistent compile cache (call AFTER any
     ``jax.config.update("jax_platforms", ...)``)."""
     base = os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache")
-    if "cpu" in _platform_hint(jax) and not base.endswith("_cpu"):
-        base += "_cpu"
+    if "cpu" in _platform_hint(jax) and "_cpu" not in base:
+        base += f"_cpu_{_host_fingerprint()}"
     jax.config.update("jax_compilation_cache_dir", base)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
