@@ -102,6 +102,13 @@ class InstSegPipelineConfig:
     # per-conv predicate is sparse.ztriple_applicable).  Levels 0 and 4
     # are skipped: their conv shapes route to the baseline/unrolled paths.
     ztriple_conv: bool = False
+    # DEVICE-BUILT kernel maps (serving transfer-killer, ops/device_maps):
+    # the host ships only biased voxel coords (~0.8 MB) + features; the
+    # jitted forward builds the whole hierarchy (and stem pack / z-run
+    # plans) ON the TPU.  Requires level_caps; rectangular layout only.
+    # process_scene skips build_hierarchy entirely — the host pipeline cost
+    # drops to voxelize + centers + FPS.
+    device_maps: bool = False
     # flat-pack SERVING shape lock: minimum sizes for every batch-varying
     # flat dimension, so consecutive batches collate to ONE executable
     # (keys: 'tot_{l}' packed voxel totals, 'rect_{l}' rectangularization
@@ -148,6 +155,20 @@ class InstSegPipelineConfig:
         return window_maps.bucket(n_win_max)
 
     def __post_init__(self):
+        if self.device_maps:
+            if not self.level_caps:
+                raise ValueError(
+                    "device_maps needs static level_caps (device shapes are "
+                    "compile-time; there is nothing to bucket against)")
+            if self.flat_pack or self.compact_conv or self.level_cap_ladder:
+                raise ValueError(
+                    "device_maps is a rectangular-layout lever; unset "
+                    "flat_pack / compact_conv / level_cap_ladder")
+            if self.swin_window:
+                raise ValueError(
+                    "device_maps has no device swin-pack builder yet; "
+                    "use the res16unet backbone (stem gather/dense_block "
+                    "+ ztriple/pallas convs) or host maps for swin3d")
         if self.level_cap_ladder:
             if self.flat_pack:
                 raise ValueError(
@@ -275,14 +296,16 @@ def process_scene(scene: Dict[str, np.ndarray], cfg: InstSegPipelineConfig,
     # copy, the measured host-pipeline hot spot
     # ladder mode pads per-scene naturally; the batch rung is picked in
     # collate (which only copies true rows, so any rung >= true count works)
-    use_caps = cfg.level_caps and not cfg.level_cap_ladder
-    hierarchy = kernel_maps.build_hierarchy(
-        vox_coords,
-        pad_sizes=list(cfg.level_caps) if use_caps else None,
-        bucket=cfg.voxel_bucket, build_nbr5=False)
+    hierarchy = None
+    if not cfg.device_maps:
+        use_caps = cfg.level_caps and not cfg.level_cap_ladder
+        hierarchy = kernel_maps.build_hierarchy(
+            vox_coords,
+            pad_sizes=list(cfg.level_caps) if use_caps else None,
+            bucket=cfg.voxel_bucket, build_nbr5=False)
 
     swin_packs = None
-    if cfg.swin_window:
+    if cfg.swin_window and not cfg.device_maps:
         swin_packs = window_maps.build_swin_packs(
             [hierarchy.coords[l][:hierarchy.num_voxels[l]]
              for l in range(len(hierarchy.coords))],
@@ -330,8 +353,14 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
     """
     b = len(scenes)
     n_levels = kernel_maps.NUM_LEVELS
+    dev_maps = cfg.device_maps and include_voxel
     if not include_voxel:
         pad = [0] * n_levels
+    elif dev_maps:
+        # device-built maps: the only host-shipped voxel arrays are the
+        # biased coords + features; pads come straight from level_caps
+        # (static by contract — __post_init__ enforces they exist)
+        pad = list(cfg.level_caps)
     elif cfg.level_cap_ladder:
         true_max = [max(s["hierarchy"].num_voxels[l] for s in scenes)
                     for l in range(n_levels)]
@@ -360,7 +389,10 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
     # copied every map twice (measured host hot spot after the native
     # neighbor builds)
     maps: Dict[str, np.ndarray] = {}
-    if include_voxel:
+    if dev_maps:
+        vox_coords = np.zeros((b, pad[0], 3), np.int32)
+        n_voxels = np.zeros((b,), np.int32)
+    elif include_voxel:
         for l in range(n_levels):
             maps[f"valid_{l}"] = np.zeros((b, pad[l]), bool)
             maps[f"nbr3_{l}"] = np.full((b, pad[l], 27), -1, np.int32)
@@ -379,7 +411,47 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
     ]}
 
     for i, s in enumerate(scenes):
-        if include_voxel:
+        if dev_maps:
+            from pq3d_tpu.ops import device_maps as _dm
+            vc = s["vox_coords"]
+            n0 = len(vc)
+            if n0 > pad[0]:
+                import warnings
+                warnings.warn(
+                    f"scene has {n0} voxels > level cap {pad[0]}; truncating "
+                    f"for the device-maps batch (raise level_caps[0])")
+                vc, n0 = vc[:pad[0]], pad[0]
+            if cfg.stem_mode == "dense_block":
+                # the device stem pack drops blocks past its static cap —
+                # a cheap host count catches the overflow LOUDLY instead
+                # (device code cannot warn from inside jit)
+                blk = cfg.stem_block
+                wc = (vc >> 3) if blk == 8 else (vc // blk)
+                dims = wc.max(0) - wc.min(0) + 1
+                wz = wc - wc.min(0)
+                nw = len(np.unique(
+                    (wz[:, 0].astype(np.int64) * dims[1] + wz[:, 1])
+                    * dims[2] + wz[:, 2]))
+                # mirror ops/device_maps.build_batch_maps's static default —
+                # the device cap cannot grow per batch like stem_pad_blocks
+                cap_nw = cfg.stem_block_cap or window_maps.bucket(
+                    int(cfg.level_caps[0]) // 16)
+                if nw > cap_nw:
+                    import warnings
+                    warnings.warn(
+                        f"scene occupies {nw} {blk}^3 blocks > device stem "
+                        f"cap {cap_nw}; overflowing blocks will be DROPPED "
+                        f"on device (raise stem_block_cap)")
+            biased, _base = _dm.bias_coords_16(vc)
+            vox_coords[i, :n0] = biased
+            n_voxels[i] = n0
+            batch["voxel_feats"].append(
+                kernel_maps.pad_rows(s["voxel_feats"][:pad[0]], pad[0]))
+            v2s = kernel_maps.pad_rows(s["voxel2segment"][:pad[0]],
+                                       pad[0], S)
+            v2s[n0:] = S  # trash bucket
+            batch["voxel2segment"].append(np.minimum(v2s, S))
+        elif include_voxel:
             h: kernel_maps.SparseHierarchy = s["hierarchy"]
             nv = [min(n, p) for n, p in zip(h.num_voxels, pad)]
             for l in range(n_levels):
@@ -423,7 +495,10 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
 
     out = {k: np.stack(v) for k, v in batch.items()}
     out["maps"] = maps
-    if cfg.swin_window:
+    if dev_maps:
+        out["vox_coords"] = vox_coords
+        out["n_voxels"] = n_voxels
+    if cfg.swin_window and not dev_maps:
         w = cfg.swin_window
         for l in (1, 2, 3, 4):
             for j in (0, 1):
@@ -450,13 +525,15 @@ def collate(scenes: List[Dict[str, np.ndarray]], cfg: InstSegPipelineConfig,
             sm = s["segment_masks"][:Q, :S]
             oam[i, :sm.shape[0], :sm.shape[1]] = sm
         out["offline_attn_mask"] = oam
-    if include_voxel and cfg.ztriple_conv:
+    if include_voxel and cfg.ztriple_conv and not dev_maps:
         for l in ZTRIPLE_LEVELS:
             base, codes = kernel_maps.build_ztriple_plan(
                 maps[f"nbr3_{l}"].reshape(-1, 27), n_pad=pad[l])
             maps[f"zt{l}_base"] = base.reshape(b, pad[l], 9)
             maps[f"zt{l}_code"] = codes.reshape(b, pad[l], 9, 3)
-    if cfg.stem_mode == "dense_block":
+    if dev_maps:
+        pass    # stem packs / nbr5 / zt plans are built on device
+    elif cfg.stem_mode == "dense_block":
         blk = cfg.stem_block
         b3 = blk ** 3
         packs = [window_maps.build_window_pack(

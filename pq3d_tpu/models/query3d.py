@@ -74,6 +74,18 @@ class VoxelEncoderCfg:
     sorted_gather: bool = False  # sorted-index conv gathers (ops/sparse)
     int8_gather: bool = False    # int8-quantized tap gathers (inference)
     pallas_conv: bool = False    # windowed pallas conv (ops/pallas_zt)
+    # DEVICE-BUILT kernel maps (ops/device_maps.build_batch_maps): the
+    # static per-level caps the jitted forward builds the hierarchy with —
+    # MUST equal the pipeline's level_caps when
+    # data.instseg_options.device_maps is set.  The batch then carries only
+    # 'vox_coords'/'n_voxels' (~0.8 MB) instead of 60-100 MB of int32 maps.
+    device_maps: Optional[Tuple[int, ...]] = None
+    # with device_maps: stem map source ('dense_block' builds the stem pack
+    # on device, 'gather' builds nbr5_0 on device) and the static occupied-
+    # block cap (None derives the pipeline's stem_pad_blocks default)
+    device_stem: str = "dense_block"
+    device_stem_blocks: Optional[int] = None
+    device_ztriple: bool = False  # build z-run conv plans on device too
 
 
 @dataclasses.dataclass(frozen=True)
@@ -236,6 +248,22 @@ class Query3DUnified(nn.Module):
                                               deterministic)
                     inputs[mem] = (feat, batch["voxel_seg_pad_masks"], fts_pos)
                 else:
+                    if self.voxel_enc.device_maps is not None:
+                        # device-built kernel maps: the batch ships only the
+                        # biased voxel coords; the hierarchy / stem pack /
+                        # z-run plans are built here, inside the jit
+                        # (ops/device_maps; serving transfer-killer)
+                        from pq3d_tpu.ops import device_maps as _dm
+                        vmaps = _dm.build_batch_maps(
+                            batch["vox_coords"], batch["n_voxels"],
+                            batch["voxel_feats"],
+                            level_caps=self.voxel_enc.device_maps,
+                            conv0_kernel=self.voxel_enc.conv1_kernel_size,
+                            stem_mode=self.voxel_enc.device_stem,
+                            stem_blocks=self.voxel_enc.device_stem_blocks,
+                            ztriple=self.voxel_enc.device_ztriple)
+                    else:
+                        vmaps = batch["maps"]
                     scales = SegVoxelEncoder(
                         hidden_size=self.hidden_size,
                         hlevels=self.voxel_enc.hlevels,
@@ -253,7 +281,7 @@ class Query3DUnified(nn.Module):
                         int8_gather=self.voxel_enc.int8_gather,
                         pallas_conv=self.voxel_enc.pallas_conv,
                         name="voxel_encoder")(
-                            batch["voxel_feats"], batch["maps"],
+                            batch["voxel_feats"], vmaps,
                             batch["voxel2segment"],
                             max_seg=fts_locs.shape[1],
                             train=train, deterministic=deterministic)

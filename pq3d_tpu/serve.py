@@ -177,12 +177,19 @@ class _MicroBatchServer:
     # ----------------------------------------------------------------- loop
     def _collect(self, first_timeout=None):
         """``first_timeout=None`` blocks until a request (idle server);
-        a finite value bounds the wait (pipelined loop with a batch in
-        flight).  Returns ``None`` on the shutdown sentinel, ``[]`` when
-        the bounded wait found nothing."""
+        ``first_timeout=0.0`` drains whatever is queued RIGHT NOW without
+        waiting for stragglers (pipelined loop with a batch in flight — a
+        straggler wait here would stall resolution of the in-flight batch
+        by up to max_delay_s).  Returns ``None`` on the shutdown sentinel,
+        ``[]`` when a bounded wait found nothing."""
+        nonblocking = first_timeout == 0.0
         try:
-            first = self._q.get(timeout=first_timeout) \
-                if first_timeout is not None else self._q.get()
+            if nonblocking:
+                first = self._q.get_nowait()
+            elif first_timeout is not None:
+                first = self._q.get(timeout=first_timeout)
+            else:
+                first = self._q.get()
         except queue.Empty:
             return []
         if first is None:
@@ -191,7 +198,8 @@ class _MicroBatchServer:
         deadline = time.time() + self.max_delay_s
         while len(items) < self.batch_size:
             try:
-                nxt = self._q.get(timeout=max(deadline - time.time(), 0))
+                nxt = self._q.get_nowait() if nonblocking else \
+                    self._q.get(timeout=max(deadline - time.time(), 0))
             except queue.Empty:
                 break
             if nxt is None:
@@ -330,6 +338,23 @@ class InstSegServer(_MicroBatchServer):
                 "compact_conv arrays have no batch dim to shard")
         from pq3d_tpu.models.encoders import check_swin_window
         check_swin_window(model, pipe_cfg)
+        if pipe_cfg.device_maps:
+            # device-built kernel maps (ops/device_maps): the batch ships
+            # only vox_coords/n_voxels, so the MODEL must be configured to
+            # build the hierarchy itself, with the same static caps
+            ve = getattr(model, "voxel_enc", None)
+            caps = tuple(getattr(ve, "device_maps", None) or ())
+            if caps != tuple(pipe_cfg.level_caps):
+                raise ValueError(
+                    "pipe_cfg.device_maps=True needs the model built with "
+                    f"voxel_enc.device_maps == level_caps "
+                    f"(model: {caps or None}, pipe: "
+                    f"{tuple(pipe_cfg.level_caps)})")
+        elif getattr(getattr(model, "voxel_enc", None), "device_maps", None):
+            raise ValueError(
+                "model voxel_enc.device_maps is set but the pipeline ships "
+                "host maps — set pipe_cfg.device_maps=True (the model "
+                "would look for 'vox_coords' the batch does not carry)")
         import jax
         self.model = model
         if mesh is not None:

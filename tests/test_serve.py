@@ -136,6 +136,68 @@ def test_unified_server_grounding_and_generation():
     assert srv.stats.summary()["scenes"] == 5
 
 
+def test_server_device_maps_matches_host_maps():
+    """InstSegServer with pipe_cfg.device_maps: the batch ships only coords
+    (+feats); predictions must match the host-maps server on the same
+    scenes (ops/device_maps parity, end to end through serving)."""
+    import dataclasses
+    rng = np.random.default_rng(1)
+    host_pipe = dataclasses.replace(_pipe(), stem_mode="dense_block")
+    dev_pipe = dataclasses.replace(host_pipe, device_maps=True)
+    scenes = [synthetic.make_scene(rng, n_points=n, n_instances=3,
+                                   n_segments=16) for n in (600, 750)]
+    for s in scenes:
+        s["inst_labels"] = np.minimum(s["inst_labels"], 19)
+
+    host_model = _model()
+    dev_model = host_model.clone(voxel_enc=dataclasses.replace(
+        host_model.voxel_enc, device_maps=tuple(host_pipe.level_caps)))
+    init_batch = make_batch([dict(s) for s in scenes], host_pipe, rng,
+                            train=False)
+    S = host_pipe.max_segments
+    for name in ("mv", "pc"):
+        init_batch[f"{name}_seg_fts"] = np.zeros((2, S, 16), np.float32)
+        init_batch[f"{name}_seg_pad_masks"] = init_batch["seg_pad_masks"]
+    init_batch = {k: v for k, v in init_batch.items()
+                  if not k.startswith("_")}
+    variables = host_model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jax.tree.map(np.asarray, init_batch), train=False)
+
+    def run(model, pipe):
+        srv = InstSegServer(model, variables, pipe, batch_size=2,
+                            num_classes=20, topk=10, max_delay_s=0.01,
+                            extra_features={"mv": 16, "pc": 16})
+        try:
+            return [f.result(timeout=600)
+                    for f in [srv.submit(dict(s)) for s in scenes]]
+        finally:
+            srv.close()
+
+    want = run(host_model, host_pipe)
+    got = run(dev_model, dev_pipe)
+    for w_preds, g_preds in zip(want, got):
+        assert len(w_preds) == len(g_preds)
+        for w, g in zip(w_preds, g_preds):
+            assert w["class"] == g["class"]
+            np.testing.assert_allclose(g["score"], w["score"],
+                                       rtol=1e-4, atol=1e-5)
+            assert (w["mask"] == g["mask"]).mean() > 0.999
+
+
+def test_server_device_maps_config_mismatch():
+    """device_maps set on only one side (pipe or model) must fail loudly."""
+    import dataclasses
+    dev_pipe = dataclasses.replace(_pipe(), device_maps=True,
+                                   stem_mode="dense_block")
+    with pytest.raises(ValueError, match="device_maps"):
+        InstSegServer(_model(), {}, dev_pipe, batch_size=2, num_classes=20)
+    dev_model = _model().clone(voxel_enc=dataclasses.replace(
+        _model().voxel_enc, device_maps=(512, 256, 128, 128, 128)))
+    with pytest.raises(ValueError, match="device_maps"):
+        InstSegServer(dev_model, {}, _pipe(), batch_size=2, num_classes=20)
+
+
 def test_server_requires_level_caps():
     pipe = InstSegPipelineConfig(voxel_size=0.15, num_queries=8,
                                  max_segments=32, max_instances=8,

@@ -71,25 +71,33 @@ def bench_instseg_serve():
     rng = np.random.default_rng(0)
     stem = os.environ.get("SERVE_STEM", "dense_block")
     # SERVE_VARIANT picks the chip-measured round-3 winners (PERF.md):
-    #   dense     — rectangular dense_block stem (round-2 winner; meshable)
-    #   flat_zt   — flat pack + z-run fetch convs (res16unet parity topology)
-    #   flat_swin — flat pack + swin3d window-attention backbone (fastest)
+    #   dense       — rectangular dense_block stem (round-2 winner; meshable)
+    #   flat_zt     — flat pack + z-run fetch convs (res16unet parity)
+    #   flat_swin   — flat pack + swin3d window-attention backbone
+    #   dev_maps    — rectangular + DEVICE-BUILT kernel maps: the host ships
+    #                 ~0.8 MB of coords instead of 60-100 MB of int32 maps
+    #                 (the measured round-3 serving transfer bottleneck);
+    #                 hierarchy/stem/z-run plans build inside the jit
+    #                 (ops/device_maps)
     variant = os.environ.get("SERVE_VARIANT", "dense")
     bs = int(os.environ.get("SERVE_BATCH", "2" if SMOKE else "4"))
     flat = variant in ("flat_zt", "flat_swin")
     swin = variant == "flat_swin"
+    dev_maps = variant == "dev_maps"
+    level_caps = ((512, 512, 512, 256, 128) if SMOKE
+                  else (65536, 40960, 16384, 4096, 2048))
     pipe = InstSegPipelineConfig(
         voxel_size=0.15 if SMOKE else 0.02,
         num_queries=16 if SMOKE else 120,
         max_segments=64 if SMOKE else 512,
         max_instances=16 if SMOKE else 120,
         voxel_bucket=512 if SMOKE else 8192,
-        level_caps=((512, 512, 512, 256, 128) if SMOKE
-                    else (65536, 40960, 16384, 4096, 2048)),
+        level_caps=level_caps,
         use_aug=False,
         stem_mode="none" if swin else stem,
         flat_pack=flat,
         swin_window=4 if swin else 0,
+        device_maps=dev_maps,
         ztriple_conv=variant == "flat_zt")
     scenes = [synthetic.make_scene(
         rng, n_points=(600 + 100 * (i % 3)) if SMOKE
@@ -109,7 +117,12 @@ def bench_instseg_serve():
                                   spatial_selfattn=True, use_self_mask=True),
         voxel_enc=VoxelEncoderCfg(hlevels=(0, 1, 2, 3), accum="bfloat16",
                                   backbone="swin3d" if swin
-                                  else "res16unet"),
+                                  else "res16unet",
+                                  device_maps=(tuple(level_caps)
+                                               if dev_maps else None),
+                                  device_stem=stem if dev_maps
+                                  else "dense_block",
+                                  device_ztriple=dev_maps),
         mask_head_cfg=MaskHeadCfg(num_targets=201, filter_out_classes=(0, 2)))
     init_batch = make_batch(scenes[:bs], pipe, rng, train=False)
     S = pipe.max_segments
