@@ -52,6 +52,32 @@ def _time_calls(fn, *args, n1=2, n2=12):
     return max((t2 - t1) / (n2 - n1), 1e-9)
 
 
+# v5e peak: 197 TFLOP/s bf16 on the MXU (measured 163 TF/s on a 4096^3
+# matmul through the tunnel, PERF.md).  MFU here = XLA cost-analysis FLOPs /
+# step time / bf16 peak — a lower bound on efficiency for gather-bound
+# models (index traffic costs no FLOPs).
+PEAK_FLOPS = 197e12
+
+
+def _flops(jitted, *args):
+    """Model FLOPs per step from the compiled executable's cost analysis
+    (None when the backend does not expose it)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu(flops, dt):
+    if not flops or not dt:
+        return None
+    return round(flops / dt / PEAK_FLOPS, 4)
+
+
 def bench_unified(jax, jnp, rng):
     from pq3d_tpu.config import Config
     from pq3d_tpu.data.unified_datasets import SyntheticRefer
@@ -116,14 +142,19 @@ def bench_unified(jax, jnp, rng):
         return jnp.sum(out["ground_logits"]), out["generation_tokens"]
     fwd = jax.jit(_fwd)
     variants = {}
+    mfu = {}
     variants["f32"] = _time_calls(fwd, variables, batch)
+    fl = _flops(fwd, variables, batch)
+    mfu["f32"] = _mfu(fl, variants["f32"])
 
     # bf16 serving cast (utils/inference.py): params + batch follow bf16 so
     # every matmul runs at the MXU bf16 rate; accuracy pinned by
     # tests/test_bf16_modes.py
     from pq3d_tpu.utils.inference import cast_batch_bf16, cast_params_bf16
     v_bf16 = cast_params_bf16(variables)
-    variants["bf16"] = _time_calls(fwd, v_bf16, cast_batch_bf16(batch))
+    b_bf16 = cast_batch_bf16(batch)
+    variants["bf16"] = _time_calls(fwd, v_bf16, b_bf16)
+    mfu["bf16"] = _mfu(_flops(fwd, v_bf16, b_bf16), variants["bf16"])
 
     # two-phase decode split (GenerationHeadCfg.two_phase): forward and the
     # 50-token greedy decode as separate jits — fused together, XLA
@@ -146,21 +177,28 @@ def bench_unified(jax, jnp, rng):
                             out["generation_enc_mask"],
                             cfg=m2.generation_head_cfg)
                 return jnp.sum(out["ground_logits"]), toks
-            variants["two_bf16"] = _time_calls(
-                _two, v_bf16, cast_batch_bf16(batch))
+            variants["two_bf16"] = _time_calls(_two, v_bf16, b_bf16)
+            out2 = fwd2(v_bf16, b_bf16)
+            fl2 = (_flops(fwd2, v_bf16, b_bf16) or 0) + (_flops(
+                dec2, v_bf16, out2["generation_enc"],
+                out2["generation_enc_mask"],
+                cfg=m2.generation_head_cfg) or 0)
+            mfu["two_bf16"] = _mfu(fl2, variants["two_bf16"])
         except Exception as e:
             print(f"# unified two-phase variant failed: "
                   f"{type(e).__name__}: {e}", file=sys.stderr, flush=True)
     if "flat" in names:
         try:
             fbatch, _ = make_batch(True)
-            variants["flat_bf16"] = _time_calls(
-                fwd, v_bf16, cast_batch_bf16(fbatch))
+            fb_bf16 = cast_batch_bf16(fbatch)
+            variants["flat_bf16"] = _time_calls(fwd, v_bf16, fb_bf16)
+            mfu["flat_bf16"] = _mfu(_flops(fwd, v_bf16, fb_bf16),
+                                    variants["flat_bf16"])
         except Exception as e:
             print(f"# unified flat variant failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
     dt = min(variants.values())
-    return batch_size / dt, dt, host_s, variants
+    return batch_size / dt, dt, host_s, variants, mfu
 
 
 def bench_instseg(jax, jnp, rng):
@@ -182,6 +220,7 @@ def bench_instseg(jax, jnp, rng):
 
     variants = {}
     host_times = {}
+    mfu = {}
     # each variant is a separate full-scale compile (~minutes on this 1-CPU
     # box): keep the default ladder short; extend via env for manual runs
     # (stem, sorted_gather, flat_pack, compact_conv, swin_window[, int8])
@@ -199,6 +238,10 @@ def bench_instseg(jax, jnp, rng):
             # z-run fetch plans for the L1-3 convs (ops/sparse
             # .sparse_conv_ztriple) + auto tap-unroll at C>=256
             "flat_zt": ("dense_block", False, True, False, 0, False, True),
+            # + windowed pallas conv on the remaining fetch-floor 96-128ch
+            # shapes (ops/pallas_zt; device-built plans)
+            "flat_pzt": ("dense_block", False, True, False, 0, False, True,
+                         True),
             # window-attention backbone (models/swin3d.py)
             "swin": ("none", False, False, False, 4),
             "flat_swin": ("none", False, True, False, 4)}
@@ -216,6 +259,7 @@ def bench_instseg(jax, jnp, rng):
         stem, sorted_g, flat, compact, swin = entry[:5]  # not drop results
         int8 = len(entry) > 5 and entry[5]
         ztriple = len(entry) > 6 and entry[6]
+        pzt = len(entry) > 7 and entry[7]
         pipe_cfg = InstSegPipelineConfig(
             voxel_size=0.15 if SMOKE else 0.02,
             num_queries=16 if SMOKE else 120,
@@ -253,6 +297,7 @@ def bench_instseg(jax, jnp, rng):
                                       accum="bfloat16",
                                       sorted_gather=sorted_g,
                                       int8_gather=int8,
+                                      pallas_conv=pzt,
                                       backbone="swin3d" if swin
                                       else "res16unet"),
             mask_head_cfg=MaskHeadCfg(num_targets=201,
@@ -266,6 +311,7 @@ def bench_instseg(jax, jnp, rng):
         key = name.strip()
         variants[key] = _time_calls(fwd, variables, batch)
         host_times[key] = host_t
+        mfu[key] = _mfu(_flops(fwd, variables, batch), variants[key])
         print(f"# instseg {key}: {variants[key]*1000:.1f} ms",
               file=sys.stderr, flush=True)
       except Exception as e:
@@ -279,7 +325,7 @@ def bench_instseg(jax, jnp, rng):
     # host time is reported for the WINNING variant so the JSON's host and
     # device numbers describe the same configuration
     return batch_size / dt, dt, host_times[best], {
-        k: round(v * 1000, 2) for k, v in variants.items()}
+        k: round(v * 1000, 2) for k, v in variants.items()}, mfu
 
 
 def wait_for_device(max_wait_s: int = 1800) -> None:

@@ -107,9 +107,13 @@ class SparseConv(nn.Module):
     accum: str = "float32"   # 'float32' | 'bfloat16' (inference-only option)
     grad_mode: str = "native"  # 'native' | 'scatter_free'
     sorted_gather: bool = False  # monotonize maps + indices_are_sorted hint
+    #   — chip-measured WASH (PERF.md round-2 ladder: 431.7 vs 424.7 ms
+    #   base); kept only for A/B reruns, off in every shipped config
     int8_gather: bool = False  # int8-quantized tap gathers (inference lever;
     #   applies to the padded AND compact forward paths; ignored on the
-    #   scatter_free training backward)
+    #   scatter_free training backward) — chip-measured WASH at C<=96 rows
+    #   (PERF.md round-3: int8 rows < the 128 B lane granule, fetch count
+    #   not bytes bounds it); kept only for A/B reruns
 
     @nn.compact
     def __call__(self, x, nbr, valid, parent=None, parent_off=None,
@@ -146,9 +150,25 @@ class SparseConv(nn.Module):
             # through the manual-DMA kernel, and the symmetric-stencil
             # backward is the fast path anyway.
             import os as _os
-            y = pallas_zt.pallas_zt_conv_sym(
-                x, w, pzt, valid,
-                interpret=bool(_os.environ.get("PQ3D_PALLAS_INTERPRET")))
+            interp = bool(_os.environ.get("PQ3D_PALLAS_INTERPRET"))
+
+            # device plans compact exceptions into exc_cap slots PER COLUMN;
+            # a scene that overflows one column would silently lose conv
+            # contributions, so route that (rare: cap is ~n/64, measured
+            # exceptions are ~1%) batch through the baseline gather conv —
+            # lax.cond executes only the taken branch at runtime
+            def _pallas(ops):
+                xx, ww = ops
+                return pallas_zt.pallas_zt_conv_sym(xx, ww, pzt, valid,
+                                                    interpret=interp)
+
+            def _baseline(ops):
+                xx, ww = ops
+                return sparse.sparse_conv_sym(xx, nbr, ww, valid,
+                                              accum_dtype=acc)
+
+            y = jax.lax.cond(pzt["exc_dropped"] > 0, _baseline, _pallas,
+                             (x, w))
             if self.use_bias:
                 b = self.param("bias", nn.initializers.zeros,
                                (self.out_channels,))

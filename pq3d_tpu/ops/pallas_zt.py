@@ -100,6 +100,9 @@ def build_pallas_zt_plan(nbr: np.ndarray, tile: int = 128,
     return {"win_lo": lo.reshape(-1).astype(np.int32),
             "base_local": base_local, "msel": msel,
             "exc_base": exc_base, "exc_out": exc_out, "exc_msel": exc_msel,
+            # the raw z-run plan: pallas_zt_conv_sym's weight-grad re-gather
+            # needs it (device_zt_plan ships it too)
+            "zbase": zbase, "zcode": zcode,
             "tile": tile, "window": window, "n_exceptions": int(len(ej))}
 
 
@@ -207,6 +210,31 @@ def pallas_zt_applicable(n_rows: int, cin: int, cout: int) -> bool:
     return n_rows % 128 == 0 and n_rows >= min_rows
 
 
+def device_zrun_plan(nbr: jnp.ndarray
+                     ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Device twin of :func:`kernel_maps.build_ztriple_plan` — pure jnp.
+
+    Returns ``(zbase (N, 9) int32, zcode (N, 9, 3) int8)`` bit-matching the
+    host builder for the same (N, 27) map (pinned by
+    tests/test_device_maps.py).  Used by :func:`device_zt_plan` and by the
+    device-built-maps path (ops/device_maps.build_batch_maps) so the
+    ztriple convs need no host plan either.
+    """
+    n = nbr.shape[0]
+    big = jnp.int32(1 << 24)
+    nbrr = nbr.reshape(n, 9, 3)
+    zbase = jnp.min(jnp.where(nbrr >= 0, nbrr, big), axis=2)
+    has = zbase != big
+    zbase = jnp.where(has, jnp.minimum(zbase, n - 3), 0).astype(jnp.int32)
+    zcode = jnp.full((n, 9, 3), -2, jnp.int8)
+    for p in range(3):
+        for d in range(3):
+            m = has & (nbrr[:, :, d] == zbase + p)
+            zcode = zcode.at[:, :, p].set(
+                jnp.where(m, jnp.int8(d - 1), zcode[:, :, p]))
+    return zbase, zcode
+
+
 def device_zt_plan(nbr: jnp.ndarray, tile: int = 128, window: int = 384,
                    exc_cap: Optional[int] = None) -> Dict[str, jnp.ndarray]:
     """Device twin of :func:`build_pallas_zt_plan` — pure jnp, jit-safe.
@@ -220,16 +248,8 @@ def device_zt_plan(nbr: jnp.ndarray, tile: int = 128, window: int = 384,
     if exc_cap is None:
         exc_cap = max(1024, n // 64)
     big = jnp.int32(1 << 24)
-    nbrr = nbr.reshape(n, 9, 3)
-    zbase = jnp.min(jnp.where(nbrr >= 0, nbrr, big), axis=2)
-    has = zbase != big
-    zbase = jnp.where(has, jnp.minimum(zbase, n - 3), 0).astype(jnp.int32)
-    zcode = jnp.full((n, 9, 3), -2, jnp.int8)
-    for p in range(3):
-        for d in range(3):
-            m = has & (nbrr[:, :, d] == zbase + p)
-            zcode = zcode.at[:, :, p].set(
-                jnp.where(m, jnp.int8(d - 1), zcode[:, :, p]))
+    zbase, zcode = device_zrun_plan(nbr)
+    has = (zcode != -2).any(2)
 
     t = n // tile
     bt = zbase.reshape(t, tile, 9)
@@ -248,24 +268,33 @@ def device_zt_plan(nbr: jnp.ndarray, tile: int = 128, window: int = 384,
                    ((0, 0), (0, 10)))
 
     flags = has & ~inw                                      # (N, 9)
-    exc_base = []
-    exc_out = []
-    exc_msel = []
-    for c in range(9):
-        (idx,) = jnp.nonzero(flags[:, c], size=exc_cap, fill_value=n)
-        ok = idx < n
-        idx_c = jnp.minimum(idx, n - 1).astype(jnp.int32)
-        exc_base.append(jnp.where(ok, zbase[idx_c, c], 0))
-        exc_out.append(jnp.where(ok, idx_c, -1))
-        exc_msel.append(jnp.stack(
-            [(zcode[idx_c, c, p] == dz) & ok for p, dz in _COMBOS],
-            1).astype(jnp.float32))
+    # one vectorized compaction for all 9 columns: per-column cumsum + a
+    # single scatter-drop.  The earlier per-column jnp.nonzero(size=)
+    # lowered to 9 sorts and dominated the whole plan build (chip: 21.3 ->
+    # 16.4 ms at the flat L0 size with this form; zrun+msel alone is 4.5).
+    pos = jnp.cumsum(flags, axis=0, dtype=jnp.int32) - 1    # (N, 9)
+    cols = jnp.arange(9, dtype=jnp.int32)
+    okx = flags & (pos < exc_cap)
+    tgt = jnp.where(okx, cols[None, :] * exc_cap + pos, 9 * exc_cap)
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None], (n, 9))
+    exc_out = jnp.full((9 * exc_cap + 1,), -1, jnp.int32).at[
+        tgt.ravel()].set(rows.ravel(), mode="drop")[:9 * exc_cap].reshape(
+        9, exc_cap)
+    valid_e = exc_out >= 0
+    idx_c = jnp.maximum(exc_out, 0)                         # (9, E)
+    exc_base = jnp.where(valid_e, zbase[idx_c, cols[:, None]], 0)
+    exc_msel = jnp.stack(
+        [(zcode[idx_c, cols[:, None], p] == dz) & valid_e
+         for p, dz in _COMBOS], -1).astype(jnp.float32)
+    # overflow is PER COLUMN (each column compacts into its own exc_cap
+    # slots): a single column past exc_cap drops contributions even when
+    # the total is far under 9*exc_cap
+    col_counts = jnp.sum(flags, axis=0, dtype=jnp.int32)        # (9,)
     return {"win_lo": lo.reshape(-1), "base_local": base_local,
-            "msel": msel, "exc_base": jnp.stack(exc_base),
-            "exc_out": jnp.stack(exc_out), "exc_msel": jnp.stack(exc_msel),
+            "msel": msel, "exc_base": exc_base,
+            "exc_out": exc_out, "exc_msel": exc_msel,
             "zbase": zbase, "zcode": zcode,
-            "exc_dropped": jnp.maximum(
-                jnp.sum(flags, dtype=jnp.int32) - 9 * exc_cap, 0)}
+            "exc_dropped": jnp.sum(jnp.maximum(col_counts - exc_cap, 0))}
 
 
 def pallas_zt_conv_plan(x: jnp.ndarray, w: jnp.ndarray, plan: Dict,

@@ -74,12 +74,36 @@ def test_plan_structure(rng):
     assert len(exc) == plan["n_exceptions"]
 
 
+def _exception_forcing_window(nbr, tile):
+    """Window derived from the scene's measured per-tile run-base spread,
+    guaranteed to leave at least one (row, column) out-of-window so the
+    exception-compaction path is actually exercised (a magic constant here
+    once rotted into a zero-exception fixture)."""
+    n = nbr.shape[0]
+    zbase, zcode = kernel_maps.build_ztriple_plan(nbr, n)
+    has = (zcode != -2).any(2)
+    bt = zbase.reshape(-1, tile, 9)
+    ht = has.reshape(-1, tile, 9)
+    lo = np.where(ht, bt, np.int64(1 << 62)).min(1)
+    spread = np.where(ht, bt - lo[:, None], 0).max()
+    # the plan 8-aligns lo DOWN (adds <= 7 to every rel), so any window
+    # strictly below the max spread leaves the max-rel row excepted
+    window = max(16, (int(spread) - 8) & ~7)
+    assert window < spread, (window, spread)
+    return window
+
+
 def test_device_plan_matches_host(rng):
     _, nbr, _ = _scene(rng, extent=48, n_pts=6000)
     # narrow window forces exceptions through the device compaction
-    host = build_pallas_zt_plan(nbr, tile=128, window=232)
-    dev = jax.jit(lambda nb: device_zt_plan(nb, 128, 232, exc_cap=1024))(
+    window = _exception_forcing_window(nbr, tile=128)
+    host = build_pallas_zt_plan(nbr, tile=128, window=window)
+    dev = jax.jit(lambda nb: device_zt_plan(nb, 128, window, exc_cap=1024))(
         jnp.asarray(nbr))
+    # device exc arrays are capped at exc_cap per column: the comparison
+    # below is only exact when the host plan fits (it does — the window sits
+    # just under the max spread, so only the spread tail is excepted)
+    assert 0 < host["n_exceptions"] <= 1024, host["n_exceptions"]
     for k in ("win_lo", "base_local", "msel"):
         assert (np.asarray(host[k]) == np.asarray(dev[k])).all(), k
     for c in range(9):
