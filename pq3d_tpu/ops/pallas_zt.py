@@ -322,27 +322,30 @@ def pallas_zt_conv_sym(x: jnp.ndarray, w: jnp.ndarray, plan: Dict,
     """
     from pq3d_tpu.ops import sparse as _sparse
 
+    # plan/valid ride the custom_vjp as residuals, never bwd closures (a
+    # closed-over tracer leaks out of an enclosing remat trace — see
+    # ops/sparse.sparse_conv_sym)
     @jax.custom_vjp
-    def f(x, w):
+    def f(x, w, plan, out_valid):
         return pallas_zt_conv_plan(x, w, plan, out_valid, tile, window,
                                    interpret)
 
-    def fwd(x, w):
-        return f(x, w), (x, w)
+    def fwd(x, w, plan, out_valid):
+        return f(x, w, plan, out_valid), (x, w, plan, out_valid)
 
     def bwd(res, dy):
-        x, w = res
-        if out_valid is not None:
-            dy = jnp.where(out_valid[:, None], dy, 0)
+        x, w, plan, o_valid = res
+        if o_valid is not None:
+            dy = jnp.where(o_valid[:, None], dy, 0)
         w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
         dx = pallas_zt_conv_plan(dy, w_t, plan, None, tile, window,
                                  interpret).astype(x.dtype)
         dw = _sparse._ztriple_weight_grad(
             x, plan["zbase"], plan["zcode"], dy).astype(w.dtype)
-        return dx, dw
+        return dx, dw, None, None
 
     f.defvjp(fwd, bwd)
-    return f(x, w)
+    return f(x, w, plan, out_valid)
 
 
 @partial(jax.jit, static_argnames=("tile", "window", "interpret"))

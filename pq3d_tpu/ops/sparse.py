@@ -254,20 +254,23 @@ def _unpack_cells(y_cells: jnp.ndarray, slot: jnp.ndarray,
     gather through ``c2v`` instead of XLA's scatter-add.
     """
 
+    # maps ride the custom_vjp as residuals, never bwd closures (a closed-
+    # over map tracer leaks out of an enclosing remat trace — see
+    # sparse_conv_sym)
     @jax.custom_vjp
-    def f(y):
+    def f(y, slot, c2v):
         out = fast_row_gather(y, jnp.maximum(slot, 0))
         return jnp.where((slot >= 0)[:, None], out, 0)
 
-    def fwd(y):
-        return f(y), None
+    def fwd(y, slot, c2v):
+        return f(y, slot, c2v), c2v
 
-    def bwd(_, dy):
+    def bwd(c2v, dy):
         dyc = fast_row_gather(dy, jnp.maximum(c2v, 0))
-        return (jnp.where((c2v >= 0)[:, None], dyc, 0),)
+        return jnp.where((c2v >= 0)[:, None], dyc, 0), None, None
 
     f.defvjp(fwd, bwd)
-    return f(y_cells)
+    return f(y_cells, slot, c2v)
 
 
 def conv0_dense_block(dense_in: jnp.ndarray, nbr_win: jnp.ndarray,
@@ -474,28 +477,29 @@ def sparse_conv_ztriple_sym(x: jnp.ndarray, zbase: jnp.ndarray,
     Same duality as :func:`sparse_conv_sym`: the 3^3 stencil is symmetric,
     so dx = conv(dy, nbr, flip_k(W)^T); and since the z-run conv computes
     exactly conv(., nbr, .) for any weights, the SAME plan evaluates dx.
+    Maps ride the custom_vjp as residuals (see sparse_conv_sym).
     """
 
     @jax.custom_vjp
-    def f(x, w):
-        return sparse_conv_ztriple(x, zbase, zcode, w, out_valid,
+    def f(x, w, maps):
+        return sparse_conv_ztriple(x, maps[0], maps[1], w, maps[2],
                                    compute_dtype, accum_dtype)
 
-    def fwd(x, w):
-        return f(x, w), (x, w)
+    def fwd(x, w, maps):
+        return f(x, w, maps), (x, w, maps)
 
     def bwd(res, dy):
-        x, w = res
-        dy = _mask_rows(dy, out_valid)
+        x, w, (zbase, zcode, o_valid) = res
+        dy = _mask_rows(dy, o_valid)
         w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
         dx = sparse_conv_ztriple(dy, zbase, zcode, w_t, None,
                                  compute_dtype, accum_dtype).astype(x.dtype)
         dw = _ztriple_weight_grad(x, zbase, zcode, dy,
                                   compute_dtype).astype(w.dtype)
-        return dx, dw
+        return dx, dw, None
 
     f.defvjp(fwd, bwd)
-    return f(x, w)
+    return f(x, w, (zbase, zcode, out_valid))
 
 
 def _mask_rows(dy: jnp.ndarray, valid: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -535,32 +539,38 @@ def sparse_conv_sym(x: jnp.ndarray, nbr: jnp.ndarray, w: jnp.ndarray,
 
     dx = conv(dy, nbr, flip_k(W)^T): valid because for lexicographic odd
     offsets, tap K-1-k is the negated offset of tap k.
+
+    The maps travel through the custom_vjp as ARGUMENTS/residuals, never as
+    closures: a bwd closure over a map tracer leaks it out of any enclosing
+    remat trace (UnexpectedTracerError under nn.remat + grad — the maps are
+    remat-boundary arguments there).  Same pattern in every custom-VJP conv
+    below.
     """
 
     @jax.custom_vjp
-    def f(x, w):
+    def f(x, w, nbr, out_valid):
         return sparse_conv(x, nbr, w, None, out_valid,
                            compute_dtype, accum_dtype, sorted_maps)
 
-    def fwd(x, w):
-        return f(x, w), (x, w)
+    def fwd(x, w, nbr, out_valid):
+        return f(x, w, nbr, out_valid), (x, w, nbr, out_valid)
 
     def bwd(res, dy):
         # two passes (dx conv, then dW re-gather) measured FASTER than a
         # fused single scan sharing the dy gathers (2.29 vs 2.52 s/step at
         # bench scale — the fused body's transposed x^T@g GEMM pipelines
         # poorly against the loop-carried dx accumulator)
-        x, w = res
+        x, w, nbr, out_valid = res
         dy = _mask_rows(dy, out_valid)
         w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
         dx = sparse_conv(dy, nbr, w_t, None, None,
                          compute_dtype, accum_dtype, sorted_maps).astype(x.dtype)
         dw = _conv_weight_grad(x, nbr, dy, compute_dtype,
                                sorted_maps).astype(w.dtype)
-        return dx, dw
+        return dx, dw, None, None
 
     f.defvjp(fwd, bwd)
-    return f(x, w)
+    return f(x, w, nbr, out_valid)
 
 
 def sparse_conv_down(x: jnp.ndarray, child: jnp.ndarray, w: jnp.ndarray,
@@ -571,21 +581,22 @@ def sparse_conv_down(x: jnp.ndarray, child: jnp.ndarray, w: jnp.ndarray,
                      accum_dtype=jnp.float32,
                      sorted_maps: bool = False) -> jnp.ndarray:
     """Stride-2 down conv over the child map (N_coarse, 8) with the
-    transpose realized through the dual parent/parent_off maps."""
+    transpose realized through the dual parent/parent_off maps.
+    Maps ride the custom_vjp as residuals (see sparse_conv_sym)."""
 
     @jax.custom_vjp
-    def f(x, w):
-        return sparse_conv(x, child, w, None, out_valid,
+    def f(x, w, maps):
+        return sparse_conv(x, maps[0], w, None, maps[3],
                            compute_dtype, accum_dtype, sorted_maps)
 
-    def fwd(x, w):
-        return f(x, w), (x, w)
+    def fwd(x, w, maps):
+        return f(x, w, maps), (x, w, maps)
 
     def bwd(res, dy):
-        x, w = res
-        dy = _mask_rows(dy, out_valid)
+        x, w, (child, parent, parent_off, o_valid, i_valid) = res
+        dy = _mask_rows(dy, o_valid)
         dx = sparse_conv_transpose(
-            dy, parent, parent_off, w.transpose(0, 2, 1), in_valid,
+            dy, parent, parent_off, w.transpose(0, 2, 1), i_valid,
             compute_dtype, accum_dtype).astype(x.dtype)
         # dW[k] = sum_{fine: off==k} x[fine]^T dy[parent(fine)]: one gather
         # of dy through the parent map, then 8 masked GEMMs (instead of 8
@@ -600,10 +611,10 @@ def sparse_conv_down(x: jnp.ndarray, child: jnp.ndarray, w: jnp.ndarray,
             return _, jnp.dot(sel.T, dyg, preferred_element_type=jnp.float32)
 
         _, dw = jax.lax.scan(body, 0, jnp.arange(w.shape[0]))
-        return dx, dw.astype(w.dtype)
+        return dx, dw.astype(w.dtype), None
 
     f.defvjp(fwd, bwd)
-    return f(x, w)
+    return f(x, w, (child, parent, parent_off, out_valid, in_valid))
 
 
 def sparse_conv_transpose_gf(x: jnp.ndarray, parent: jnp.ndarray,
@@ -615,20 +626,21 @@ def sparse_conv_transpose_gf(x: jnp.ndarray, parent: jnp.ndarray,
                              accum_dtype=jnp.float32,
                              sorted_maps: bool = False) -> jnp.ndarray:
     """Stride-2 transpose (up) conv with gather-only backward via the dual
-    child map: dx[c] = sum_k dy[child[c, k]] @ W[k]^T."""
+    child map: dx[c] = sum_k dy[child[c, k]] @ W[k]^T.
+    Maps ride the custom_vjp as residuals (see sparse_conv_sym)."""
 
     @jax.custom_vjp
-    def f(x, w):
-        return sparse_conv_transpose(x, parent, parent_off, w, out_valid,
+    def f(x, w, maps):
+        return sparse_conv_transpose(x, maps[0], maps[1], w, maps[3],
                                      compute_dtype, accum_dtype)
 
-    def fwd(x, w):
-        return f(x, w), (x, w)
+    def fwd(x, w, maps):
+        return f(x, w, maps), (x, w, maps)
 
     def bwd(res, dy):
-        x, w = res
-        dy = _mask_rows(dy, out_valid)
-        dx = sparse_conv(dy, child, w.transpose(0, 2, 1), None, in_valid,
+        x, w, (parent, parent_off, child, o_valid, i_valid) = res
+        dy = _mask_rows(dy, o_valid)
+        dx = sparse_conv(dy, child, w.transpose(0, 2, 1), None, i_valid,
                          compute_dtype, accum_dtype, sorted_maps).astype(x.dtype)
         # dW[k] = sum_{fine: off==k} x[parent(fine)]^T dy[fine]
         xg = fast_row_gather(x.astype(compute_dtype),
@@ -641,10 +653,10 @@ def sparse_conv_transpose_gf(x: jnp.ndarray, parent: jnp.ndarray,
             return _, jnp.dot(sel.T, dyb, preferred_element_type=jnp.float32)
 
         _, dw = jax.lax.scan(body, 0, jnp.arange(w.shape[0]))
-        return dx, dw.astype(w.dtype)
+        return dx, dw.astype(w.dtype), None
 
     f.defvjp(fwd, bwd)
-    return f(x, w)
+    return f(x, w, (parent, parent_off, child, out_valid, in_valid))
 
 
 def sparse_conv_compact(x: jnp.ndarray, plan: dict, w: jnp.ndarray,
@@ -714,19 +726,20 @@ def sparse_conv_compact_sym(x: jnp.ndarray, plan: dict, w: jnp.ndarray,
     dx with flipped+transposed weights, and dW re-gathers only the valid
     pairs: ``dW[k] = gather(x, in_idx[k])^T @ gather(dy, out_idx[k])``.
     The backward's random fetches shrink by the same ~2x as the forward's.
+    Plan arrays ride the custom_vjp as residuals (see sparse_conv_sym).
     """
 
     @jax.custom_vjp
-    def f(x, w):
+    def f(x, w, plan, out_valid):
         return sparse_conv_compact(x, plan, w, out_valid,
                                    compute_dtype, accum_dtype)
 
-    def fwd(x, w):
-        return f(x, w), (x, w)
+    def fwd(x, w, plan, out_valid):
+        return f(x, w, plan, out_valid), (x, w, plan, out_valid)
 
     def bwd(res, dy):
-        x, w = res
-        dy = _mask_rows(dy, out_valid)
+        x, w, plan, o_valid = res
+        dy = _mask_rows(dy, o_valid)
         w_t = jnp.flip(w, axis=0).transpose(0, 2, 1)
         dx = sparse_conv_compact(dy, plan, w_t, None,
                                  compute_dtype, accum_dtype).astype(x.dtype)
@@ -743,7 +756,7 @@ def sparse_conv_compact_sym(x: jnp.ndarray, plan: dict, w: jnp.ndarray,
             return _, jnp.dot(xi.T, gi, preferred_element_type=jnp.float32)
 
         _, dw = jax.lax.scan(tap, 0, (plan["in_idx"], plan["out_idx"]))
-        return dx, dw.astype(w.dtype)
+        return dx, dw.astype(w.dtype), None, None
 
     f.defvjp(fwd, bwd)
-    return f(x, w)
+    return f(x, w, plan, out_valid)

@@ -42,10 +42,21 @@ def _host_fingerprint() -> str:
     live on this image with +prefer-no-scatter entries in the _cpu cache."""
     import hashlib
     try:
+        picked = []
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(line.encode()).hexdigest()[:8]
+                # flags alone are NOT enough: XLA also bakes in
+                # model-derived scheduling preferences (+prefer-no-scatter,
+                # +prefer-no-gather) that differ between hosts with
+                # identical ISA flags — observed live (mismatch errors from
+                # a fingerprinted _cpu cache).  Include the model identity.
+                if line.startswith(("flags", "model name", "model\t",
+                                    "cpu family", "stepping")):
+                    picked.append(line)
+                    if len(picked) >= 5:
+                        break
+        if picked:
+            return hashlib.md5("".join(picked).encode()).hexdigest()[:8]
     except OSError:
         pass
     import platform
@@ -54,7 +65,13 @@ def _host_fingerprint() -> str:
 
 def enable_compile_cache(jax) -> None:
     """Point jax at the persistent compile cache (call AFTER any
-    ``jax.config.update("jax_platforms", ...)``)."""
+    ``jax.config.update("jax_platforms", ...)``).
+
+    ``PQ3D_NO_COMPILE_CACHE=1`` disables it entirely — the escape hatch for
+    contended virtual-mesh subprocesses (dryrun_multichip, mesh-train
+    tests) where a poisoned cross-host CPU AOT entry means SIGILL."""
+    if os.environ.get("PQ3D_NO_COMPILE_CACHE"):
+        return
     base = os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache")
     if "cpu" in _platform_hint(jax) and "_cpu" not in base:
         base += f"_cpu_{_host_fingerprint()}"
