@@ -251,12 +251,18 @@ def bench_instseg(jax, jnp, rng):
     # gather 425 ms at B=4.  compact measured 4.1x SLOWER, sorted and int8
     # were washes — dropped from the default; the full ladder runs via
     # BENCH_VARIANTS (NEXTSTEPS.md).
+    # '_bf16' suffix on any variant = whole-model serving cast (weights AND
+    # batch floats to bf16, utils/inference) — chip round-4: flat_swin 164
+    # -> 109 ms (chip_runs/0820a/bf16_fwd.log); equivalence pinned by
+    # tests/test_bf16_modes.py::test_bf16_param_cast_instseg_swin_close
     names = os.environ.get(
-        "BENCH_VARIANTS", "gather,flat_zt,flat_swin").split(",")
+        "BENCH_VARIANTS", "gather,flat_zt_bf16,flat_swin_bf16").split(",")
     for name in names:
       try:                      # a failed variant must not kill the headline
-        entry = spec[name.strip()]   # inside the try: a typo'd name must
-        stem, sorted_g, flat, compact, swin = entry[:5]  # not drop results
+        bf16 = name.strip().endswith("_bf16")
+        entry = spec[name.strip()[:-5] if bf16 else name.strip()]
+        # inside the try: a typo'd name must not drop results
+        stem, sorted_g, flat, compact, swin = entry[:5]
         int8 = len(entry) > 5 and entry[5]
         ztriple = len(entry) > 6 and entry[6]
         pzt = len(entry) > 7 and entry[7]
@@ -305,6 +311,11 @@ def bench_instseg(jax, jnp, rng):
         variables = jax.jit(model.init, static_argnames=("train",))(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             batch, train=False)
+        if bf16:
+            from pq3d_tpu.utils.inference import (cast_batch_bf16,
+                                                  cast_params_bf16)
+            variables = cast_params_bf16(variables)
+            batch = cast_batch_bf16(batch)
         fwd = jax.jit(lambda v, b: sum(
             jnp.sum(x) for x in jax.tree.leaves(
                 model.apply(v, b, train=False))))
@@ -381,14 +392,17 @@ def main():
     enable_compile_cache(jax)
     rng = np.random.default_rng(0)
 
-    uni_sps, uni_dt, uni_host, uni_variants = bench_unified(jax, jnp, rng)
+    uni_sps, uni_dt, uni_host, uni_variants, uni_mfu = bench_unified(
+        jax, jnp, rng)
     try:
-        seg_sps, seg_dt, seg_host, seg_variants = bench_instseg(jax, jnp, rng)
+        seg_sps, seg_dt, seg_host, seg_variants, seg_mfu = bench_instseg(
+            jax, jnp, rng)
     except Exception as e:     # never lose the headline to the detail block
         print(f"# instseg bench failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
         seg_sps = seg_dt = seg_host = 0.0
         seg_variants = {"error": str(e)[:200]}
+        seg_mfu = {}
 
     result = {
         "metric": "unified_task_inference_throughput",
@@ -404,6 +418,10 @@ def main():
             "unified_variants_ms": {k: round(v * 1000, 2)
                                     for k, v in uni_variants.items()},
             "unified_batch": 2 if SMOKE else 8,
+            # MFU = XLA cost-analysis FLOPs / step / 197 TF/s bf16 peak —
+            # a lower bound for gather-bound models (VERDICT r03 item 9)
+            "unified_mfu": uni_mfu,
+            "instseg_mfu": seg_mfu,
             "instseg_scenes_per_sec": round(seg_sps, 3),
             "instseg_step_ms": round(seg_dt * 1000, 2),
             "instseg_variants_ms": seg_variants,

@@ -29,6 +29,70 @@ def test_clip_bf16_tower_close_to_f32():
 
 
 @pytest.mark.slow
+def test_bf16_param_cast_instseg_swin_close():
+    """Whole-model bf16 cast on the instseg flat_swin serving path (the
+    round-4 chip winner: 164 -> 109 ms, chip_runs/0820a/bf16_fwd.log —
+    the swin attention/matmuls otherwise run f32).  Class predictions must
+    stay close to f32 and decided argmaxes agree."""
+    from pq3d_tpu.data import synthetic
+    from pq3d_tpu.data.instseg_pipeline import (InstSegPipelineConfig,
+                                                make_batch)
+    from pq3d_tpu.models.query3d import (EncoderCfg, MaskHeadCfg,
+                                         Query3DUnified, UnifiedEncoderCfg,
+                                         VoxelEncoderCfg)
+    from pq3d_tpu.utils.inference import cast_batch_bf16, cast_params_bf16
+
+    rng = np.random.default_rng(0)
+    scenes = [synthetic.make_scene(rng, n_points=n, n_instances=3,
+                                   n_segments=16) for n in (700, 1000)]
+    for s in scenes:
+        s["inst_labels"] = np.minimum(s["inst_labels"], 19)
+    cfg = InstSegPipelineConfig(
+        voxel_size=0.15, num_queries=8, max_segments=32, max_instances=8,
+        voxel_bucket=128, use_aug=False, stem_mode="none", flat_pack=True,
+        swin_window=4)
+    b = make_batch(scenes, cfg, np.random.default_rng(1), train=False)
+    r = np.random.default_rng(5)
+    B, S = b["seg_pad_masks"].shape
+    b["mv_seg_fts"] = r.standard_normal((B, S, 16)).astype(np.float32)
+    b["mv_seg_pad_masks"] = b["seg_pad_masks"]
+    b["pc_seg_fts"] = r.standard_normal((B, S, 16)).astype(np.float32)
+    b["pc_seg_pad_masks"] = b["seg_pad_masks"]
+    b = jax.tree.map(jnp.asarray,
+                     {k: v for k, v in b.items() if not k.startswith("_")})
+    model = Query3DUnified(
+        memories=("voxel", "mv", "pc"), heads=("mask",), hidden_size=32,
+        dim_loc=3,
+        unified=UnifiedEncoderCfg(num_layers=1, num_blocks=1,
+                                  num_attention_heads=4,
+                                  structure="parallel",
+                                  spatial_selfattn=True, use_self_mask=True),
+        mv_enc=EncoderCfg(input_feat_size=16),
+        pc_enc=EncoderCfg(input_feat_size=16),
+        voxel_enc=VoxelEncoderCfg(hlevels=(0, 1), out_channels=20,
+                                  backbone="swin3d"),
+        mask_head_cfg=MaskHeadCfg(num_targets=21, filter_out_classes=(0, 2)))
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        b, train=False)
+    out32 = model.apply(variables, b, train=False)
+    outbf = model.apply(cast_params_bf16(variables), cast_batch_bf16(b),
+                        train=False)
+    c32 = np.asarray(out32["predictions_class"][-1], np.float32)
+    cbf = np.asarray(outbf["predictions_class"][-1], np.float32)
+    scale = np.abs(c32).max() + 1e-6
+    assert np.abs(c32 - cbf).max() / scale < 0.1
+    srt = np.sort(c32, -1)
+    decided = (srt[..., -1] - srt[..., -2]) / scale > 0.03
+    assert (c32.argmax(-1) == cbf.argmax(-1))[decided].all()
+    m32 = np.asarray(out32["predictions_mask"][-1], np.float32)
+    mbf = np.asarray(outbf["predictions_mask"][-1], np.float32)
+    mscale = np.abs(m32).max() + 1e-6
+    # mask logits gate through sigmoid>0.5; bf16 noise stays well inside
+    assert np.abs(m32 - mbf).max() / mscale < 0.1
+
+
+@pytest.mark.slow
 def test_bf16_param_cast_unified_forward_close():
     """Whole-model bf16 param cast (utils/inference.py): the unified
     forward's outputs stay close to f32 and grounding rankings agree."""

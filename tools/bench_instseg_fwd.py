@@ -29,7 +29,7 @@ from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig, make_batch
 from pq3d_tpu.models.query3d import (Query3DUnified, UnifiedEncoderCfg,
                                      MaskHeadCfg, VoxelEncoderCfg)
 
-BATCH = 4
+BATCH = int(os.environ.get("INSTSEG_BATCH", "4"))
 
 
 def build_batch(stem_mode, flat=False, compact=False, swin=0, ztriple=False):
@@ -126,10 +126,15 @@ def main():
                          False, True, True)}
     batches = {}
     for name in variants:
-        stem, sg, flat, compact, swin, backbone = spec[name][:6]
-        int8 = len(spec[name]) > 6 and spec[name][6]
-        ztriple = len(spec[name]) > 7 and spec[name][7]
-        pzt = len(spec[name]) > 8 and spec[name][8]
+        # any variant + '_bf16': whole-model serving cast (weights AND batch
+        # floats to bf16, utils/inference) — the decoder/head matmuls then
+        # run at the MXU bf16 rate like the unified serving path
+        bf16 = name.endswith("_bf16")
+        key = name[:-5] if bf16 else name
+        stem, sg, flat, compact, swin, backbone = spec[key][:6]
+        int8 = len(spec[key]) > 6 and spec[key][6]
+        ztriple = len(spec[key]) > 7 and spec[key][7]
+        pzt = len(spec[key]) > 8 and spec[key][8]
         bkey = (stem, flat, compact, swin, ztriple)
         if bkey not in batches:
             batches[bkey] = build_batch(stem, flat, compact, swin, ztriple)
@@ -138,6 +143,10 @@ def main():
         variables = jax.jit(model.init, static_argnames=("train",))(
             {"params": jax.random.key(0), "dropout": jax.random.key(1)},
             batch, train=False)
+        if bf16:
+            from pq3d_tpu.utils import inference
+            variables = inference.cast_params_bf16(variables)
+            batch = inference.cast_batch_bf16(batch)
         fwd = jax.jit(lambda v, b: sum(
             jnp.sum(x) for x in jax.tree.leaves(
                 model.apply(v, b, train=False))))

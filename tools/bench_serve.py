@@ -135,9 +135,16 @@ def bench_instseg_serve():
         {"params": jax.random.key(0), "dropout": jax.random.key(1)},
         jax.tree.map(np.asarray, init_batch), train=False)
 
+    cast = None
+    if os.environ.get("SERVE_BF16", "0") == "1":
+        # whole-model serving cast — chip round-4: flat_swin fwd 164->109 ms
+        # (chip_runs/0820a/bf16_fwd.log); equivalence in tests/test_bf16_modes
+        from pq3d_tpu.utils.inference import cast_batch_bf16, cast_params_bf16
+        variables = cast_params_bf16(variables)
+        cast = cast_batch_bf16
     srv = InstSegServer(model, variables, pipe, batch_size=bs,
                         num_classes=200, topk=100, max_delay_s=0.02,
-                        extra_features={"mv": 768, "pc": 768})
+                        extra_features={"mv": 768, "pc": 768}, cast=cast)
     try:
         # warm with the LARGEST scene: with flat_pack the server locks its
         # shape envelope (flat_shape_caps) from the first batch, so warming
