@@ -59,11 +59,11 @@ def _time_calls(fn, *args, n1=2, n2=12):
 PEAK_FLOPS = 197e12
 
 
-def _flops(jitted, *args):
+def _flops(jitted, *args, **kwargs):
     """Model FLOPs per step from the compiled executable's cost analysis
     (None when the backend does not expose it)."""
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = jitted.lower(*args, **kwargs).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         f = float(ca.get("flops", 0.0))
