@@ -47,6 +47,15 @@ def run_stage(name, config, overrides, log_dir, timeout=7200,
     if platform:
         env["PQ3D_PLATFORM"] = platform     # run.py forces the backend
         env["JAX_CACHE_DIR"] = "/tmp/jaxcache_cpu"
+    if platform == "cpu":
+        # single-device recipe rehearsal: scrub any inherited virtual-mesh
+        # device count (the pytest conftest exports
+        # --xla_force_host_platform_device_count=8, which the trainer would
+        # correctly reject as dp=8 vs the tiny rehearsal batchsizes)
+        env["XLA_FLAGS"] = " ".join(
+            f for f in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in f
+        ) + " --xla_force_host_platform_device_count=1"
     t0 = time.time()
     with open(log, "w") as f:
         r = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
