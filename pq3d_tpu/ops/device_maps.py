@@ -167,18 +167,28 @@ def build_device_hierarchy(coords0: jnp.ndarray, n0: jnp.ndarray,
     return out
 
 
-def bias_coords_16(coords: np.ndarray) -> tuple:
-    """Host helper: shift coords to a non-negative, 16-aligned origin.
+def bias_coords_16(coords: np.ndarray, align: int = 16) -> tuple:
+    """Host helper: shift coords to a non-negative, ``align``-aligned origin.
 
     ``floor(c / 2^l) - base / 2^l == floor((c - base) / 2^l)`` exactly when
     ``base`` is a multiple of ``2^l`` — 16-alignment keeps every stride-2
     grouping (4 levels) and the 8^3 stem blocking identical to the host
     build on the original coords, so all INDEX arrays are unchanged
     (pinned by tests/test_device_maps.py).
+
+    Swin window packs at level ``l`` additionally need ``base`` divisible
+    by ``window * 2^l`` (window grouping ``(c - base/2^l) // window`` must
+    equal ``c // window`` up to a constant): window 4 through level 4
+    needs ``align=64`` (tests/test_device_flat_maps.py pins this).
     Returns ``(biased_coords int32, base int64)``.
     """
-    base = np.floor_divide(coords.min(0).astype(np.int64), 16) * 16
+    base = np.floor_divide(coords.min(0).astype(np.int64), align) * align
     return (coords.astype(np.int64) - base).astype(np.int32), base
+
+
+def swin_bias_align(swin_window: int, max_level: int = 4) -> int:
+    """Bias alignment keeping hierarchy AND swin window grouping intact."""
+    return max(16, int(swin_window) << max_level) if swin_window else 16
 
 
 def build_device_stem_pack(coords0: jnp.ndarray, n0: jnp.ndarray,

@@ -70,7 +70,7 @@ def enable_compile_cache(jax) -> None:
     ``PQ3D_NO_COMPILE_CACHE=1`` disables it entirely — the escape hatch for
     contended virtual-mesh subprocesses (dryrun_multichip, mesh-train
     tests) where a poisoned cross-host CPU AOT entry means SIGILL."""
-    if os.environ.get("PQ3D_NO_COMPILE_CACHE"):
+    if os.environ.get("PQ3D_NO_COMPILE_CACHE", "0") not in ("", "0"):
         return
     base = os.environ.get("JAX_CACHE_DIR", "/tmp/jaxcache")
     if "cpu" in _platform_hint(jax) and "_cpu" not in base:

@@ -83,7 +83,15 @@ def row_gather(x, idx):
 
 
 def seg_gather(x, idx, s):
-    """Gather s consecutive rows starting at each idx -> (W, s, C)."""
+    """Gather s consecutive rows starting at each idx -> (W, s, C).
+
+    WARNING — DO NOT USE ON THE AXON TPU: this exact gather shape
+    (``slice_sizes=(s, C)``, ``collapsed_slice_dims=()``) deterministically
+    crashes the axon TPU worker with a kernel fault (see PERF.md round-4,
+    chip_runs/0820a/gather2_run4.log).  Kept only as documentation of the
+    crashing pattern; express block fetches as row gathers over an
+    (N/s, s*C) reshape instead (what this benchmark now does).
+    """
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,))
     return jax.lax.gather(

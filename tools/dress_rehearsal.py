@@ -182,6 +182,9 @@ def main():
     timings["stage1"] = run_stage("stage1", "instseg_sceneverse.yaml",
                                   common1, logs, platform=args.platform)
     m1 = last_metrics(stage1_dir, "val")
+    # fail fast on a non-finite stage-1 metric BEFORE spending the whole
+    # resume stage (advisor r04)
+    check_finite(m1, "stage1")
 
     # resume path: one extra epoch from the snapshot + latest checkpoint
     timings["stage1_resume"] = run_stage(
@@ -193,7 +196,6 @@ def main():
     # a blown optimizer/tracker restore shows up here as NaN/inf or a
     # missing metric key, long before real-data parity can be checked)
     m1b = last_metrics(stage1_dir, "val")
-    check_finite(m1, "stage1")
     check_finite(m1b, "stage1_resume")
     missing = set(m1) - set(m1b)
     assert not missing, f"metric keys lost across resume: {missing}"
