@@ -119,6 +119,12 @@ class InstSegPipelineConfig:
     # tolerates tail padding by construction (valid=False / index -1 /
     # trash-bucket rows), so the lock only raises pad sizes.
     flat_shape_caps: Optional[Dict[str, int]] = None
+    # with device_maps + flat_pack: host-side overflow check of the locked
+    # caps (true per-level voxel / window counts via cheap ravel-key
+    # uniques, ~tens of ms per batch).  The device builder silently drops
+    # rows past a cap into trash slots, so this check is the only loud
+    # signal; disable only for throughput benches on known-fitting traffic.
+    device_flat_check: bool = True
 
     def flat_dim(self, name: str, computed: int) -> int:
         """Apply the flat shape lock to one batch-varying dimension."""
@@ -155,20 +161,43 @@ class InstSegPipelineConfig:
         return window_maps.bucket(n_win_max)
 
     def __post_init__(self):
-        if self.device_maps:
+        if self.device_maps and self.flat_pack:
+            # FLAT device maps (ops/device_flat_maps): every flat dim must
+            # be locked up front — the model's jitted builder bakes the
+            # caps in, so there is nothing to bucket or grow against
+            if self.compact_conv or self.level_cap_ladder:
+                raise ValueError(
+                    "device_maps + flat_pack supports neither compact_conv "
+                    "nor level_cap_ladder (device shapes are compile-time)")
+            if self.stem_mode not in ("none", "dense_block"):
+                raise ValueError(
+                    "device_maps + flat_pack needs stem_mode 'none' "
+                    "(swin3d backbone) or 'dense_block' (res16unet); the "
+                    "125-tap 'gather' stem has no flat device builder")
+            from pq3d_tpu.ops import device_flat_maps as _dfm
+            missing = _dfm.flat_caps_complete(
+                self.flat_shape_caps or {}, self.swin_window, (1, 2, 3, 4),
+                self.stem_mode)
+            if missing:
+                raise ValueError(
+                    "device_maps + flat_pack needs a COMPLETE "
+                    f"flat_shape_caps lock; missing {missing} — derive one "
+                    "from a representative host-collated batch with "
+                    "flat_shape_caps_from(batch['_meta']['flat_dims'], cfg)")
+        elif self.device_maps:
             if not self.level_caps:
                 raise ValueError(
                     "device_maps needs static level_caps (device shapes are "
                     "compile-time; there is nothing to bucket against)")
-            if self.flat_pack or self.compact_conv or self.level_cap_ladder:
+            if self.compact_conv or self.level_cap_ladder:
                 raise ValueError(
-                    "device_maps is a rectangular-layout lever; unset "
-                    "flat_pack / compact_conv / level_cap_ladder")
+                    "device_maps is a static-shape lever; unset "
+                    "compact_conv / level_cap_ladder")
             if self.swin_window:
                 raise ValueError(
-                    "device_maps has no device swin-pack builder yet; "
-                    "use the res16unet backbone (stem gather/dense_block "
-                    "+ ztriple/pallas convs) or host maps for swin3d")
+                    "rectangular device_maps has no device swin-pack "
+                    "builder; swin3d composes with device maps via the "
+                    "FLAT layout (flat_pack=True + flat_shape_caps)")
         if self.level_cap_ladder:
             if self.flat_pack:
                 raise ValueError(
@@ -753,6 +782,125 @@ def collate_flat(scenes: List[Dict[str, np.ndarray]],
     return out
 
 
+def collate_flat_device(scenes: List[Dict[str, np.ndarray]],
+                        cfg: InstSegPipelineConfig
+                        ) -> Dict[str, np.ndarray]:
+    """Flat layout with DEVICE-built maps (ops/device_flat_maps): the host
+    ships only the concatenated biased voxel coords + per-scene counts +
+    flat features; the jitted forward builds every flat index array on
+    the accelerator.  Host cost drops to voxelize + concat (no hierarchy,
+    no window packs, no neighbor maps), and the shipped bytes drop from
+    60-100 MB of int32 maps to ~0.5 MB of coords.
+
+    Requires a COMPLETE ``cfg.flat_shape_caps`` lock (enforced by
+    ``__post_init__``); a batch that overflows a locked cap warns loudly
+    here — on device the overflow rows are silently dropped into trash
+    slots, so the warning is the only signal.
+    """
+    from pq3d_tpu.ops import device_maps as _dm
+    caps = cfg.flat_shape_caps
+    b = len(scenes)
+    tot0 = int(caps["tot_0"])
+    counts = np.array([len(s["vox_coords"]) for s in scenes], np.int32)
+    total0 = int(counts.sum())
+    if total0 > tot0:
+        raise ValueError(
+            f"batch has {total0} voxels > flat_shape_caps['tot_0'] {tot0}; "
+            "device flat shapes cannot grow — raise the lock (and rebuild "
+            "the model with matching voxel_enc.device_flat_caps)")
+    align = _dm.swin_bias_align(cfg.swin_window)
+    cin = scenes[0]["voxel_feats"].shape[1]
+    feat_dt = scenes[0]["voxel_feats"].dtype
+    vox_coords = np.zeros((tot0, 3), np.int32)
+    voxel_feats = np.zeros((tot0, cin), feat_dt)
+    v2s = np.full(tot0, cfg.max_segments, np.int32)
+    r = 0
+    for s in scenes:
+        n = len(s["vox_coords"])
+        biased, _base = _dm.bias_coords_16(s["vox_coords"], align=align)
+        vox_coords[r:r + n] = biased
+        voxel_feats[r:r + n] = s["voxel_feats"]
+        v2s[r:r + n] = np.minimum(s["voxel2segment"], cfg.max_segments)
+        r += n
+    # uint32 key-space guard (ops/device_flat_maps module docstring):
+    # B * dx*dy*dz must stay clear of the wrap region
+    dims = vox_coords[:total0].max(0).astype(np.int64) + 3 \
+        if total0 else np.array([3, 3, 3], np.int64)
+    vol = int(dims[0] * dims[1] * dims[2])
+    if (b + 1) * vol >= 2 ** 32:
+        raise ValueError(
+            f"scene-augmented uint32 key space overflow: {b} scenes x "
+            f"field volume {vol} — split the batch or coarsen voxel_size")
+
+    true_dims = {"tot_0": total0, "rect_0": int(counts.max())}
+    if cfg.device_flat_check:
+        true_dims = _flat_device_true_dims(
+            [vox_coords[s:s + n] for s, n in
+             zip(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)],
+            cfg)
+        over = {k: (v, caps[k]) for k, v in true_dims.items()
+                if v > caps.get(k, 1 << 30)}
+        if over:
+            raise ValueError(
+                f"batch overflows the device flat shape lock: "
+                f"{{name: (true, cap)}} = {over} — the device builder "
+                "would silently DROP rows; raise flat_shape_caps (and "
+                "rebuild the model with matching device_flat_caps) or "
+                "split the batch")
+
+    out = collate(scenes, dataclasses.replace(cfg, flat_pack=False,
+                                              device_maps=False,
+                                              swin_window=0,
+                                              level_cap_ladder=None,
+                                              stem_mode="none"),
+                  include_voxel=False)
+    out["maps"] = {}        # built on device (same contract as rect dev)
+    out["vox_coords"] = vox_coords
+    out["n_voxels"] = counts
+    out["voxel_feats"] = voxel_feats
+    out["voxel2segment"] = v2s
+    out["_meta"]["flat_dims"] = true_dims
+    return out
+
+
+def _flat_device_true_dims(scene_coords: List[np.ndarray],
+                           cfg: InstSegPipelineConfig) -> Dict[str, int]:
+    """True flat dims of a batch from its (biased) per-scene coords alone —
+    the host-side overflow check for the device flat builder.  One int64
+    ravel-key ``np.unique`` per (scene, level[, window shift]); no
+    neighbor maps, no packs."""
+    def _keys(c: np.ndarray) -> np.ndarray:
+        if not len(c):
+            return np.zeros(0, np.int64)
+        d = c.max(0).astype(np.int64) + 1
+        return (c[:, 0].astype(np.int64) * d[1] + c[:, 1]) * d[2] + c[:, 2]
+
+    dims: Dict[str, int] = {}
+    lvl = [np.asarray(c, np.int64) for c in scene_coords]
+    for l in range(kernel_maps.NUM_LEVELS):
+        dims[f"tot_{l}"] = sum(len(c) for c in lvl)
+        dims[f"rect_{l}"] = max((len(c) for c in lvl), default=1)
+        if cfg.swin_window and l in (1, 2, 3, 4):
+            w = cfg.swin_window
+            for j, sh in enumerate((0, w // 2)):
+                dims[f"win{l}s{j}_nw"] = sum(
+                    len(np.unique(_keys((c + sh) // w))) for c in lvl)
+        if l == 0 and cfg.stem_mode == "dense_block":
+            dims["stem_nb"] = sum(
+                len(np.unique(_keys(c // cfg.stem_block))) for c in lvl)
+        if l < kernel_maps.NUM_LEVELS - 1:
+            nxt = []
+            for c in lvl:
+                k = np.unique(_keys(c >> 1))
+                d = (c >> 1).max(0).astype(np.int64) + 1 \
+                    if len(c) else np.ones(3, np.int64)
+                nxt.append(np.stack([k // (d[1] * d[2]),
+                                     (k // d[2]) % d[1],
+                                     k % d[2]], axis=1))
+            lvl = nxt
+    return dims
+
+
 def flat_shape_caps_from(dims: Dict[str, int],
                          cfg: InstSegPipelineConfig,
                          margin: float = 1.3) -> Dict[str, int]:
@@ -773,6 +921,8 @@ def collate_processed(processed: List[Dict[str, np.ndarray]],
     pre-processed scenes (training loaders, serving, benches) must batch
     through here so layout branches stay in one place."""
     if cfg.flat_pack:
+        if cfg.device_maps:
+            return collate_flat_device(processed, cfg)
         return collate_flat(processed, cfg)
     return collate(processed, cfg)
 

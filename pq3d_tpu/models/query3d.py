@@ -86,6 +86,16 @@ class VoxelEncoderCfg:
     device_stem: str = "dense_block"
     device_stem_blocks: Optional[int] = None
     device_ztriple: bool = False  # build z-run conv plans on device too
+    # DEVICE-BUILT FLAT maps (ops/device_flat_maps.build_flat_maps): the
+    # static flat shape lock as a hashable tuple of (name, size) pairs —
+    # MUST equal the pipeline's flat_shape_caps when device_maps +
+    # flat_pack are set there.  The batch then carries only flat
+    # 'vox_coords' (tot_0, 3) + 'n_voxels' (B,) + flat features, and the
+    # jitted forward builds the flat hierarchy + swin/stem packs itself —
+    # composing the device-maps transfer win with the flat layout's
+    # compute win (flat_swin).  Build with
+    # ``tuple(sorted(flat_shape_caps.items()))``.
+    device_flat_caps: Optional[Tuple[Tuple[str, int], ...]] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -248,7 +258,32 @@ class Query3DUnified(nn.Module):
                                               deterministic)
                     inputs[mem] = (feat, batch["voxel_seg_pad_masks"], fts_pos)
                 else:
-                    if self.voxel_enc.device_maps is not None:
+                    if self.voxel_enc.device_flat_caps is not None:
+                        # device-built FLAT maps: flat coords + per-scene
+                        # counts in, the whole flat hierarchy + swin/stem
+                        # packs built inside the jit
+                        # (ops/device_flat_maps; composes the transfer win
+                        # with the flat_swin compute win)
+                        from pq3d_tpu.ops import device_flat_maps as _dfm
+                        if batch["vox_coords"].ndim != 2:
+                            raise ValueError(
+                                "voxel_enc.device_flat_caps is set but the "
+                                "batch ships rectangular vox_coords — set "
+                                "data.instseg_options.flat_pack=True with "
+                                "device_maps=True")
+                        is_swin = self.voxel_enc.backbone == "swin3d"
+                        vmaps = _dfm.build_flat_maps(
+                            batch["vox_coords"], batch["n_voxels"],
+                            dict(self.voxel_enc.device_flat_caps),
+                            swin_window=(self.voxel_enc.swin_window
+                                         if is_swin else 0),
+                            # the swin backbone's stem conv runs off
+                            # nbr3_0 alone (pipeline stem_mode='none')
+                            stem_mode=("none" if is_swin
+                                       else self.voxel_enc.device_stem),
+                            voxel_feats=batch["voxel_feats"],
+                            ztriple=self.voxel_enc.device_ztriple)
+                    elif self.voxel_enc.device_maps is not None:
                         # device-built kernel maps: the batch ships only the
                         # biased voxel coords; the hierarchy / stem pack /
                         # z-run plans are built here, inside the jit

@@ -338,11 +338,24 @@ class InstSegServer(_MicroBatchServer):
                 "compact_conv arrays have no batch dim to shard")
         from pq3d_tpu.models.encoders import check_swin_window
         check_swin_window(model, pipe_cfg)
-        if pipe_cfg.device_maps:
+        ve = getattr(model, "voxel_enc", None)
+        if pipe_cfg.device_maps and pipe_cfg.flat_pack:
+            # device-built FLAT maps (ops/device_flat_maps): the model's
+            # baked-in flat caps must equal the pipeline's shape lock
+            mcaps = dict(getattr(ve, "device_flat_caps", None) or ())
+            pcaps = dict(pipe_cfg.flat_shape_caps or {})
+            if mcaps != pcaps:
+                diff = {k: (mcaps.get(k), pcaps.get(k))
+                        for k in set(mcaps) | set(pcaps)
+                        if mcaps.get(k) != pcaps.get(k)}
+                raise ValueError(
+                    "pipe_cfg.device_maps + flat_pack needs the model "
+                    "built with voxel_enc.device_flat_caps == "
+                    f"flat_shape_caps; differing keys (model, pipe): {diff}")
+        elif pipe_cfg.device_maps:
             # device-built kernel maps (ops/device_maps): the batch ships
             # only vox_coords/n_voxels, so the MODEL must be configured to
             # build the hierarchy itself, with the same static caps
-            ve = getattr(model, "voxel_enc", None)
             caps = tuple(getattr(ve, "device_maps", None) or ())
             if caps != tuple(pipe_cfg.level_caps):
                 raise ValueError(
@@ -350,11 +363,13 @@ class InstSegServer(_MicroBatchServer):
                     f"voxel_enc.device_maps == level_caps "
                     f"(model: {caps or None}, pipe: "
                     f"{tuple(pipe_cfg.level_caps)})")
-        elif getattr(getattr(model, "voxel_enc", None), "device_maps", None):
+        elif getattr(ve, "device_maps", None) is not None or \
+                getattr(ve, "device_flat_caps", None) is not None:
             raise ValueError(
-                "model voxel_enc.device_maps is set but the pipeline ships "
-                "host maps — set pipe_cfg.device_maps=True (the model "
-                "would look for 'vox_coords' the batch does not carry)")
+                "model voxel_enc.device_maps/device_flat_caps is set but "
+                "the pipeline ships host maps — set "
+                "pipe_cfg.device_maps=True (the model would look for "
+                "'vox_coords' the batch does not carry)")
         import jax
         self.model = model
         if mesh is not None:
@@ -412,7 +427,9 @@ class InstSegServer(_MicroBatchServer):
         processed += [processed[-1]] * (self.batch_size - n_real)
         np_batch = collate_processed(processed, self.pipe_cfg)
         meta = np_batch.pop("_meta")
-        if self.pipe_cfg.flat_pack:
+        if self.pipe_cfg.flat_pack and not self.pipe_cfg.device_maps:
+            # device flat maps bake the lock into the model — it cannot
+            # grow; collate_flat_device raises loudly on overflow instead
             self._update_flat_lock(meta.get("flat_dims"))
         S = self.pipe_cfg.max_segments
         for name, dim in self.extra_features.items():

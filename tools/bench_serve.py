@@ -79,11 +79,15 @@ def bench_instseg_serve():
     #                 (the measured round-3 serving transfer bottleneck);
     #                 hierarchy/stem/z-run plans build inside the jit
     #                 (ops/device_maps)
+    #   dev_flat_swin — flat_swin layout WITH device-built flat maps
+    #                 (ops/device_flat_maps): composes the round-4 transfer
+    #                 win with the chip-fastest backbone (round-5)
     variant = os.environ.get("SERVE_VARIANT", "dense")
     bs = int(os.environ.get("SERVE_BATCH", "2" if SMOKE else "4"))
-    flat = variant in ("flat_zt", "flat_swin")
-    swin = variant == "flat_swin"
+    flat = variant in ("flat_zt", "flat_swin", "dev_flat_swin")
+    swin = variant in ("flat_swin", "dev_flat_swin")
     dev_maps = variant == "dev_maps"
+    dev_flat = variant == "dev_flat_swin"
     level_caps = ((512, 512, 512, 256, 128) if SMOKE
                   else (65536, 40960, 16384, 4096, 2048))
     pipe = InstSegPipelineConfig(
@@ -107,6 +111,21 @@ def bench_instseg_serve():
     for s in scenes:
         s["inst_labels"] = np.minimum(s["inst_labels"], 199)
 
+    flat_caps = None
+    if dev_flat:
+        # device flat maps bake the shape lock into the model: derive it
+        # once by host-collating the LARGEST scenes through the host flat
+        # path (flat_shape_caps_from), then rebuild the pipe around it
+        import dataclasses as _dc
+        from pq3d_tpu.data.instseg_pipeline import flat_shape_caps_from
+        probe = [max(scenes, key=lambda s: len(s["points"]))] * bs
+        pb = make_batch([dict(s) for s in probe], pipe,
+                        np.random.default_rng(0), train=False)
+        flat_caps = flat_shape_caps_from(pb["_meta"]["flat_dims"], pipe)
+        pipe = _dc.replace(pipe, device_maps=True,
+                           flat_shape_caps=flat_caps)
+        print(f"# dev_flat_swin lock: {flat_caps}", flush=True)
+
     model = Query3DUnified(
         memories=("voxel", "mv", "pc"), heads=("mask",),
         hidden_size=96 if SMOKE else 768, dim_loc=3,
@@ -120,6 +139,9 @@ def bench_instseg_serve():
                                   else "res16unet",
                                   device_maps=(tuple(level_caps)
                                                if dev_maps else None),
+                                  device_flat_caps=(
+                                      tuple(sorted(flat_caps.items()))
+                                      if dev_flat else None),
                                   device_stem=stem if dev_maps
                                   else "dense_block",
                                   device_ztriple=dev_maps),
