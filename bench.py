@@ -87,7 +87,10 @@ def bench_unified(jax, jnp, rng):
                                          EncoderCfg, GroundHeadCfg,
                                          GenerationHeadCfg, TxtEncoderCfg)
 
-    batch_size = 2 if SMOKE else 8
+    # default 8 = latency-shaped serving batch; the round-5 capacity ladder
+    # (tools/bench_unified_ladder.py) measures B=8..128 — override here
+    batch_size = int(os.environ.get("BENCH_UNIFIED_BATCH",
+                                    "2" if SMOKE else "8"))
     # n_instances ~ a realistic post-filter ScanNet object count, so the
     # flat_obj variant's pad-skip win is representative, not synthetic
     cfg = Config({"data": {"synthetic": {"num_train": batch_size,
@@ -417,7 +420,8 @@ def main():
             "unified_step_ms": round(uni_dt * 1000, 2),
             "unified_variants_ms": {k: round(v * 1000, 2)
                                     for k, v in uni_variants.items()},
-            "unified_batch": 2 if SMOKE else 8,
+            "unified_batch": int(os.environ.get(
+                "BENCH_UNIFIED_BATCH", "2" if SMOKE else "8")),
             # MFU = XLA cost-analysis FLOPs / step / 197 TF/s bf16 peak —
             # a lower bound for gather-bound models (VERDICT r03 item 9)
             "unified_mfu": uni_mfu,

@@ -50,6 +50,22 @@ from pq3d_tpu.data.instseg_pipeline import InstSegPipelineConfig
 from pq3d_tpu.eval.instseg_eval import rank_instances
 
 
+# ---- spawn-pool worker protocol for multi-core host preprocessing --------
+# (module-level so spawn workers resolve them by qualified name; the
+# worker runs ONLY numpy host code — it must never touch the accelerator)
+_SERVE_WORKER: Dict[str, Any] = {}
+
+
+def _init_serve_worker(pipe_cfg) -> None:
+    _SERVE_WORKER["cfg"] = pipe_cfg
+
+
+def _serve_process_scene(scene, seed):
+    from pq3d_tpu.data.instseg_pipeline import process_scene
+    rng = np.random.default_rng(seed)
+    return process_scene(scene, _SERVE_WORKER["cfg"], rng, train=False)
+
+
 @dataclass
 class ServerStats:
     scenes: int = 0
@@ -64,6 +80,13 @@ class ServerStats:
     # quantiles come from the most recent window
     latencies_s: "deque" = field(
         default_factory=lambda: deque(maxlen=100_000))
+    # per-stage host decomposition (summed seconds across batches): where
+    # the serving wall goes — preprocess (process_scene, parallelizable
+    # across host cores), collate, cast+device put, device-result readback
+    # + full-res ranking.  With the depth-1 pipeline, preprocess/collate/
+    # put of batch N+1 overlap the device step of batch N, so these sums
+    # can legitimately exceed the wall span.
+    stage_s: Dict[str, float] = field(default_factory=dict)
     # guards latencies_s: summary() may run on a monitoring thread while
     # the worker appends (iterating a mutating deque raises RuntimeError)
     _lock: threading.Lock = field(default_factory=threading.Lock,
@@ -73,6 +96,9 @@ class ServerStats:
         with self._lock:
             self.latencies_s.append(seconds)
 
+    def add_stage(self, name: str, seconds: float) -> None:
+        self.stage_s[name] = self.stage_s.get(name, 0.0) + seconds
+
     def summary(self) -> Dict[str, float]:
         with self._lock:
             lat = np.asarray(self.latencies_s) if self.latencies_s else \
@@ -81,7 +107,8 @@ class ServerStats:
         return {"scenes": self.scenes, "steps": self.steps,
                 "scenes_per_sec": self.scenes / max(span, 1e-9),
                 "p50_latency_s": float(np.quantile(lat, 0.5)),
-                "p99_latency_s": float(np.quantile(lat, 0.99))}
+                "p99_latency_s": float(np.quantile(lat, 0.99)),
+                "stage_s": dict(self.stage_s)}
 
 
 class _MicroBatchServer:
@@ -318,7 +345,7 @@ class InstSegServer(_MicroBatchServer):
                  batch_size: int, num_classes: int, topk: int = 100,
                  score_threshold: float = 0.0, max_delay_s: float = 0.05,
                  extra_features: Optional[Dict[str, int]] = None,
-                 mesh=None, device=None, cast=None):
+                 mesh=None, device=None, cast=None, num_workers: int = 0):
         if not pipe_cfg.level_caps and not pipe_cfg.flat_pack:
             # flat_pack ignores level_caps: its shapes are bucket-laddered
             # by voxel_bucket instead (see module docstring)
@@ -389,8 +416,26 @@ class InstSegServer(_MicroBatchServer):
             out = model.apply(v, b, train=False)
             return out["predictions_class"][-1], out["predictions_mask"][-1]
         self._fwd = jax.jit(_forward)
+        # multi-core host preprocessing: per-scene process_scene (voxelize,
+        # FPS, centers — the dominant serving host cost) fans out to a
+        # persistent spawn pool.  On a 1-core box this only adds pickling
+        # overhead; on a real multi-core serving host it parallelizes the
+        # per-scene work the device-maps path leaves behind (PERF.md
+        # round-5 host-core decomposition).
+        self._pool = None
+        self._pool_seed = 0
+        if num_workers > 0:
+            from pq3d_tpu.data.pool import BatchPool
+            self._pool = BatchPool(num_workers, _init_serve_worker,
+                                   (pipe_cfg,))
         super().__init__(batch_size, max_delay_s, mesh=mesh, device=device,
                          cast=cast)
+
+    def close(self) -> None:
+        super().close()
+        if self._pool is not None:
+            self._pool.close()
+            self._pool = None
 
     def _update_flat_lock(self, dims) -> None:
         """Flat-pack shape lock from observed traffic: the first batch (and
@@ -422,10 +467,21 @@ class InstSegServer(_MicroBatchServer):
         # preprocess each REAL scene exactly once; padding duplicates the
         # last processed dict (re-running voxelize/hierarchy/window packs
         # per padding row multiplied idle-traffic latency)
-        processed = [process_scene(s, self.pipe_cfg, self._rng, train=False)
-                     for s in scenes]
+        t0 = time.time()
+        if self._pool is not None:
+            seeds = range(self._pool_seed, self._pool_seed + n_real)
+            self._pool_seed += n_real
+            processed = list(self._pool.run(
+                _serve_process_scene, ((s, sd) for s, sd in
+                                       zip(scenes, seeds))))
+        else:
+            processed = [process_scene(s, self.pipe_cfg, self._rng,
+                                       train=False) for s in scenes]
+        t1 = time.time()
+        self.stats.add_stage("preprocess", t1 - t0)
         processed += [processed[-1]] * (self.batch_size - n_real)
         np_batch = collate_processed(processed, self.pipe_cfg)
+        self.stats.add_stage("collate", time.time() - t1)
         meta = np_batch.pop("_meta")
         if self.pipe_cfg.flat_pack and not self.pipe_cfg.device_maps:
             # device flat maps bake the lock into the model — it cannot
@@ -436,22 +492,29 @@ class InstSegServer(_MicroBatchServer):
             np_batch[f"{name}_seg_fts"] = np.zeros(
                 (self.batch_size, S, dim), np.float32)
             np_batch[f"{name}_seg_pad_masks"] = np_batch["seg_pad_masks"]
+        t2 = time.time()
         dev_batch = self._to_device(np_batch)
         cls_l, mask_l = self._aot_call("fwd", self._fwd, self.variables,
                                        dev_batch, _key_args=(dev_batch,))
+        self.stats.add_stage("put_dispatch", time.time() - t2)
         # device arrays are futures (async dispatch): readback in _finish
         return (n_real, cls_l, mask_l, np_batch["seg_pad_masks"], meta)
 
     def _finish(self, state):
         n_real, cls_l, mask_l, seg_pad, meta = state
+        t0 = time.time()
         cls_l = np.asarray(cls_l)
         mask_l = np.asarray(mask_l)
         seg_valid = np.asarray(seg_pad)
-        return [rank_instances(cls_l[i], mask_l[i], seg_valid[i],
-                               num_classes=self.num_classes, topk=self.topk,
-                               score_threshold=self.score_threshold,
-                               seg_to_full=meta["segment_to_full"][i])
-                for i in range(n_real)]
+        self.stats.add_stage("readback", time.time() - t0)
+        t1 = time.time()
+        out = [rank_instances(cls_l[i], mask_l[i], seg_valid[i],
+                              num_classes=self.num_classes, topk=self.topk,
+                              score_threshold=self.score_threshold,
+                              seg_to_full=meta["segment_to_full"][i])
+               for i in range(n_real)]
+        self.stats.add_stage("rank", time.time() - t1)
+        return out
 
 
 class UnifiedServer(_MicroBatchServer):

@@ -281,3 +281,42 @@ def test_cancel_race_during_delivery_does_not_poison_batch():
     finally:
         release.set()
         srv.close()
+
+
+@pytest.mark.slow
+def test_server_multiworker_pool():
+    """num_workers>0 fans process_scene out to a spawn pool (multi-core
+    serving hosts); results stay full-resolution and the shape discipline
+    holds.  Deterministic per-scene seeds replace the serial rng, so
+    FPS-sampled queries may differ from serial mode — the contract is
+    valid predictions from ONE executable, not bit-equal outputs."""
+    rng = np.random.default_rng(0)
+    pipe = _pipe()
+    scenes = [synthetic.make_scene(rng, n_points=n, n_instances=3,
+                                   n_segments=16)
+              for n in (600, 900, 700, 800)]
+    for s in scenes:
+        s["inst_labels"] = np.minimum(s["inst_labels"], 19)
+    model = _model()
+    init_batch = make_batch(scenes[:2], pipe, rng, train=False)
+    S = pipe.max_segments
+    for name in ("mv", "pc"):
+        init_batch[f"{name}_seg_fts"] = np.zeros((2, S, 16), np.float32)
+        init_batch[f"{name}_seg_pad_masks"] = init_batch["seg_pad_masks"]
+    init_batch = {k: v for k, v in init_batch.items()
+                  if not k.startswith("_")}
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jax.tree.map(np.asarray, init_batch), train=False)
+    srv = InstSegServer(model, variables, pipe, batch_size=2,
+                        num_classes=20, topk=20, max_delay_s=0.01,
+                        extra_features={"mv": 16, "pc": 16}, num_workers=2)
+    try:
+        futs = [srv.submit(s) for s in scenes]
+        results = [f.result(timeout=600) for f in futs]
+    finally:
+        srv.close()
+    for s, preds in zip(scenes, results):
+        assert preds and all(p["mask"].shape == (len(s["points"]),)
+                             for p in preds)
+    assert srv.jit_cache_size() == 1

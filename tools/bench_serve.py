@@ -65,6 +65,11 @@ def _report(which, srv, wall_s):
           f"p99={st['p99_latency_s'] * 1000:.1f} ms "
           f"steps={st['steps']} compiles={srv.jit_cache_size()} "
           f"wall={wall_s:.2f} s", flush=True)
+    if st.get("stage_s"):
+        tot = ", ".join(f"{k}={v:.2f}s"
+                        for k, v in sorted(st["stage_s"].items()))
+        print(f"# serve_{which} stages (summed, overlap wall): {tot}",
+              flush=True)
 
 
 def bench_instseg_serve():
@@ -121,9 +126,16 @@ def bench_instseg_serve():
         probe = [max(scenes, key=lambda s: len(s["points"]))] * bs
         pb = make_batch([dict(s) for s in probe], pipe,
                         np.random.default_rng(0), train=False)
-        flat_caps = flat_shape_caps_from(pb["_meta"]["flat_dims"], pipe)
-        pipe = _dc.replace(pipe, device_maps=True,
-                           flat_shape_caps=flat_caps)
+        # the probe already uses the LARGEST scene x bs, so a thin margin
+        # suffices; every locked row is device compute the swin backbone
+        # pays whether occupied or not (SERVE_LOCK_MARGIN to A/B)
+        flat_caps = flat_shape_caps_from(
+            pb["_meta"]["flat_dims"], pipe,
+            margin=float(os.environ.get("SERVE_LOCK_MARGIN", "1.3")))
+        pipe = _dc.replace(
+            pipe, device_maps=True, flat_shape_caps=flat_caps,
+            device_flat_check=os.environ.get("SERVE_FLAT_CHECK",
+                                             "1") == "1")
         print(f"# dev_flat_swin lock: {flat_caps}", flush=True)
 
     model = Query3DUnified(
@@ -166,7 +178,9 @@ def bench_instseg_serve():
         cast = cast_batch_bf16
     srv = InstSegServer(model, variables, pipe, batch_size=bs,
                         num_classes=200, topk=100, max_delay_s=0.02,
-                        extra_features={"mv": 768, "pc": 768}, cast=cast)
+                        extra_features={"mv": 768, "pc": 768}, cast=cast,
+                        num_workers=int(os.environ.get("SERVE_WORKERS",
+                                                       "0")))
     try:
         # warm with the LARGEST scene: with flat_pack the server locks its
         # shape envelope (flat_shape_caps) from the first batch, so warming
