@@ -226,26 +226,43 @@ class InstSegLoader:
         order = rng.permutation(len(self.dataset)) if self.train \
             else np.arange(len(self.dataset))
         bs = self.batch_size
-        return [order[s:s + bs]
-                for s in range(0, len(order) - bs + 1, bs)], rng
+        batches = [order[s:s + bs]
+                   for s in range(0, len(order) - bs + 1, bs)]
+        n_real = [bs] * len(batches)
+        rem = len(order) - len(batches) * bs
+        if rem and not self.train:
+            # eval must score EVERY item (the reference's distributed
+            # sampler pads by wrap-around and gather_for_metrics truncates
+            # the duplicates, common/misc.py:103-117); here the final batch
+            # wraps to full size and carries n_real so evaluators skip the
+            # padding rows (train keeps dropping the remainder — one batch
+            # of a shuffled epoch, matching drop_last semantics)
+            batches.append(np.concatenate(
+                [order[-rem:], np.resize(order, bs - rem)]))
+            n_real.append(rem)
+        return batches, n_real, rng
 
     def __call__(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
-        batches, rng = self._batch_indices(epoch)
+        batches, n_real, rng = self._batch_indices(epoch)
         if self.num_workers <= 0:
-            for idxs in batches:
-                yield _assemble_instseg_batch(
+            for idxs, nr in zip(batches, n_real):
+                batch = _assemble_instseg_batch(
                     self.dataset, self.pipe_cfg, self.extra_features,
                     idxs, rng, self.train)
+                batch["_meta"]["n_real"] = nr
+                yield batch
             return
         if self._pool is None:
             from pq3d_tpu.data.pool import BatchPool
             self._pool = BatchPool(self.num_workers, _init_instseg_worker,
                                    (self.dataset, self.pipe_cfg,
                                     self.extra_features))
-        yield from self._pool.run(
-            _instseg_worker_batch,
-            ((idxs, [self.seed, epoch, b], self.train)
-             for b, idxs in enumerate(batches)))
+        for batch, nr in zip(self._pool.run(
+                _instseg_worker_batch,
+                ((idxs, [self.seed, epoch, b], self.train)
+                 for b, idxs in enumerate(batches))), n_real):
+            batch["_meta"]["n_real"] = nr
+            yield batch
 
     def close(self) -> None:
         """Shut the epoch-persistent worker pool down (workers hold a

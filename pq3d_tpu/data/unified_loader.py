@@ -76,21 +76,35 @@ class UnifiedTaskLoader:
         bs = self.batch_size
         batches = [order[s:s + bs]
                    for s in range(0, len(order) - bs + 1, bs)]
+        n_real = [bs] * len(batches)
+        rem = len(order) - len(batches) * bs
+        if rem and not self.train:
+            # eval scores EVERY item: wrap-pad the final batch to full
+            # size and mark n_real so evaluators skip the padding rows
+            # (ref common/misc.py:103-117 gather_for_metrics truncation;
+            # train keeps drop_last semantics)
+            batches.append(np.concatenate(
+                [order[-rem:], np.resize(order, bs - rem)]))
+            n_real.append(rem)
         if self.num_workers <= 0:
-            for idxs in batches:
-                yield _assemble_unified_batch(self.dataset, self.cfg,
-                                              self.feature_dims, idxs, rng,
-                                              self.train)
+            for idxs, nr in zip(batches, n_real):
+                batch = _assemble_unified_batch(self.dataset, self.cfg,
+                                                self.feature_dims, idxs,
+                                                rng, self.train)
+                batch["_meta"]["n_real"] = nr
+                yield batch
             return
         if self._pool is None:
             from pq3d_tpu.data.pool import BatchPool
             self._pool = BatchPool(self.num_workers, _init_unified_worker,
                                    (self.dataset, self.cfg,
                                     self.feature_dims))
-        yield from self._pool.run(
-            _unified_worker_batch,
-            ((idxs, [self.seed, epoch, b], self.train)
-             for b, idxs in enumerate(batches)))
+        for batch, nr in zip(self._pool.run(
+                _unified_worker_batch,
+                ((idxs, [self.seed, epoch, b], self.train)
+                 for b, idxs in enumerate(batches))), n_real):
+            batch["_meta"]["n_real"] = nr
+            yield batch
 
     def close(self) -> None:
         """Shut the epoch-persistent worker pool down (workers hold a

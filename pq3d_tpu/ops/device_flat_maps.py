@@ -70,15 +70,36 @@ def _aug_key(coords: jnp.ndarray, scene: jnp.ndarray, valid: jnp.ndarray,
 def _nbr_map(coords: jnp.ndarray, scene: jnp.ndarray, keys: jnp.ndarray,
              valid: jnp.ndarray, total: jnp.ndarray, offsets: np.ndarray,
              dims: jnp.ndarray) -> jnp.ndarray:
-    """(N, K) flat neighbor indices, -1 missing; pad rows all -1."""
-    cols = []
-    for off in offsets:
+    """(N, K) flat neighbor indices, -1 missing; pad rows all -1.
+
+    Probes only the FIRST half of a symmetric stencil: the hit relation is
+    a bijection per offset (keys unique), and ``offsets[K-1-t] ==
+    -offsets[t]`` (kernel_offsets odd-size order), so every hit ``i -> j``
+    at offset t IS the hit ``j -> i`` at offset K-1-t — one cheap scatter
+    replaces each of the other half's searchsorted probes (the measured
+    chip cost of the in-jit build, PERF.md round-5).
+    """
+    n = keys.shape[0]
+    k = len(offsets)
+    sym = k % 2 == 1 and bool(
+        (np.asarray(offsets) == -np.asarray(offsets)[::-1]).all())
+    rows = jnp.arange(n, dtype=jnp.int32)
+    cols: list = [None] * k
+    for t, off in enumerate(offsets):
+        if sym and t > k // 2:
+            break
+        if sym and t == k // 2:           # center offset: identity
+            cols[t] = jnp.where(valid, rows, -1)
+            continue
         q = _aug_key(coords + jnp.asarray(off, jnp.int32)[None, :], scene,
                      valid, dims)
         idx = jnp.searchsorted(keys, q, method="sort").astype(jnp.int32)
-        idx_c = jnp.minimum(idx, keys.shape[0] - 1)
+        idx_c = jnp.minimum(idx, n - 1)
         hit = (keys[idx_c] == q) & (idx_c < total) & valid
-        cols.append(jnp.where(hit, idx_c, -1))
+        cols[t] = jnp.where(hit, idx_c, -1)
+        if sym:
+            cols[k - 1 - t] = jnp.full((n + 1,), -1, jnp.int32).at[
+                jnp.where(hit, idx_c, n)].set(rows, mode="drop")[:n]
     return jnp.stack(cols, axis=1)
 
 
@@ -204,6 +225,7 @@ def build_flat_maps(coords0: jnp.ndarray, counts0: jnp.ndarray,
     dims = cmax + 3          # level-0 bounds serve every (coarser) level
 
     anc = [rows0]
+    parent_list = []         # global parent ranks per level (extended below)
     level_coords = []        # (coords, scene, valid, total, rows) per level
     for lvl in range(num_levels):
         tot_l = int(caps[f"tot_{lvl}"])
@@ -225,6 +247,7 @@ def build_flat_maps(coords0: jnp.ndarray, counts0: jnp.ndarray,
         lsb = coords & 1
         poff = (lsb[:, 0] * 4 + lsb[:, 1] * 2 + lsb[:, 2]).astype(jnp.int32)
         out[f"parent_{lvl}"] = parent
+        parent_list.append(parent)
         out[f"parent_off_{lvl}"] = jnp.where(valid, poff, 0)
         tgt = jnp.where(first_s & (rank_s < tot_next), rank_s, tot_next)
         coarse = jnp.zeros((tot_next + 1, 3), jnp.int32).at[tgt].set(
@@ -261,12 +284,57 @@ def build_flat_maps(coords0: jnp.ndarray, counts0: jnp.ndarray,
 
     if swin_window:
         w3 = swin_window ** 3
+        # shift-0 packs for window 4 come FREE from the hierarchy chain:
+        # grouping by c >> 2 IS the level l+2 coordinate set, numbered in
+        # the same scene-major ascending order — window rank = the two-step
+        # parent composition.  Extend the chain 2 virtual levels (tiny
+        # argsorts at the coarsest sizes) so levels 3 and 4 have ancestors.
+        if swin_window == 4:
+            vcap = level_coords[-1][0].shape[0]
+            vc, vs, vv, vt = (coords, scene, valid, total)
+            for _extra in range(max(swin_levels) + 2 - num_levels + 1):
+                pk = _aug_key(vc >> 1, vs, vv, dims)
+                order, first_s, rank_s, parent, counts_n, total_n = \
+                    _group_by_key(pk, vs, b)
+                parent_list.append(parent)
+                tgt = jnp.where(first_s & (rank_s < vcap), rank_s, vcap)
+                vc = jnp.zeros((vcap + 1, 3), jnp.int32).at[tgt].set(
+                    (vc >> 1)[order], mode="drop")[:vcap]
+                vt = jnp.minimum(total_n, vcap)
+                vv = jnp.arange(vcap, dtype=jnp.int32) < vt
+                starts_v = _excl_cumsum(jnp.minimum(counts_n, vcap))
+                vs = (jnp.searchsorted(
+                    starts_v, jnp.arange(vcap, dtype=jnp.int32),
+                    side="right").astype(jnp.int32) - 1)
+                vs = jnp.where(vv, vs, b)
         for lvl in swin_levels:
             lc, ls, lvalid, ltotal, lrows, _st = level_coords[lvl]
             for j, shift in enumerate((0, swin_window // 2)):
                 key = f"win{lvl}s{j}"
+                nw_cap = int(caps[f"{key}_nw"])
+                if j == 0 and swin_window == 4 and \
+                        lvl + 1 < len(parent_list):
+                    # rank via the chain: level l -> l+1 -> l+2
+                    p1 = parent_list[lvl]
+                    p2 = parent_list[lvl + 1]
+                    # clamp: a cap-overflowing parent rank must not read
+                    # out of bounds (the host check guards real overflow)
+                    p1c = jnp.clip(p1, 0, p2.shape[0] - 1)
+                    rank = jnp.where((p1 >= 0) & (p1 < p2.shape[0]),
+                                     p2[p1c], -1)
+                    local = lc & 3
+                    cell = ((local[:, 0] * 4 + local[:, 1]) * 4
+                            + local[:, 2]).astype(jnp.int32)
+                    ok = lvalid & (rank >= 0) & (rank < nw_cap)
+                    slot = jnp.where(ok, rank * w3 + cell, -1)
+                    c2v = jnp.full((nw_cap * w3 + 1,), -1, jnp.int32).at[
+                        jnp.where(ok, slot, nw_cap * w3)].set(
+                        lrows, mode="drop")[:nw_cap * w3]
+                    out[f"{key}_c2v"] = c2v
+                    out[f"{key}_slot"] = slot
+                    continue
                 p = _window_pack(lc, ls, lvalid, b, swin_window, shift,
-                                 int(caps[f"{key}_nw"]), lrows)
+                                 nw_cap, lrows)
                 out[f"{key}_c2v"] = p["c2v"]
                 out[f"{key}_slot"] = p["slot"]
 

@@ -287,12 +287,22 @@ class Query3DTrainer:
             return {}
         self.evaluator.reset()
         for batch in prefetch_batches(self.val_data(epoch)):
+            meta = batch.get("_meta", {}) if isinstance(batch, dict) else {}
+            n_real = int(meta.get("n_real", 0))
             batch = self._put(batch)
             if self._state is None:   # mode=test / eval-before-train
                 self._lazy_init(batch)
             out = self._eval_step(self._state, batch)
-            self.evaluator.update(jax.tree.map(np.asarray, out),
-                                  jax.tree.map(np.asarray, batch))
+            out_np = jax.tree.map(np.asarray, out)
+            bat_np = jax.tree.map(np.asarray, batch)
+            if n_real:
+                # final wrap-padded batch: evaluators must not score the
+                # padding rows (eval/base.truncate_batch_rows)
+                from pq3d_tpu.eval.base import truncate_batch_rows
+                rows = int(bat_np["query_pad_masks"].shape[0])
+                out_np = truncate_batch_rows(out_np, n_real, rows)
+                bat_np = truncate_batch_rows(bat_np, n_real, rows)
+            self.evaluator.update(out_np, bat_np)
         results = self.evaluator.record()
         self.logger.log(results, int(self._state.step), prefix="val")
         print(f"[eval {epoch}] " + " ".join(
@@ -401,6 +411,8 @@ class MultitaskTrainer(Query3DTrainer):
             evaluator.reset()
             for batch in loader(epoch):
                 meta = batch.get("_meta", {})
+                n_real = int(meta.get("n_real", 0)) \
+                    if isinstance(meta, dict) else 0
                 dev_batch = self._put(batch)
                 if self._state is None:   # mode=test / eval-before-train
                     self._lazy_init(dev_batch)
@@ -408,10 +420,18 @@ class MultitaskTrainer(Query3DTrainer):
                 host_out = self.postprocess_for_eval(out, batch)
                 eval_batch = {k: np.asarray(v) for k, v in batch.items()
                               if not k.startswith("_")}
-                eval_batch.update(meta)
+                eval_batch.update({k: v for k, v in meta.items()
+                                   if k != "n_real"})
                 # grounding evaluators expect integer targets at eval
                 if "tgt_object_id_int" in eval_batch:
                     eval_batch["tgt_object_id"] = eval_batch["tgt_object_id_int"]
+                if n_real:
+                    # final wrap-padded batch: score only the real rows
+                    from pq3d_tpu.eval.base import truncate_batch_rows
+                    rows = int(eval_batch["query_pad_masks"].shape[0])
+                    host_out = truncate_batch_rows(host_out, n_real, rows)
+                    eval_batch = truncate_batch_rows(eval_batch, n_real,
+                                                     rows)
                 evaluator.update(host_out, eval_batch)
             results = evaluator.record()
             for k, v in results.items():

