@@ -119,11 +119,24 @@ def test_unified_batches_shape_stable_and_jit_cache():
                    if jnp.issubdtype(v.dtype, jnp.floating))
 
     n_batches = 0
+    sigs = []
     for batch in loader(0):
         batch = {k: jnp.asarray(v) for k, v in batch.items()
                  if not k.startswith("_")}
         f(batch)
+        sigs.append({k: (tuple(v.shape), str(v.dtype))
+                     for k, v in batch.items()})
         n_batches += 1
     assert n_batches >= 2
+    # diagnose BEFORE the opaque cache-size assert: if a leaf drifted
+    # shape/dtype across batches (the suspected mechanism of the round-4
+    # order-dependent flake, NEXTSTEPS), name it precisely
+    for i, s in enumerate(sigs[1:], 1):
+        drift = {k: (sigs[0].get(k), s.get(k))
+                 for k in set(sigs[0]) | set(s)
+                 if sigs[0].get(k) != s.get(k)}
+        assert not drift, f"batch {i} drifted vs batch 0: {drift}"
     assert f._cache_size() == 1, \
-        f"expected a single compilation, got {f._cache_size()}"
+        f"expected a single compilation, got {f._cache_size()} " \
+        f"(signatures identical across {n_batches} batches — the retrace " \
+        f"came from ambient jit context, not batch shapes)"

@@ -73,3 +73,45 @@ for _ in range(3):
 dt = (time.time()-t0)/3
 print(f"train step [{POLICY}/{GRAD_MODE}/{','.join(OPTS) or 'base'}]: "
       f"{dt*1000:.0f} ms -> {4/dt:.2f} scenes/s training", flush=True)
+
+if os.environ.get("TRAIN_DECOMPOSE") == "1":
+    # Piecewise profile of the non-conv remainder (VERDICT r04 item 4b):
+    # time (a) forward, (b) forward+criterion (13 Hungarian rounds), and
+    # (c) the optimizer update alone on fixed grads; with the full step
+    # above, bwd = full - fwd_loss - opt (scheduling overlap makes this a
+    # bound, not an exact split).
+    def _t(fn, *a, n=3):
+        out = fn(*a); _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        t0 = time.time()
+        for _i in range(n):
+            out = fn(*a)
+            _ = float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        return (time.time() - t0) / n
+
+    fwd = jax.jit(lambda v, b: sum(
+        jnp.sum(x) for x in jax.tree.leaves(
+            model.apply(v, b, train=False))))
+    t_fwd = _t(fwd, variables, batch)
+
+    def _fwd_loss(v, b):
+        out = model.apply(v, b, train=False)
+        total, _parts = loss_fn(out, b)
+        return total
+    fwd_loss = jax.jit(_fwd_loss)
+    t_fwd_loss = _t(fwd_loss, variables, batch)
+
+    grads = jax.tree.map(jnp.zeros_like, variables["params"])
+    opt_state = optimizer.init(variables["params"])
+
+    def _opt(g, os_, p):
+        up, os2 = optimizer.update(g, os_, p)
+        import optax
+        return optax.apply_updates(p, up)
+    opt = jax.jit(_opt)
+    t_opt = _t(opt, grads, opt_state, variables["params"])
+
+    print(f"decompose: fwd={t_fwd*1e3:.0f} ms  "
+          f"criterion={(t_fwd_loss-t_fwd)*1e3:.0f} ms  "
+          f"opt(AdamW+clip)={t_opt*1e3:.0f} ms  "
+          f"bwd+rest={(dt-t_fwd_loss-t_opt)*1e3:.0f} ms  "
+          f"(full {dt*1e3:.0f} ms)", flush=True)

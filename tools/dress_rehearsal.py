@@ -112,6 +112,12 @@ def main():
                     help="force jax backend in each stage (e.g. cpu)")
     ap.add_argument("--report", default=None,
                     help="write a markdown report here")
+    ap.add_argument("--goldens", default=None,
+                    help="golden metric file (VERDICT r04 item 6): if it "
+                    "exists, compare this run's stage-1/2 eval values "
+                    "against it (rtol 5%% / atol 0.02) so the day real "
+                    "data appears, metric deltas isolate to the data "
+                    "loader; otherwise write it from this run")
     args = ap.parse_args()
 
     from pq3d_tpu.data.replica import ReplicaSpec, write_replica
@@ -255,6 +261,28 @@ def main():
     if args.report:
         with open(args.report, "w") as f:
             f.write(text + "\n")
+
+    if args.goldens:
+        got = {**{f"s1/{k}": v for k, v in m1.items()},
+               **{f"s2/{k}": v for k, v in m2.items()}}
+        if os.path.exists(args.goldens):
+            with open(args.goldens) as f:
+                want = json.load(f)
+            missing = sorted(set(want) - set(got))
+            assert not missing, f"golden metrics missing from run: {missing}"
+            bad = {k: (got[k], w) for k, w in want.items()
+                   if abs(got[k] - w) > 0.02 + 0.05 * abs(w)}
+            assert not bad, (
+                "metrics drifted from goldens {key: (got, want)}: "
+                f"{bad} — if the change is intended, regenerate "
+                f"{args.goldens} by deleting it and re-running")
+            print(f"[rehearsal] goldens OK ({len(want)} metrics within "
+                  f"tolerance of {args.goldens})")
+        else:
+            with open(args.goldens, "w") as f:
+                json.dump(got, f, indent=2, sort_keys=True)
+            print(f"[rehearsal] wrote {len(got)} golden metrics to "
+                  f"{args.goldens}")
 
 
 if __name__ == "__main__":
