@@ -19,21 +19,30 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 pytestmark = pytest.mark.slow
 
 
-def _run_rehearsal(tmp_path, scale, timeout):
+def _run_rehearsal(tmp_path, scale, timeout, goldens=None):
     report = tmp_path / "report.md"
     env = dict(os.environ)
     env["HF_HUB_OFFLINE"] = "1"
+    cmd = [sys.executable, "tools/dress_rehearsal.py", "--scale", scale,
+           "--platform", "cpu", "--root", str(tmp_path / "run"),
+           "--report", str(report)]
+    if goldens:
+        cmd += ["--goldens", goldens]
     r = subprocess.run(
-        [sys.executable, "tools/dress_rehearsal.py", "--scale", scale,
-         "--platform", "cpu", "--root", str(tmp_path / "run"),
-         "--report", str(report)],
-        cwd=ROOT, env=env, capture_output=True, text=True, timeout=timeout)
+        cmd, cwd=ROOT, env=env, capture_output=True, text=True,
+        timeout=timeout)
     assert r.returncode == 0, r.stdout[-4000:] + r.stderr[-4000:]
     return report.read_text()
 
 
 def test_two_stage_recipe_end_to_end(tmp_path):
-    text = _run_rehearsal(tmp_path, "small", 3600)
+    # golden metric values (VERDICT r04 item 6): the committed goldens pin
+    # this deterministic CPU run's stage-1/2 eval values within tolerance,
+    # so a metric delta the day real data appears isolates to the loader.
+    # If the file is absent the rehearsal writes it (self-healing; commit
+    # the refresh deliberately).
+    goldens = os.path.join(ROOT, "tests", "goldens", "rehearsal_small.json")
+    text = _run_rehearsal(tmp_path, "small", 3600, goldens=goldens)
     # stage-1 official-protocol AP keys and at least one metric per stage-2
     # task family made it into the report
     assert "Stage-1 eval (official ScanNet protocol)" in text
