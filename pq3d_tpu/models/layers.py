@@ -315,5 +315,12 @@ class MaskedBatchNorm(nn.Module):
 
         y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
         y = y * scale + bias
-        y = jnp.where(valid[..., None], y, 0.0)
+        # float-multiply mask, NOT jnp.where: the select blocks XLA from
+        # fusing the BN epilogue into the conv and costs ~+130 ms per
+        # residual block at L1 shapes on v5e (chip A/B in PERF.md round-5,
+        # tools/bench_bnrelu_fusion.py: where 315 / multiply 149 / unmasked
+        # 120-181 ms/block).  Identical semantics for finite y; pad-row
+        # activations are bounded (convs emit 0 on pad rows — no taps —
+        # so y there is just the BN bias), never inf/nan.
+        y = y * valid[..., None].astype(y.dtype)
         return y.astype(x.dtype)

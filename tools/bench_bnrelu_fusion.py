@@ -67,6 +67,7 @@ def main():
     shift = rng.standard_normal((N_BLOCKS, 2, C)).astype(np.float32)
     zbj, zcj = jnp.asarray(zb), jnp.asarray(zc)
     vj = jnp.asarray(valid)
+    vf = jnp.asarray(valid.astype(np.float32))
 
     def conv(x, wi):
         return sparse_conv_ztriple(x, zbj, zcj, wi)
@@ -81,13 +82,23 @@ def main():
                     x = jnp.where(vj[:, None],
                                   jax.nn.relu(x * scale[b, i] + shift[b, i]),
                                   0.0)
+                elif mode == "mulmask":
+                    # same masking, float multiply instead of select
+                    x = jax.nn.relu(x * scale[b, i] + shift[b, i]) \
+                        * vf[:, None]
+                elif mode == "shiftmask":
+                    # mask only the shift: pad rows see x*a (bounded),
+                    # valid rows exact — cheapest mask that keeps pads 0
+                    # when x is 0 there
+                    x = jax.nn.relu(x * scale[b, i]
+                                    + shift[b, i] * vf[:, None])
                 elif mode == "synth":
                     x = jnp.maximum(x * scale[b, i] + shift[b, i], 0.0)
             x = x + res
         return jnp.sum(x)
 
     fns = {m: jax.jit(lambda x, w, s, h, m=m: chain(x, w, s, h, m))
-           for m in ("none", "bnrelu", "synth")}
+           for m in ("none", "bnrelu", "mulmask", "shiftmask", "synth")}
 
     for name, fn in fns.items():
         def run(k):
