@@ -154,11 +154,32 @@ def instseg_set_loss(predictions_class: List[jnp.ndarray],
     losses: Dict[str, jnp.ndarray] = {}
     total = 0.0
     n = len(predictions_class)
+    # ONE batched Hungarian solve for ALL rounds: the device JV solver is
+    # a latency-bound sequential while_loop, and 13 sequential per-round
+    # solves were the top non-conv item of the parity train step (444 ms
+    # of 1354, chip decompose PERF.md round-5).  vmap lanes iterate in
+    # lockstep, so R*B lanes cost ~one worst-case solve instead of R
+    # sequential ones.  Costs and solver math are unchanged per lane
+    # (pinned by tests/test_criterion_parity.py).
+    cls_all = jnp.stack(predictions_class)              # (R, B, Q, C+1)
+    msk_all = jnp.stack(predictions_mask)               # (R, B, S, Q)
+
+    def _cost(cls_l, msk_l):
+        c_cls = batch_class_cost(cls_l, labels, cfg.ignore_label)
+        c_bce, c_dice = batch_mask_cost(msk_l, tgt_masks, seg_valid)
+        cost = (cfg.cost_class * c_cls + cfg.cost_mask * c_bce +
+                cfg.cost_dice * c_dice)
+        cost = jnp.where(inst_valid[:, None, :], cost, PAD_COST)
+        return jnp.swapaxes(cost, 1, 2)                 # (B, M, Q)
+    costs = jax.vmap(_cost)(cls_all, msk_all)           # (R, B, M, Q)
+    r, b_, m_, q_ = costs.shape
+    col_all = hungarian.solve_batch(
+        jax.lax.stop_gradient(costs).reshape(r * b_, m_, q_)
+    ).reshape(r, b_, m_)
+
     for i in range(n):
         cls_l, msk_l = predictions_class[i], predictions_mask[i]
-        col4row = match_layer(cls_l, msk_l, labels, tgt_masks, inst_valid,
-                              seg_valid, cfg)
-        ld = instseg_layer_loss(cls_l, msk_l, col4row, labels, tgt_masks,
+        ld = instseg_layer_loss(cls_l, msk_l, col_all[i], labels, tgt_masks,
                                 inst_valid, seg_valid, cfg)
         suffix = "" if i == n - 1 else f"_{i}"
         losses[f"loss_ce{suffix}"] = ld["loss_ce"] * cfg.cost_class
