@@ -42,7 +42,7 @@ def test_worker_batches_match_in_process_worker_path():
     """The worker function with per-batch seeds reproduces exactly what the
     pool would compute, for every batch, without spawning (1-core box)."""
     lo = _loader(num_workers=0)
-    batches, _ = lo._batch_indices(epoch=1)
+    batches, _nr, _ = lo._batch_indices(epoch=1)
     _init_instseg_worker(lo.dataset, lo.pipe_cfg, lo.extra_features)
     for b, idxs in enumerate(batches):
         got = _instseg_worker_batch(idxs, [lo.seed, 1, b], True)
@@ -56,7 +56,7 @@ def test_pool_loader_yields_deterministic_batches():
     """A real 2-worker spawn pool yields the same batches as the worker
     function run in-process (order preserved)."""
     lo0 = _loader(num_workers=0)
-    batches, _ = lo0._batch_indices(epoch=0)
+    batches, _nr, _ = lo0._batch_indices(epoch=0)
     _init_instseg_worker(lo0.dataset, lo0.pipe_cfg, lo0.extra_features)
     refs = [_instseg_worker_batch(idxs, [lo0.seed, 0, b], True)
             for b, idxs in enumerate(batches)]

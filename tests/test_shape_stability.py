@@ -113,10 +113,20 @@ def test_unified_batches_shape_stable_and_jit_cache():
     loader = UnifiedTaskLoader(SyntheticRefer(cfg, "train"), pipe,
                                batch_size=2, train=True)
 
-    @jax.jit
-    def f(b):
+    # count TRACES, not jit cache entries: _cache_size() reads the
+    # process-global PjitFunctionCache LRU (capacity 8192, shared by every
+    # jitted function), which a long full-suite process can evict —
+    # observed live in round 5 as cache_size()==0 with IDENTICAL batch
+    # signatures after 2h of suite (the round-4 "order-dependent flake").
+    # A trace counter measures the actual contract: same avals -> the
+    # tracer runs once.
+    traces = []
+
+    def _f(b):
+        traces.append(1)
         return sum(jnp.sum(v) for v in jax.tree.leaves(b)
                    if jnp.issubdtype(v.dtype, jnp.floating))
+    f = jax.jit(_f)
 
     n_batches = 0
     sigs = []
@@ -136,7 +146,7 @@ def test_unified_batches_shape_stable_and_jit_cache():
                  for k in set(sigs[0]) | set(s)
                  if sigs[0].get(k) != s.get(k)}
         assert not drift, f"batch {i} drifted vs batch 0: {drift}"
-    assert f._cache_size() == 1, \
-        f"expected a single compilation, got {f._cache_size()} " \
+    assert len(traces) == 1, \
+        f"expected a single trace, got {len(traces)} " \
         f"(signatures identical across {n_batches} batches — the retrace " \
         f"came from ambient jit context, not batch shapes)"
